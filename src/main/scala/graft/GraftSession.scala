@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for `local[32]` testing but designed for a multi-executor
+  * cluster: AQE is enabled (runtime coalescing + skew-join splitting),
+  * shuffle partitions default to the local core count (on a real
+  * cluster this should be 2-3x total executor cores), and the session
+  * time zone is pinned to UTC — the reference stamps UTC at ingest
+  * (`/root/reference/src/collector/main.py:90`) and the DuckDB oracle
+  * compares in UTC.
+  */
+object GraftSession {
+
+  /** Engine configuration applied to every session (batch, bench,
+    * verify, tests). Kept in one place so all entry points agree.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    // The driver's events table carries parquet TIMESTAMP(NANOS), which
+    // Spark has no native type for: read the raw int64 and let
+    // Tables.events truncate to microseconds (matching DuckDB's
+    // ns -> us truncation on read).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the dynamic subset of the engine confs to an
+    * externally-created session (the driver's Verify/Bench sessions).
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

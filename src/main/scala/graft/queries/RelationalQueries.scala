@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generalized relational surface over the TPC-H-ish tables: the
+  * operator classes the reference exercises only in miniature
+  * (aggregation, filters, casts) plus the ones any user of a general
+  * engine needs (joins, windows, rollup) — SURVEY §2.5-§2.8's
+  * "generalization" rows.
+  *
+  * Scale notes per query are in each Scaladoc; dimension joins use
+  * explicit `broadcast()` so the 100 TB plan has no shuffle on the fact
+  * table for dimension enrichment.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped scan-heavy aggregation: single pass over
+    * `lineitem`, hash agg with map-side combine on a 6-value grouping
+    * key. The shipdate filter and the 7-column projection both push
+    * into the parquet scan.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Fact-to-fact join (lineitem ⋈ orders, both shuffled on the join
+    * key — AQE picks SMJ/SHJ) plus two broadcast dimension hops
+    * (customer is small relative to facts; at 100 TB customer would be
+    * bucketed or shuffled while nation/region always broadcast).
+    * Revenue by market segment and order status.
+    */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+  }
+
+  /** TPC-H Q5-shaped snowflake join: facts joined through customer →
+    * nation → region with every dimension broadcast; group by the
+    * region/nation names. No shuffle except the lineitem⋈orders one.
+    */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q1_agg" -> (q1Agg _),
+    "join_revenue_by_segment" -> (revenueBySegment _),
+    "join_regional_revenue" -> (regionalRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_revenue_by_segment" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "join_regional_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin)
+}

@@ -22,7 +22,8 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ParityQueries.defs, ParityQueries.oracles),
-      (RelationalQueries.defs, RelationalQueries.oracles))
+      (RelationalQueries.defs, RelationalQueries.oracles),
+      (AnalyticsQueries.defs, AnalyticsQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join: for each left row, the single right value whose
+  * timestamp is the greatest one `<=` the left timestamp, per key —
+  * the operator behind "join each observation to the latest reference
+  * state at that moment". The reference's `int` layer is the degenerate
+  * whole-table case of this (latest state per key, SURVEY §2.7 note).
+  *
+  * Spark has no built-in as-of join, so instead of a per-row range
+  * probe (quadratic) we express it as a union + ordered window scan:
+  * tag right rows side=0 and left rows side=1, sort each key partition
+  * by (ts, side, tieBreak), and carry the last non-null right value
+  * forward with `last(..., ignoreNulls)` over an unbounded-preceding
+  * frame. Cost: ONE shuffle of |L|+|R| rows and one sort — the same
+  * cost profile as a sort-merge join, fully parallel per key, no
+  * broadcast or driver state. Ties (right.ts == left.ts) resolve
+  * "right first", i.e. an exactly-simultaneous right row IS visible to
+  * the left row, matching DuckDB `ASOF JOIN`'s `>=` semantics.
+  */
+object AsofJoin {
+
+  /** @param rightValue column of `right` to carry (aliased `asofCol`)
+    * @param tieBreak   column present on both sides making the sort
+    *                   total (e.g. a unique row id)
+    */
+  def lastValue(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValue: String,
+      tieBreak: String, asofCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val leftCols = left.columns
+    val valueType = right.schema(rightValue).dataType
+
+    val r = right.select(
+      keyCols ++ Seq(
+        col(rightTs).as("_ts"), lit(0).as("_side"), col(tieBreak).as("_tb"),
+        col(rightValue).as("_v")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      keyCols ++ Seq(
+        col(leftTs).as("_ts"), lit(1).as("_side"), col(tieBreak).as("_tb"),
+        lit(null).cast(valueType).as("_v")) ++
+        leftCols.filterNot(keys.contains).map(col(_)): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .withColumn(asofCol, last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col).toSeq :+ col(asofCol): _*)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsofJoin, Sessionize}
+
+/** Window functions, ordered analytics and multi-dimensional
+  * aggregation — the generalization of the reference's single window
+  * function (SURVEY §2.6 W1) into the full analytic surface:
+  * running aggregates, rank/lag, sessionization, as-of join, ROLLUP,
+  * pivot, top-k and distinct aggregates.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Running per-supplier quantity: one shuffle on `l_suppkey`, one
+    * sort; the cumulative frame is computed streamingly per partition.
+    * The sort keys make a total order so output is deterministic.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** Rank + lag over each customer's order history: order sequence
+    * number and days since the previous order.
+    */
+  def windowRankLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w)))
+          .cast("long"))
+      .select("o_custkey", "o_orderkey", "order_seq", "gap_days")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Gap-based sessionization of the event stream (30-minute gap),
+    * aggregated to one row per session.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sessionize(ev, key = "user_id", tsCol = "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** As-of join: each purchase event matched to the user's most recent
+    * signup at-or-before it (SURVEY §2.7 — as-of "latest state"
+    * semantics, here as a first-class operator).
+    */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    AsofJoin.lastValue(purchases, signups, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightValue = "event_id",
+        tieBreak = "event_id", asofCol = "last_signup_id")
+      .select("event_id", "user_id", "last_signup_id")
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP over the region/nation hierarchy (SURVEY §2.5 note:
+    * grouping sets absent from the reference, free in Spark).
+    * Dimensions broadcast; single shuffle for the rollup agg.
+    */
+  def rollupAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Pivot: per-user event-type counts as columns. The type domain is
+    * declared explicitly so the plan is a single pass (no distinct-scan
+    * to discover pivot values).
+    */
+  def pivotEventTypes(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  /** Global top-k with a total order (SURVEY §2.8: absent from the
+    * reference; Spark's `TakeOrderedAndProject` makes it a per-partition
+    * heap + driver merge of k rows — no global sort).
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Exact distinct aggregates (expands to two-phase agg in Spark). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val defs: Map[String, Q] = Map(
+    "window_running" -> (windowRunning _),
+    "window_rank_lag" -> (windowRankLag _),
+    "sessionize" -> (sessionize _),
+    "asof_signup" -> (asofSignup _),
+    "rollup_acctbal" -> (rollupAcctbal _),
+    "pivot_event_types" -> (pivotEventTypes _),
+    "topk_orders" -> (topkOrders _),
+    "distinct_agg" -> (distinctAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "window_rank_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS order_seq,
+        |  date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |            CAST(o_orderdate AS DATE)) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+        |  round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "asof_signup" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |comb AS (
+        |  SELECT user_id, ts, event_id AS tb, 0 AS side,
+        |         event_id AS sig_id, CAST(NULL AS BIGINT) AS p_id
+        |  FROM ev WHERE event_type = 'signup'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, NULL, event_id
+        |  FROM ev WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *, last_value(sig_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, side, tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+        |  FROM comb)
+        |SELECT p_id AS event_id, user_id, last_signup_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "rollup_acctbal" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "pivot_event_types" ->
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

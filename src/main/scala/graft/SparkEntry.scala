@@ -23,7 +23,9 @@ object SparkEntry {
     Seq(
       (ParityQueries.defs, ParityQueries.oracles),
       (RelationalQueries.defs, RelationalQueries.oracles),
-      (AnalyticsQueries.defs, AnalyticsQueries.oracles))
+      (AnalyticsQueries.defs, AnalyticsQueries.oracles),
+      (TextQueries.defs, TextQueries.oracles),
+      (SimilarityQueries.defs, SimilarityQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

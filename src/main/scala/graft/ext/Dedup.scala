@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHash, SimHash, Text, Vectors}
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup.
+  *
+  * Scale architecture (the part that matters at 100 TB):
+  *  - signatures (minhash/simhash/content hash) are per-row map work,
+  *    zero shuffle, all codegen'd builtins;
+  *  - candidate generation shuffles only short (id, bucket) pairs and
+  *    joins on the bucket — never the O(n^2) cross join;
+  *  - exact verification (Jaccard) runs only on the candidate pairs,
+  *    joining the shingle sets back by id.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-groupBy, keeps the minimum
+    * id per distinct content (deterministic survivor).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signature + LSH band keys. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
+    df.select(col(idCol), sh.as("shingle_set"))
+      .withColumn("sig", MinHash.signature(col("shingle_set"), numHashes))
+      .withColumn("bands", MinHash.bands(col("sig"), numBands, rowsPerBand))
+  }
+
+  /** LSH candidate pairs (id_a < id_b): explode band keys, self-join on
+    * (band index, band key). The join input is |docs| x numBands short
+    * rows; AQE handles degenerate-bucket skew.
+    */
+  def minhashCandidates(banded: DataFrame, idCol: String): DataFrame = {
+    val exploded = banded
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = exploded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs: join shingle sets
+    * back by id (only candidates pay the set-intersection cost).
+    */
+  def verifyJaccard(candidates: DataFrame, shingleSets: DataFrame,
+      idCol: String): DataFrame = {
+    val sa = shingleSets.select(col(idCol).as("id_a"), col("shingle_set").as("_sa"))
+    val sb = shingleSets.select(col(idCol).as("id_b"), col("shingle_set").as("_sb"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          (size(col("_sa")) + size(col("_sb"))
+            - size(array_intersect(col("_sa"), col("_sb")))).cast("double"))
+      .drop("_sa", "_sb")
+  }
+
+  /** SimHash signatures (near-dup = small hamming distance). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), SimHash.simhash32(Text.tokens(col(textCol))).as("simhash32"))
+
+  /** Blocked exact n-gram Jaccard: all pairs within a blocking key
+    * (here the O(n^2) stays bounded per block; the unblocked scale path
+    * is [[minhashCandidates]] + [[verifyJaccard]]).
+    */
+  def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleN: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol), col(blockCol),
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("shingle_set"))
+    val a = sh.select(col(blockCol), col(idCol).as("id_a"), col("shingle_set").as("_sa"))
+    val b = sh.select(col(blockCol), col(idCol).as("id_b"), col("shingle_set").as("_sb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          (size(col("_sa")) + size(col("_sb"))
+            - size(array_intersect(col("_sa"), col("_sb")))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicates within a blocking column (label /
+    * cluster id). Cosine on the rounded-to-4 scale so the threshold
+    * comparison is reproducible across engines.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
+    val e = df.select(col(idCol), col(blockCol), Vectors.asDouble(col(vecCol)).as("_v"))
+    val a = e.select(col(blockCol), col(idCol).as("id_a"), col("_v").as("_va"))
+    val b = e.select(col(blockCol), col(idCol).as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Vectors.cosine(col("_va"), col("_vb")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline
+  * extensions (BASELINE.json north star): tokenization, shingling,
+  * quality metrics, marker-based language ID and winnowing
+  * fingerprints.
+  *
+  * Everything here is built from codegen'd builtin functions and
+  * higher-order array functions — no UDFs — so the expressions inline
+  * into WholeStageCodegen and run at scan speed; at 100 TB these are
+  * embarrassingly parallel per-row transforms with zero shuffle.
+  */
+object Text {
+
+  /** Whitespace tokenization (the corpus is single-space normalized;
+    * for raw text compose with `regexp_replace` normalization first).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles. Documents shorter than `n` tokens collapse
+    * to a single whole-text shingle so every document has a non-empty
+    * shingle set.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** BPE-ish subword count heuristic: word tokens plus an extra token
+    * per 6 characters of word length beyond the first 6 (long words
+    * split into multiple subwords under byte-pair encodings).
+    */
+  def approxBpeTokenCount(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + lit(1L) +
+        floor((length(t) - lit(1)).cast("double") / lit(6.0)).cast("long"))
+
+  /** Count of tokens belonging to a fixed word set. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Mean token length = (chars - separators) / tokens, computed
+    * exactly from the already-available lengths.
+    */
+  def avgTokenLen(text: Column, toks: Column): Column =
+    (length(text) - (size(toks) - lit(1))).cast("double") / size(toks).cast("double")
+
+  /** Marker-word language scores: count of per-language stopword hits.
+    * Deterministic argmax with lexicographic tie-break on the language
+    * code. (A char-trigram profile scorer lives in [[LangProfiles]]
+    * for real-world text; this marker variant is SQL-expressible for
+    * the oracle gate.)
+    */
+  def langScores(toks: Column, markers: Map[String, Seq[String]]): Map[String, Column] =
+    markers.map { case (lang, words) => lang -> countIn(toks, words) }
+
+  def argmaxLang(scores: Map[String, Column]): Column = {
+    // greatest-by with lexicographic tie-break: fold over langs sorted
+    // descending so earlier codes win ties.
+    val sorted = scores.toSeq.sortBy(_._1).reverse
+    sorted.tail.foldLeft((lit(sorted.head._1), sorted.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score >= bestScore, lit(lang)).otherwise(bestLang),
+          when(score >= bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Winnowing (local-min fingerprint selection over a sliding window
+    * of shingle hashes): the standard rolling-fingerprint dedup trick —
+    * returns the distinct window-minimum hashes.
+    */
+  def winnow(shingleHashes: Column, window: Int): Column =
+    array_distinct(
+      when(size(shingleHashes) >= window,
+        transform(sequence(lit(1), size(shingleHashes) - (window - 1)),
+          i => array_min(slice(shingleHashes, i, lit(window)))))
+        .otherwise(array(array_min(shingleHashes))))
+}

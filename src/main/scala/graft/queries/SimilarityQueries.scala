@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity}
+
+/** Similarity-search surface over the `embeddings` table: brute-force
+  * cosine top-k (exact baseline, oracle-checked), IVF-style probe
+  * search (scale path, approximate — checked by a recall test against
+  * brute force, see SimilaritySpec), and embedding-cosine near-dup
+  * pairs.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact cosine top-3 for the first 100 vectors against the whole
+    * corpus. Query set broadcasts; corpus streams through the probe.
+    */
+  def similarityTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 100)
+    Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id", "embedding", k = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF probe search (approximate; no SQL oracle — rows-only check +
+    * recall spec vs brute force).
+    */
+  def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 100)
+    Similarity.ivfTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        blockCol = "label", k = 3, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs within each label block. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.3)
+      .orderBy("label", "id_a", "id_b")
+
+  val defs: Map[String, Q] = Map(
+    "similarity_topk" -> (similarityTopk _),
+    "similarity_ivf" -> (similarityIvf _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "similarity_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT q_id, e.vec_id AS c_id,
+        |    list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, c_id ASC) AS BIGINT)
+        |    AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, c_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+        |ORDER BY a.label, id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Dedup
+import graft.functions.{SimHash, Text}
+
+/** Text-analysis and deduplication surface over the `documents` corpus
+  * (north-star extensions: token statistics, quality signals, language
+  * ID, fingerprinting, exact + MinHash/LSH + SimHash + n-gram-Jaccard
+  * dedup). All per-document computation is builtin-function column
+  * work — map-only, codegen'd, shuffle-free; only candidate joins
+  * shuffle, and those move (id, bucket) pairs, not documents.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "or", "and", "of", "to", "in")
+  private val langMarkers = Map(
+    "en" -> Seq("the", "and", "or"),
+    "de" -> Seq("der", "und", "nicht"),
+    "fr" -> Seq("le", "et", "la"),
+    "es" -> Seq("el", "y", "los"))
+
+  /** Token counts, distinct tokens, mean token length, stopword count
+    * and a BPE-ish subword estimate per document.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.tokens(col("text"))
+    docs.select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        round(Text.avgTokenLen(col("text"), toks), 4).as("avg_token_len"),
+        Text.countIn(toks, stopwords).cast("long").as("n_stopwords"),
+        Text.approxBpeTokenCount(toks).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word language ID: per-language stopword-hit scores and the
+    * deterministic argmax (alphabetically-first language wins ties).
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.tokens(col("text"))
+    val scores = Text.langScores(toks, langMarkers)
+    docs.select(
+        col("doc_id"), col("lang"),
+        scores("en").cast("long").as("s_en"),
+        scores("de").cast("long").as("s_de"),
+        scores("fr").cast("long").as("s_fr"),
+        scores("es").cast("long").as("s_es"),
+        Text.argmaxLang(scores).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: full-content hash, min-shingle hash and
+    * winnowed fingerprint count (rolling local-min selection).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Text.shingles(Text.tokens(col("text")), 3)
+    val hashes = transform(sh, s => md5(s))
+    docs.select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        array_min(hashes).as("min_shingle_hash"),
+        size(Text.winnow(hashes, 4)).cast("long").as("n_winnow"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup by content hash (hash-groupBy keep-min-id). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .select("keep_id", "n_copies", "content_hash")
+      .orderBy("keep_id")
+
+  /** SimHash signatures for all documents. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Full MinHash → LSH bands → candidate pairs → exact-Jaccard verify
+    * pipeline (16 hashes, 4 bands of 4).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text")
+    val cands = Dedup.minhashCandidates(banded, "doc_id")
+    Dedup.verifyJaccard(cands, banded, "doc_id")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by `source`
+    * (bounded O(n^2) per block; the unblocked path is the LSH query).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsBlocked(Tables.documents(spark, dir), "doc_id", "text",
+        blockCol = "source", shingleN = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val defs: Map[String, Q] = Map(
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  private val shingleCte =
+    """sh AS (SELECT doc_id, source,
+      |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+      |    THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |    ELSE [array_to_string(string_split(text, ' '), ' ')] END) AS s
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 4)
+        |    AS avg_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','or','and','of','to','in'))) AS BIGINT) AS n_stopwords,
+        |  CAST(list_sum(list_transform(toks,
+        |    x -> 1 + CAST(floor((length(x) - 1) / 6.0) AS BIGINT))) AS BIGINT)
+        |    AS bpe_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','and','or'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','und','nicht'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','et','la'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','y','los'))) AS BIGINT) AS s_es
+        |  FROM t)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  list_transform(
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(generate_series(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [array_to_string(toks, ' ')] END,
+        |    s -> md5(s)) AS hs
+        |  FROM t)
+        |SELECT doc_id, md5(text) AS content_hash,
+        |  list_min(hs) AS min_shingle_hash,
+        |  CAST(len(list_distinct(
+        |    CASE WHEN len(hs) >= 4
+        |      THEN list_transform(generate_series(1, len(hs) - 3),
+        |        i -> list_min(hs[i:i+3]))
+        |      ELSE [list_min(hs)] END)) AS BIGINT) AS n_winnow
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  md5(text) AS content_hash
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN substr(md5(tok), j, 1) >= '8' THEN 1 ELSE -1 END) AS v
+        |  FROM toks, generate_series(1, 32) t(j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+        |    AS simhash32
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+        |sig AS (SELECT doc_id, s,
+        |  list_transform(generate_series(0, 15),
+        |    i -> list_min(list_transform(s, x -> md5(i || '|' || x)))) AS g
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b,
+        |    md5(array_to_string(g[4*b+1:4*b+4], '|')) AS bk
+        |  FROM sig, generate_series(0, 3) gs(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk
+        |    AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = id_a
+        |JOIN sh sb ON sb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
+}

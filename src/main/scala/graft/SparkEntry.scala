@@ -25,7 +25,9 @@ object SparkEntry {
       (RelationalQueries.defs, RelationalQueries.oracles),
       (AnalyticsQueries.defs, AnalyticsQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
-      (SimilarityQueries.defs, SimilarityQueries.oracles))
+      (SimilarityQueries.defs, SimilarityQueries.oracles),
+      (MetarQueries.defs, MetarQueries.oracles),
+      (PipelineQueries.defs, PipelineQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

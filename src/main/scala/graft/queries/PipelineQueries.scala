@@ -1,0 +1,91 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MergeWriter
+import graft.streaming.Streams
+
+/** Incremental-pipeline semantics run end-to-end: the merge sink
+  * replayed over micro-batches (K2/K4/K6/K7) and the Structured
+  * Streaming twins of the int/dwh layers (T5/T6). Every query here is
+  * checked against a plain batch SQL oracle — the engine's contract is
+  * that incremental/streaming execution converges to the batch answer.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Replay the events table through the keyed merge sink in three
+    * date-sliced micro-batches (with an overlapping boundary — the
+    * reference's `>=` watermark re-reads rows, F3), keyed by
+    * (user_id, event_date), latest (ts, event_id) winning. The final
+    * table must equal the batch latest-per-(user,day) — upsert
+    * idempotence under replay is exactly the reference's guarantee.
+    */
+  def mergeUpsertDaily(spark: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft-merge").resolve("t").toString
+    val ev = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(date_trunc("day", col("ts"))))
+      .select("user_id", "event_date", "ts", "event_id", "event_type", "value")
+    val cuts = Seq("2024-01-11", "2024-01-21")
+    val batches = Seq(
+      ev.filter(col("event_date") < cuts.head),
+      // overlapping boundary day: re-delivered rows must collapse
+      ev.filter(col("event_date") >= cuts.head && col("event_date") <= cuts(1)),
+      ev.filter(col("event_date") >= cuts(1)))
+    batches.foreach { b =>
+      MergeWriter.upsert(spark, target, b,
+        keys = Seq("user_id", "event_date"), versionCols = Seq("ts", "event_id"))
+    }
+    spark.read.parquet(target)
+      .select("user_id", "event_date", "event_id", "event_type", "value")
+      .orderBy("user_id", "event_date")
+  }
+
+  /** Streaming daily mart (T6) — same oracle as the batch daily mart. */
+  def streamingDaily(spark: SparkSession, dir: String): DataFrame =
+    Streams.dailyMetrics(spark, dir)
+
+  /** Streaming latest-per-key state (T5) — same oracle as batch. */
+  def streamingLatest(spark: SparkSession, dir: String): DataFrame =
+    Streams.latestPerKey(spark, dir)
+
+  val defs: Map[String, Q] = Map(
+    "merge_upsert_daily" -> (mergeUpsertDaily _),
+    "streaming_daily_metrics" -> (streamingDaily _),
+    "streaming_latest_per_key" -> (streamingLatest _))
+
+  val oracles: Map[String, String] = Map(
+    "merge_upsert_daily" ->
+      """SELECT user_id, event_date, event_id, event_type, value FROM (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      AS event_date,
+        |    event_id, event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_date""".stripMargin,
+    "streaming_daily_metrics" ->
+      """SELECT user_id,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  round(avg(value), 4) AS avg_value,
+        |  max(value) AS max_value,
+        |  min(value) AS min_value,
+        |  count(*) AS n_events,
+        |  concat(CAST(user_id AS VARCHAR), '_', strftime(
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y%m%d'))
+        |    AS user_id_date
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "streaming_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+}

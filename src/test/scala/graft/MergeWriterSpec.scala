@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Incremental, MergeWriter}
+
+/** Merge-sink contract (K2/K4-K7): replay idempotence, update-wins,
+  * schema widening on append, and the empty-target watermark default
+  * that fixes the reference's latent `int` bug (SURVEY §5 / §7.4).
+  */
+class MergeWriterSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test-merge").resolve("t").toString
+
+  test("upsert is idempotent under replay (K2)") {
+    import spark.implicits._
+    val dir = tmp()
+    val batch = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "payload")
+    MergeWriter.upsert(spark, dir, batch, Seq("id"), Seq("v"))
+    MergeWriter.upsert(spark, dir, batch, Seq("id"), Seq("v"))
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 2)
+  }
+
+  test("newer version wins; updates beat existing on version tie") {
+    import spark.implicits._
+    val dir = tmp()
+    MergeWriter.upsert(spark, dir,
+      Seq((1L, 10L, "old"), (2L, 20L, "keep")).toDF("id", "v", "payload"),
+      Seq("id"), Seq("v"))
+    MergeWriter.upsert(spark, dir,
+      Seq((1L, 10L, "tie-update"), (2L, 19L, "stale")).toDF("id", "v", "payload"),
+      Seq("id"), Seq("v"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select("payload").as[String].collect()
+    assert(got.toSeq === Seq("tie-update", "keep"))
+  }
+
+  test("append widens schema (K5 on_schema_change=append_new_columns)") {
+    import spark.implicits._
+    val dir = tmp()
+    MergeWriter.append(spark, dir, Seq((1L, "x")).toDF("id", "a"))
+    MergeWriter.append(spark, dir, Seq((2L, "y", 3.0)).toDF("id", "a", "b"))
+    val got = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(got.columns.toSet === Set("id", "a", "b"))
+    assert(got.filter(col("id") === 1 && col("b").isNull).count() === 1)
+  }
+
+  test("empty-target watermark admits all rows (reference int-layer bug fixed)") {
+    import spark.implicits._
+    val source = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val emptyTarget = source.filter(lit(false))
+    val got = Incremental.aboveWatermark(source, emptyTarget, "ts")
+    assert(got.count() === 2)
+  }
+
+  test("strict > vs inclusive >= watermark boundaries (F2 vs F3)") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    assert(Incremental.aboveWatermark(df, df, "ts").count() === 0)
+    assert(Incremental.aboveWatermark(df, df, "ts", inclusive = true).count() === 1)
+  }
+
+  test("partitioned upsert rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = tmp()
+    val b1 = Seq((1L, "2024-01-01", 10L), (2L, "2024-01-02", 10L))
+      .toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b1, Seq("id"), Seq("v"), "day")
+    val b2 = Seq((2L, "2024-01-02", 11L)).toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b2, Seq("id"), Seq("v"), "day")
+    val got = spark.read.parquet(dir).orderBy("id")
+    assert(got.count() === 2)
+    assert(got.filter(col("id") === 2).select("v").head().getLong(0) === 11L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** ANN contracts: brute force is sane (no self-matches, scores in
+  * [-1,1], k rows per query) and IVF recall against brute force is at
+  * least the nprobe/ncells coverage one expects on unclustered data.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("brute-force top-k: k rows per query, no self, scores bounded") {
+    val q = emb.filter(col("vec_id") < 20)
+    val res = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 3).cache()
+    assert(res.count() === 60)
+    assert(res.filter(col("q_id") === col("neighbor_id")).isEmpty)
+    assert(res.filter(abs(col("cosine")) > 1.000001).isEmpty)
+    assert(res.groupBy("q_id").count().filter(col("count") =!= 3).isEmpty)
+  }
+
+  test("IVF recall@3 vs brute force exceeds probe coverage floor") {
+    val q = emb.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding",
+        "label", k = 3, nprobe = 3)
+      .select("q_id", "neighbor_id")
+    val hits = bf.intersect(ivf).count().toDouble
+    val recall = hits / bf.count().toDouble
+    // 3 of 10 cells probed; random labels give ~0.3 expected recall
+    assert(recall > 0.15, s"recall=$recall")
+  }
+
+  test("minhash LSH candidates include the exact-duplicate pair") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .union(Tables.documents(spark, sf).filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(9999L)))
+    val banded = Dedup.minhashBands(docs, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(banded, "doc_id")
+    val verified = Dedup.verifyJaccard(cands, banded, "doc_id")
+    val dup = verified.filter(col("id_a") === 0 && col("id_b") === 9999)
+    assert(dup.count() === 1)
+    assert(dup.select("jaccard").head().getDouble(0) === 1.0)
+  }
+}

@@ -68,22 +68,33 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), SimHash.simhash32(Text.tokens(col(textCol))).as("simhash32"))
 
-  /** Blocked exact n-gram Jaccard: all pairs within a blocking key
-    * (here the O(n^2) stays bounded per block; the unblocked scale path
-    * is [[minhashCandidates]] + [[verifyJaccard]]).
+  /** Blocked exact n-gram Jaccard via an inverted shingle index: the
+    * intersection size of a pair is the number of (block, shingle)
+    * postings the two docs share, so a posting-list self-join +
+    * count-groupBy computes every non-zero intersection without ever
+    * materializing pairwise arrays. Pairs with zero overlap never
+    * appear (correct for any threshold > 0), and the join moves
+    * (id, shingle) postings — the shape that survives 100 TB, unlike
+    * per-pair `array_intersect`.
     */
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleN: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol), col(blockCol),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("shingle_set"))
-    val a = sh.select(col(blockCol), col(idCol).as("id_a"), col("shingle_set").as("_sa"))
-    val b = sh.select(col(blockCol), col(idCol).as("id_b"), col("shingle_set").as("_sb"))
-    a.join(b, Seq(blockCol))
+    val inv = sh.select(col(blockCol), col(idCol),
+      size(col("shingle_set")).as("_sz"),
+      explode(col("shingle_set")).as("_shingle"))
+    val a = inv.select(col(blockCol), col("_shingle"),
+      col(idCol).as("id_a"), col("_sz").as("_sza"))
+    val b = inv.select(col(blockCol), col("_shingle"),
+      col(idCol).as("id_b"), col("_sz").as("_szb"))
+    a.join(b, Seq(blockCol, "_shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
+      .agg(count(lit(1)).as("_inter"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-          (size(col("_sa")) + size(col("_sb"))
-            - size(array_intersect(col("_sa"), col("_sb")))).cast("double"), 4))
+        round(col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -94,12 +105,17 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
+    // unit-normalize once per row; the pairwise stage is then one dot
     val e = df.select(col(idCol), col(blockCol), Vectors.asDouble(col(vecCol)).as("_v"))
-    val a = e.select(col(blockCol), col(idCol).as("id_a"), col("_v").as("_va"))
-    val b = e.select(col(blockCol), col(idCol).as("id_b"), col("_v").as("_vb"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .withColumn("_u",
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")))
+    val a = e.select(col(blockCol), col(idCol).as("id_a"), col("_u").as("_va"))
+    val b = e.select(col(blockCol), col(idCol).as("id_b"), col("_u").as("_vb"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Vectors.cosine(col("_va"), col("_vb")), 4))
+      .withColumn("cosine", round(Vectors.dot(col("_va"), col("_vb")), 4))
       .filter(col("cosine") >= minCosine)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cosine"))
   }

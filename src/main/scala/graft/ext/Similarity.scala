@@ -25,12 +25,24 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Project (id, unit-normalized double vector) — norms are computed
+    * once per row here so the pairwise stage is a single dot product
+    * (cosine of unit vectors), not dot + two norm recomputations.
+    */
+  private[ext] def unitized(df: DataFrame, id: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame =
+    df.select(col(id).as(idAs), Vectors.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .select(col(idAs),
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")).as(vecAs))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(qId).as("q_id"), Vectors.asDouble(col(vecCol)).as("_qv"))
-    val c = corpus.select(col(cId).as("c_id"), Vectors.asDouble(col(vecCol)).as("_cv"))
+    val q = unitized(queries, qId, vecCol, "q_id", "_qv")
+    val c = unitized(corpus, cId, vecCol, "c_id", "_cv")
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cosine", Vectors.cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", Vectors.dot(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cosine"), 9).desc, col("c_id").asc)
     scored
@@ -48,9 +60,13 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, blockCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val c = corpus.select(col(cId).as("c_id"), col(blockCol).as("_cell"),
-      Vectors.asDouble(col(vecCol)).as("_cv"))
-    val dim = 64
+    val c = corpus
+      .select(col(blockCol).as("_cell"), col(cId).as("c_id"),
+        Vectors.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .select(col("_cell"), col("c_id"),
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")).as("_cv"))
     // centroid per cell: positional mean via explode + groupBy(cell, pos)
     val centroids = c
       .select(col("_cell"), posexplode(col("_cv")).as(Seq("_pos", "_x")))
@@ -60,7 +76,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
       .select(col("_cell"), transform(col("_pm"), s => s.getField("_m")).as("_centroid"))
 
-    val q = queries.select(col(qId).as("q_id"), Vectors.asDouble(col(vecCol)).as("_qv"))
+    val q = unitized(queries, qId, vecCol, "q_id", "_qv")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(round(Vectors.cosine(col("_qv"), col("_centroid")), 9).desc, col("_cell").asc)
     val probes = q.crossJoin(broadcast(centroids))
@@ -70,7 +86,7 @@ object Similarity {
 
     val scored = c.join(broadcast(probes), Seq("_cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", Vectors.cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", Vectors.dot(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("cosine"), 9).desc, col("c_id").asc)
     scored

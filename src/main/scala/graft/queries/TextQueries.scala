@@ -88,7 +88,11 @@ object TextQueries {
     * pipeline (16 hashes, 4 bands of 4).
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the signature tree is consumed three times (band explode +
+    // both sides of the verify join); without a barrier Catalyst
+    // inlines and re-evaluates the 16-hash minhash per consumer.
     val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text")
+      .cache()
     val cands = Dedup.minhashCandidates(banded, "doc_id")
     Dedup.verifyJaccard(cands, banded, "doc_id")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

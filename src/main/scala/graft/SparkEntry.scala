@@ -27,7 +27,8 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (MetarQueries.defs, MetarQueries.oracles),
-      (PipelineQueries.defs, PipelineQueries.oracles))
+      (PipelineQueries.defs, PipelineQueries.oracles),
+      (OpsQueries.defs, OpsQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

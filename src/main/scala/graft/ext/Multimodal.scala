@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media assets travel as opaque `binary`
+  * columns with a typed metadata struct; decode / feature-extraction
+  * runs batched per partition so a real decoder (image/audio codec,
+  * vision encoder) amortizes model/codec setup across a batch —
+  * the Scala analogue of an Arrow-batched pandas UDF.
+  *
+  * The actual codec is STUBBED: this environment ships no image/audio
+  * libraries, so [[StubDecoder]] derives deterministic pseudo-features
+  * from the raw bytes. The Spark-side plumbing — schema, binary
+  * encoding, partition batching, feature schema — is real and tested;
+  * swapping in a real decoder changes only [[Decoder.decodeBatch]].
+  *
+  * Scale: map-only (no shuffle); batch size bounds peak memory per
+  * task; binary columns stream through parquet page-by-page.
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, modality: String, blob: Array[Byte],
+      format: String)
+  case class MediaFeatures(id: Long, modality: String, n_bytes: Long,
+      first_byte: Int, last_byte: Int, checksum: Int, features: Array[Float])
+
+  /** Batched decoder contract — a real implementation would JNI into a
+    * codec / run an ONNX encoder per batch.
+    */
+  trait Decoder extends Serializable {
+    def decodeBatch(blobs: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** STUB: deterministic fake "embedding" from byte statistics (no
+    * media codecs in this environment). Keeps the batch contract real.
+    */
+  object StubDecoder extends Decoder {
+    def decodeBatch(blobs: Seq[Array[Byte]]): Seq[Array[Float]] =
+      blobs.map { b =>
+        val sum = b.foldLeft(0L)((a, x) => a + (x & 0xff))
+        Array(b.length.toFloat, (sum % 256).toFloat,
+          if (b.nonEmpty) (b.head & 0xff).toFloat else 0f)
+      }
+  }
+
+  /** Wrap a text corpus as a media table (utf-8 blobs) — stand-in for
+    * an image/audio table in the synthetic environment.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"), lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("blob"), lit("utf-8").as("format"))
+
+  /** Batched per-partition feature extraction. */
+  def extractFeatures(media: Dataset[MediaRow], decoder: Decoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = decoder.decodeBatch(batch.map(_.blob))
+        batch.lazyZip(feats).map { (row, f) =>
+          val b = row.blob
+          val checksum = (b.foldLeft(0L)((a, x) => a + (x & 0xff)) % 256).toInt
+          MediaFeatures(row.id, row.modality, b.length.toLong,
+            if (b.nonEmpty) b.head & 0xff else -1,
+            if (b.nonEmpty) b.last & 0xff else -1,
+            checksum, f)
+        }
+      }
+    }
+  }
+
+  /** End-to-end: documents → binary media table → batched features. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(docs).as[MediaRow], StubDecoder).toDF()
+  }
+}

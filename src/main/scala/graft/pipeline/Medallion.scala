@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{DailyRollup, Incremental, LatestPerKey, MergeWriter, StageExtract}
+import graft.quality.Checks
+
+/** The full medallion pipeline as an ordered layer DAG — the engine's
+  * replacement for the reference's Airflow task chain + dbt ref()
+  * graph (SURVEY §2.12 O1/O2): bronze → stg → {int, dwh}, each layer a
+  * pure transform + a keyed merge materialization, with the stg layer
+  * incrementally filtered by the high-watermark of its own target
+  * (SURVEY F2) and quality checks after the build (O1's test stage).
+  *
+  * Layer writes are parquet merges ([[MergeWriter]]); re-running the
+  * pipeline over the same input is a no-op (replay idempotence — the
+  * property the reference gets from `ON CONFLICT` upserts).
+  */
+object Medallion {
+
+  /** Run every layer over the events table, materializing under
+    * `root`; returns the dwh daily mart.
+    */
+  def run(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val bronze = Tables.events(spark, dir)
+
+    // stg: typed extraction + incremental high-watermark vs own target
+    val stgDir = s"$root/stg_events"
+    val stgTarget =
+      if (MergeWriter.exists(spark, stgDir)) spark.read.parquet(stgDir)
+      else bronze.filter(lit(false)).select(col("ts")) // empty, ts only
+    val stg = Incremental.aboveWatermark(bronze, stgTarget, "ts")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        StageExtract.jsonField(col("props"), "$.k").cast("int").as("k"))
+    MergeWriter.upsert(spark, stgDir, stg,
+      keys = Seq("event_id"), versionCols = Seq("ts"))
+    val stgOut = spark.read.parquet(stgDir)
+
+    // int: latest state per key, merged on the key (20-row dimension
+    // in the reference; |users| here)
+    val intDir = s"$root/int_latest"
+    MergeWriter.upsert(spark, intDir,
+      LatestPerKey(stgOut, Seq("user_id"), Seq("ts", "event_id")),
+      keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+
+    // dwh: daily mart merged on the surrogate key
+    val dwhDir = s"$root/dwh_daily"
+    val daily = DailyRollup(stgOut, key = "user_id", tsCol = "ts", metrics = Seq(
+      round(avg(col("value")), 4).as("avg_value"),
+      max(col("value")).as("max_value"),
+      min(col("value")).as("min_value"),
+      count(lit(1)).as("n_events")))
+    MergeWriter.upsert(spark, dwhDir, daily,
+      keys = Seq("user_id_date"), versionCols = Seq("n_events"))
+
+    // post-build quality gate (SURVEY §2.10 applied to own layers)
+    Checks.enforce(Seq(
+      Checks.notNull(stgOut, "event_id", "stg_event_id_not_null"),
+      Checks.unique(stgOut, "event_id", "stg_event_id_unique"),
+      Checks.unique(spark.read.parquet(dwhDir), "user_id_date", "dwh_key_unique")))
+
+    spark.read.parquet(dwhDir)
+  }
+}

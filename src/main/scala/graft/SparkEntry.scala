@@ -28,7 +28,8 @@ object SparkEntry {
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (MetarQueries.defs, MetarQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
-      (OpsQueries.defs, OpsQueries.oracles))
+      (OpsQueries.defs, OpsQueries.oracles),
+      (SetOpQueries.defs, SetOpQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

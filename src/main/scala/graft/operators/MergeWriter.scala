@@ -42,6 +42,7 @@ object MergeWriter {
     */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], versionCols: Seq[String]): Unit = {
+    spark.catalog.refreshByPath(dir) // manual swaps bypass listing-cache invalidation
     val merged =
       if (!exists(spark, dir)) updates
       else {
@@ -66,6 +67,7 @@ object MergeWriter {
   def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], versionCols: Seq[String], partCol: String): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.catalog.refreshByPath(dir)
     val merged =
       if (!exists(spark, dir)) updates
       else {
@@ -83,6 +85,7 @@ object MergeWriter {
     spark.read.parquet(dir + ".merge.tmp").write
       .mode("overwrite").partitionBy(partCol).parquet(dir)
     fs(spark, new Path(dir + ".merge.tmp")).delete(new Path(dir + ".merge.tmp"), true)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Materialize `df` then atomically-ish replace `dir` with it
@@ -97,5 +100,6 @@ object MergeWriter {
     if (f.exists(dst)) f.delete(dst, true)
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"merge swap failed: $tmp -> $dst")
+    spark.catalog.refreshByPath(dir)
   }
 }

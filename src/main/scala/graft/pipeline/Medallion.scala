@@ -46,15 +46,18 @@ object Medallion {
       LatestPerKey(stgOut, Seq("user_id"), Seq("ts", "event_id")),
       keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
 
-    // dwh: daily mart merged on the surrogate key
+    // dwh: daily mart merged on the surrogate key, PARTITIONED by day —
+    // merges rewrite only touched date partitions and date-range reads
+    // prune (the 100 TB layout; mirrors the reference's observed_date
+    // incremental filter, SURVEY §4 partition-pruning row)
     val dwhDir = s"$root/dwh_daily"
     val daily = DailyRollup(stgOut, key = "user_id", tsCol = "ts", metrics = Seq(
       round(avg(col("value")), 4).as("avg_value"),
       max(col("value")).as("max_value"),
       min(col("value")).as("min_value"),
       count(lit(1)).as("n_events")))
-    MergeWriter.upsert(spark, dwhDir, daily,
-      keys = Seq("user_id_date"), versionCols = Seq("n_events"))
+    MergeWriter.upsertPartitioned(spark, dwhDir, daily,
+      keys = Seq("user_id_date"), versionCols = Seq("n_events"), partCol = "day")
 
     // post-build quality gate (SURVEY §2.10 applied to own layers)
     Checks.enforce(Seq(

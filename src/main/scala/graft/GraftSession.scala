@@ -36,6 +36,7 @@ object GraftSession {
       SparkSession.builder().master(s"local[$cores]").appName("graft")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.registerOn(spark)
     spark
   }
 
@@ -46,6 +47,7 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.plans.GraftExtensions.registerOn(spark)
     spark
   }
 }

@@ -60,6 +60,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, blockCol: String,
       k: Int, nprobe: Int): DataFrame = {
+    // cached: consumed by both the centroid build and the probe scan
     val c = corpus
       .select(col(blockCol).as("_cell"), col(cId).as("c_id"),
         Vectors.asDouble(col(vecCol)).as("_v"))
@@ -67,6 +68,7 @@ object Similarity {
       .select(col("_cell"), col("c_id"),
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
           .otherwise(col("_v")).as("_cv"))
+      .cache()
     // centroid per cell: positional mean via explode + groupBy(cell, pos)
     val centroids = c
       .select(col("_cell"), posexplode(col("_cv")).as(Seq("_pos", "_x")))

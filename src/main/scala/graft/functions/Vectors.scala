@@ -14,7 +14,15 @@ object Vectors {
   /** Cast an embedding column to array<double> once, up front. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd native dot product (graft.plans.DotProduct); bit-equal
+    * to the HOF formulation [[dotHof]] (same ascending-index fold).
+    * Requires the function registered via GraftExtensions (done by
+    * GraftSession.prepare/local).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Builtin-HOF dot product (no extension registration needed). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -43,14 +43,14 @@ object MergeWriter {
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], versionCols: Seq[String]): Unit = {
     spark.catalog.refreshByPath(dir) // manual swaps bypass listing-cache invalidation
-    val merged =
-      if (!exists(spark, dir)) updates
-      else {
-        val target = spark.read.parquet(dir).withColumn("_src", lit(0))
-        val incoming = updates.withColumn("_src", lit(1))
-        LatestPerKey(target.unionByName(incoming, allowMissingColumns = true),
-          keys, versionCols :+ "_src").drop("_src")
-      }
+    // updates are reduced to latest-per-key even on first write: a batch
+    // may itself carry several versions of a key (property-tested)
+    val incoming = updates.withColumn("_src", lit(1))
+    val unioned =
+      if (!exists(spark, dir)) incoming
+      else spark.read.parquet(dir).withColumn("_src", lit(0))
+        .unionByName(incoming, allowMissingColumns = true)
+    val merged = LatestPerKey(unioned, keys, versionCols :+ "_src").drop("_src")
     swapWrite(spark, dir, merged)
   }
 
@@ -68,17 +68,17 @@ object MergeWriter {
       keys: Seq[String], versionCols: Seq[String], partCol: String): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.catalog.refreshByPath(dir)
-    val merged =
-      if (!exists(spark, dir)) updates
+    val incoming = updates.withColumn("_src", lit(1))
+    val unioned =
+      if (!exists(spark, dir)) incoming
       else {
         val touched = updates.select(partCol).distinct()
-        val target = spark.read.parquet(dir)
+        spark.read.parquet(dir)
           .join(broadcast(touched), Seq(partCol), "left_semi")
           .withColumn("_src", lit(0))
-        val incoming = updates.withColumn("_src", lit(1))
-        LatestPerKey(target.unionByName(incoming, allowMissingColumns = true),
-          keys, versionCols :+ "_src").drop("_src")
+          .unionByName(incoming, allowMissingColumns = true)
       }
+    val merged = LatestPerKey(unioned, keys, versionCols :+ "_src").drop("_src")
     // dynamic partition overwrite replaces only the partitions written
     merged.write.mode("overwrite").partitionBy(partCol).parquet(dir + ".merge.tmp")
     // re-read to break lineage on the target, then overwrite touched parts

@@ -29,7 +29,8 @@ object SparkEntry {
       (MetarQueries.defs, MetarQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
       (OpsQueries.defs, OpsQueries.oracles),
-      (SetOpQueries.defs, SetOpQueries.oracles))
+      (SetOpQueries.defs, SetOpQueries.oracles),
+      (SqlQueries.defs, SqlQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -31,10 +31,15 @@ object Medallion {
     val stgTarget =
       if (MergeWriter.exists(spark, stgDir)) spark.read.parquet(stgDir)
       else bronze.filter(lit(false)).select(col("ts")) // empty, ts only
+    // observe: per-layer row metrics surface on the QueryExecution
+    // listener bus without a second scan (SURVEY A4's affected-row
+    // counts, done the Spark way)
     val stg = Incremental.aboveWatermark(bronze, stgTarget, "ts")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
         StageExtract.jsonField(col("props"), "$.k").cast("int").as("k"))
+      .observe("stg_metrics", count(lit(1)).as("rows_in"),
+        count(when(col("k").isNull, 1)).as("null_k"))
     MergeWriter.upsert(spark, stgDir, stg,
       keys = Seq("event_id"), versionCols = Seq("ts"))
     val stgOut = spark.read.parquet(stgDir)

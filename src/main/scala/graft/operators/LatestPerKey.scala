@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * Two physical strategies with very different 100 TB behavior:
   *
   *  - [[apply]] (default): `max_by(struct(allCols), struct(orderCols))`
-  *    — a hash aggregation with map-side partial aggregation. One
-  *    shuffle of one pre-reduced row per key per map partition, no
-  *    sort. This is the plan you want at scale.
+  *    — an aggregation with map-side partial aggregation: the shuffle
+  *    carries one pre-reduced row per key per map partition. (Spark
+  *    plans it as SortAggregate — a per-partition sort on the group
+  *    key only, because the struct buffer is not UnsafeRow-mutable —
+  *    but never orders the full data.) This is the plan you want at
+  *    scale.
   *  - [[viaWindow]]: the literal window-function translation. It
   *    shuffles *every* row and sorts each partition — kept for parity
   *    testing and for when the full ranked output is needed.

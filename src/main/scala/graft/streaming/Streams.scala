@@ -89,6 +89,46 @@ object Streams {
       .orderBy("user_id", "day")
   }
 
+  /** Session windows (gap-based) in streaming — the streaming twin of
+    * the batch [[graft.operators.Sessionize]] operator. Returns one row
+    * per (user, session window) with event count and value sum.
+    */
+  def sessionWindows(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+    runToTable(agg, "complete")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** T4: streaming exactly-once-per-id via dropDuplicates within the
+    * watermark + idempotent merge sink (`foreachBatch` →
+    * [[graft.operators.MergeWriter]]) — the reference's
+    * collector→upsert path as a real stream. Returns the final merged
+    * table.
+    */
+  def dedupToMergeSink(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.MergeWriter.upsert(batch.sparkSession, targetDir,
+          batch, keys = Seq("event_id"), versionCols = Seq("ts"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(targetDir)
+  }
+
   /** T5: latest event per user via explicit keyed state
     * (`mapGroupsWithState`) — the streaming twin of the batch
     * latest-per-key. Emits the current best per key each micro-batch;

@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries._
+
+/** Physical-plan regression guards: the optimizations the engine's
+  * scale story depends on must be visible in the executed plan —
+  * pushdown reaching the scan, dimensions broadcasting, top-k not
+  * globally sorting, argmax not sorting at all.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q1_agg: filter and projection push into the parquet scan") {
+    val p = plan(RelationalQueries.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate"))
+  }
+
+  test("regional revenue: every dimension joins as broadcast") {
+    val p = plan(RelationalQueries.regionalRevenue(spark, sf))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("global top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan(AnalyticsQueries.topkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("latest-per-key partially aggregates max_by before the shuffle") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val p = plan(graft.operators.LatestPerKey(ev, Seq("user_id"), Seq("ts", "event_id")))
+    // the scale property: map-side partial_max_by reduces the shuffle to
+    // one row per (key, partition); Spark plans SortAggregate (struct
+    // buffer), i.e. a per-partition key sort, never a full-data ordering
+    val partialIdx = p.indexOf("partial_max_by")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(partialIdx >= 0 && exchangeIdx >= 0)
+  }
+
+  test("events scan prunes the unused props column") {
+    val p = plan(ParityQueries.latestPerKey(spark, sf))
+    assert(!p.contains("props"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessionize
+import graft.streaming.Streams
+
+/** Streaming session windows and the stream→merge-sink path. */
+class StreamingSinkSpec extends SparkSpec {
+
+  test("streaming session windows == batch sessionize aggregation") {
+    val stream = Streams.sessionWindows(spark, sf)
+    val batch = Sessionize(Tables.events(spark, sf), "user_id", "ts", 1800,
+        tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select("user_id", "session_start", "n_events", "session_value")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("stream foreachBatch -> merge sink lands exactly the source rows") {
+    val target = Files.createTempDirectory("graft-sink").resolve("t").toString
+    val result = Streams.dedupToMergeSink(spark, sf, target)
+    val source = Tables.events(spark, sf)
+    assert(result.count() === source.count())
+    assert(result.select("event_id").exceptAll(source.select("event_id")).isEmpty)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Sign-random-projection LSH over embeddings — the UNBLOCKED
+  * near-duplicate scale path (no label/cluster column needed): each
+  * vector's bucket is the sign pattern of its dot products with a
+  * fixed set of random hyperplanes; cosine-similar vectors land in the
+  * same bucket with probability `(1 - θ/π)^bits`. Candidates come from
+  * a bucket equi-join (shuffles (id, bucket) pairs, never vector
+  * pairs), then exact cosine verifies.
+  *
+  * The hyperplanes are deterministic (seeded Gaussian, rounded to 6
+  * decimals) so signatures are reproducible across engines and runs;
+  * the sign test uses a 9-decimal rounding so a borderline-zero dot
+  * cannot bucket differently under engine-specific float summation.
+  */
+object SignLsh {
+
+  /** Deterministic Gaussian hyperplanes (seed fixed, 6-decimal). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+  }
+
+  /** Bit-string bucket signature of a (unit) vector column. */
+  def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    concat_ws("", planes.map { p =>
+      when(round(Vectors.dot(vec, typedlit(p)), 9) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Near-duplicate pairs above `minCosine`, candidates from shared
+    * LSH buckets (pairs in different buckets are missed — that is the
+    * approximation; raise recall with fewer bits or multiple tables).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, minCosine: Double): DataFrame = {
+    val planes = hyperplanes(bits, 64)
+    val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .withColumn("_u",
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")))
+      .withColumn("_bucket", signature(col("_u"), planes))
+    val a = e.select(col("_bucket"), col(idCol).as("id_a"), col("_u").as("_ua"))
+    val b = e.select(col("_bucket"), col(idCol).as("id_b"), col("_u").as("_ub"))
+    a.join(b, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Vectors.dot(col("_ua"), col("_ub")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** The hyperplanes as DuckDB array literals (oracle parity). */
+  def planesSql(planes: Seq[Seq[Double]]): Seq[String] =
+    planes.map(_.mkString("[", ",", "]::DOUBLE[]"))
+}

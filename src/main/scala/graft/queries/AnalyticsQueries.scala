@@ -80,6 +80,26 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Range join (binned, not nested-loop): clicks within ±5 minutes of
+    * each error event, per user, zero-match errors kept.
+    */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val pairs = graft.operators.RangeJoin.within(errors, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      toleranceSeconds = 300)
+    val counts = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+    errors.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_nearby_clicks"), lit(0L)).as("n_nearby_clicks"))
+      .orderBy("event_id")
+  }
+
   /** ROLLUP over the region/nation hierarchy (SURVEY §2.5 note:
     * grouping sets absent from the reference, free in Spark).
     * Dimensions broadcast; single shuffle for the rollup agg.
@@ -134,6 +154,7 @@ object AnalyticsQueries {
     "window_rank_lag" -> (windowRankLag _),
     "sessionize" -> (sessionize _),
     "asof_signup" -> (asofSignup _),
+    "range_join_events" -> (rangeJoinEvents _),
     "rollup_acctbal" -> (rollupAcctbal _),
     "pivot_event_types" -> (pivotEventTypes _),
     "topk_orders" -> (topkOrders _),
@@ -189,6 +210,16 @@ object AnalyticsQueries {
         |  FROM comb)
         |SELECT p_id AS event_id, user_id, last_signup_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "range_join_events" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(count(c.event_id) AS BIGINT) AS n_nearby_clicks
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
     "rollup_acctbal" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  round(sum(c_acctbal), 2) AS acctbal

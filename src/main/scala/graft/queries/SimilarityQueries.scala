@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, SignLsh, Similarity}
 
 /** Similarity-search surface over the `embeddings` table: brute-force
   * cosine top-k (exact baseline, oracle-checked), IVF-style probe
@@ -43,12 +43,38 @@ object SimilarityQueries {
         blockCol = "label", minCosine = 0.3)
       .orderBy("label", "id_a", "id_b")
 
+  /** Unblocked near-dup via sign-random-projection LSH buckets. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    SignLsh.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        bits = 8, minCosine = 0.25)
+      .orderBy("id_a", "id_b")
+
   val defs: Map[String, Q] = Map(
     "similarity_topk" -> (similarityTopk _),
     "similarity_ivf" -> (similarityIvf _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
-  val oracles: Map[String, String] = Map(
+  private def lshOracle: String = {
+    val cases = SignLsh.planesSql(SignLsh.hyperplanes(8, 64)).map(p =>
+      s"CASE WHEN round(list_dot_product(uv, $p), 9) >= 0 THEN '1' ELSE '0' END")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT vec_id,
+       |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+       |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    ELSE v END AS uv FROM e),
+       |sig AS (SELECT vec_id, uv, concat(
+       |    $cases) AS bucket FROM u)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.uv, b.uv), 4) AS cosine
+       |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.uv, b.uv), 4) >= 0.25
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "dedup_embedding_lsh" -> lshOracle,
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 100),

@@ -140,6 +140,18 @@ object AnalyticsQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** Approximate distinct counts via HyperLogLog++ — at 100 TB the
+    * exact two-phase distinct agg shuffles every distinct value; the
+    * sketch shuffles a fixed-size buffer per group. No SQL oracle
+    * (approximate); the error bound vs exact is spec-tested.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** Exact distinct aggregates (expands to two-phase agg in Spark). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -158,7 +170,8 @@ object AnalyticsQueries {
     "rollup_acctbal" -> (rollupAcctbal _),
     "pivot_event_types" -> (pivotEventTypes _),
     "topk_orders" -> (topkOrders _),
-    "distinct_agg" -> (distinctAgg _))
+    "distinct_agg" -> (distinctAgg _),
+    "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "window_running" ->

@@ -30,7 +30,8 @@ object SparkEntry {
       (PipelineQueries.defs, PipelineQueries.oracles),
       (OpsQueries.defs, OpsQueries.oracles),
       (SetOpQueries.defs, SetOpQueries.oracles),
-      (SqlQueries.defs, SqlQueries.oracles))
+      (SqlQueries.defs, SqlQueries.oracles),
+      (ScalarQueries.defs, ScalarQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -161,7 +161,38 @@ object AnalyticsQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Grouped collection aggregation: per user the sorted distinct
+    * event-type set (joined to a string for cross-engine determinism)
+    * and the first/last event ids.
+    */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** CUBE over (region, market segment): all 4 grouping combinations
+    * in one pass (complements the ROLLUP query).
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment", "c_nationkey")
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
   val defs: Map[String, Q] = Map(
+    "array_agg_types" -> (arrayAgg _),
+    "cube_customers" -> (cubeRevenue _),
     "window_running" -> (windowRunning _),
     "window_rank_lag" -> (windowRankLag _),
     "sessionize" -> (sessionize _),
@@ -174,6 +205,20 @@ object AnalyticsQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "array_agg_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  min(event_id) AS first_id,
+        |  max(event_id) AS last_id,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cube_customers" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey

@@ -78,13 +78,22 @@ object MergeWriter {
           .withColumn("_src", lit(0))
           .unionByName(incoming, allowMissingColumns = true)
       }
+    // one file per partition dir: co-locate each partition's rows before
+    // the partitionBy write (32 shuffle partitions x |days| would
+    // otherwise write a small-file storm, twice)
     val merged = LatestPerKey(unioned, keys, versionCols :+ "_src").drop("_src")
-    // dynamic partition overwrite replaces only the partitions written
-    merged.write.mode("overwrite").partitionBy(partCol).parquet(dir + ".merge.tmp")
-    // re-read to break lineage on the target, then overwrite touched parts
-    spark.read.parquet(dir + ".merge.tmp").write
-      .mode("overwrite").partitionBy(partCol).parquet(dir)
-    fs(spark, new Path(dir + ".merge.tmp")).delete(new Path(dir + ".merge.tmp"), true)
+      .repartition(col(partCol))
+    if (!exists(spark, dir)) {
+      // fresh target: no read-write conflict, write directly
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    } else {
+      // materialize to a temp dir to break lineage on the target, then
+      // dynamic-overwrite only the touched partitions
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(dir + ".merge.tmp")
+      spark.read.parquet(dir + ".merge.tmp").write
+        .mode("overwrite").partitionBy(partCol).parquet(dir)
+      fs(spark, new Path(dir + ".merge.tmp")).delete(new Path(dir + ".merge.tmp"), true)
+    }
     spark.catalog.refreshByPath(dir)
   }
 

@@ -23,9 +23,12 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // drop per-query cached data so queries don't contend for memory
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop per-query cached data + collect garbage so one query's
+      // heap churn doesn't bill the next query's timing
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -129,6 +129,28 @@ object Streams {
     spark.read.parquet(targetDir)
   }
 
+  /** Watermarked stream-stream inner join: purchases joined to the
+    * same user's signups within the preceding hour. Both sides carry
+    * watermarks so the join state is bounded (old rows age out) — the
+    * streaming analogue of the batch range join.
+    */
+  def purchasesAfterSignups(spark: SparkSession, dir: String): DataFrame = {
+    val base = eventsStream(spark, dir)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = base.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      expr("""user_id = s_user AND
+             |p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR""".stripMargin))
+    runToTable(joined, "append")
+      .select(col("p_id"), col("user_id"), col("s_id"))
+      .orderBy("p_id", "s_id")
+  }
+
   /** T5: latest event per user via explicit keyed state
     * (`mapGroupsWithState`) — the streaming twin of the batch
     * latest-per-key. Emits the current best per key each micro-batch;

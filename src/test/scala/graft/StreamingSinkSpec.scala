@@ -22,6 +22,22 @@ class StreamingSinkSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("watermarked stream-stream join == batch interval join") {
+    val stream = Streams.purchasesAfterSignups(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select("p_id", "user_id", "s_id")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("stream foreachBatch -> merge sink lands exactly the source rows") {
     val target = Files.createTempDirectory("graft-sink").resolve("t").toString
     val result = Streams.dedupToMergeSink(spark, sf, target)

@@ -81,9 +81,13 @@ object Dedup {
       blockCol: String, shingleN: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol), col(blockCol),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("shingle_set"))
+    // cached: both self-join sides consume the posting index; without a
+    // barrier the shingle HOF pipeline runs twice (and its size is
+    // bounded: (block, id, shingle) postings, no documents)
     val inv = sh.select(col(blockCol), col(idCol),
       size(col("shingle_set")).as("_sz"),
       explode(col("shingle_set")).as("_shingle"))
+      .cache()
     val a = inv.select(col(blockCol), col("_shingle"),
       col(idCol).as("id_a"), col("_sz").as("_sza"))
     val b = inv.select(col(blockCol), col("_shingle"),

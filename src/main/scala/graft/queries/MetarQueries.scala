@@ -59,10 +59,24 @@ object MetarQueries {
         count(lit(1)).as("observations_count")))
       .orderBy("icao", "day")
 
+  /** Nested array-of-struct surface (SURVEY §1.2: clouds pass through
+    * unflattened): explode each observation's cloud layers to rows.
+    */
+  def metarClouds(spark: SparkSession, dir: String): DataFrame =
+    normalized(spark)
+      .select(col("icao"), col("observed"),
+        posexplode_outer(col("clouds")).as(Seq("layer_idx", "cloud")))
+      .select(col("icao"), col("observed"),
+        col("layer_idx").cast("long").as("layer_idx"),
+        col("cloud.code").as("cloud_code"),
+        col("cloud.feet").as("cloud_feet"))
+      .orderBy("icao", "observed", "layer_idx")
+
   val defs: Map[String, Q] = Map(
     "metar_normalize" -> (metarNormalize _),
     "metar_pipeline_latest" -> (metarPipelineLatest _),
-    "metar_pipeline_daily" -> (metarPipelineDaily _))
+    "metar_pipeline_daily" -> (metarPipelineDaily _),
+    "metar_clouds" -> (metarClouds _))
 
   private def rawCte =
     s"raw(payload) AS (SELECT * FROM ${MetarFixture.valuesSql} v(payload))"
@@ -90,6 +104,22 @@ object MetarQueries {
       |    END AS station_lat""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "metar_clouds" ->
+      s"""WITH $rawCte,
+        |obs AS (SELECT payload,
+        |  json_extract_string(payload, '$$.icao') AS icao,
+        |  CAST(json_extract_string(payload, '$$.observed') AS TIMESTAMP) AS observed,
+        |  COALESCE(json_array_length(payload, '$$.clouds'), 0) AS n
+        |  FROM raw),
+        |idx AS (SELECT icao, observed, payload,
+        |  unnest(CASE WHEN n = 0 THEN [CAST(NULL AS BIGINT)]
+        |    ELSE generate_series(0, CAST(n - 1 AS BIGINT)) END) AS i
+        |  FROM obs)
+        |SELECT icao, observed, i AS layer_idx,
+        |  json_extract_string(payload, '$$.clouds[' || i || '].code') AS cloud_code,
+        |  CAST(json_extract_string(payload, '$$.clouds[' || i || '].feet') AS DOUBLE)
+        |    AS cloud_feet
+        |FROM idx ORDER BY icao, observed, layer_idx""".stripMargin,
     "metar_normalize" ->
       s"""WITH $rawCte
         |SELECT $extractSql,

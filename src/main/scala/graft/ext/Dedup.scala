@@ -25,14 +25,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signature + LSH band keys. */
+  /** Per-document MinHash signature + LSH band keys.
+    * @param fastHash xxhash64 family (codegen'd, ~5x cheaper) instead
+    *                 of the engine-portable md5 family
+    */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 16, numBands: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val sh = array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
-    df.select(col(idCol), sh.as("shingle_set"))
-      .withColumn("sig", MinHash.signature(col("shingle_set"), numHashes))
-      .withColumn("bands", MinHash.bands(col("sig"), numBands, rowsPerBand))
+    val base = df.select(col(idCol), sh.as("shingle_set"))
+    if (fastHash)
+      base.withColumn("sig", MinHash.signatureFast(col("shingle_set"), numHashes))
+        .withColumn("bands", MinHash.bandsFast(col("sig"), numBands, rowsPerBand))
+    else
+      base.withColumn("sig", MinHash.signature(col("shingle_set"), numHashes))
+        .withColumn("bands", MinHash.bands(col("sig"), numBands, rowsPerBand))
   }
 
   /** LSH candidate pairs (id_a < id_b): explode band keys, self-join on

@@ -30,6 +30,21 @@ object MinHash {
       i => array_min(transform(shingleSet,
         s => md5(concat(i.cast("string"), lit("|"), s)))))
 
+  /** Production-fast signature: seeded `xxhash64` (codegen'd, ~5x
+    * cheaper than md5) — numerically different family, same
+    * statistical behavior; use when cross-engine reproducibility of
+    * the exact signature is not required.
+    */
+  def signatureFast(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleSet,
+        s => xxhash64(i, s))))
+
+  /** Band keys for a long-valued fast signature. */
+  def bandsFast(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+
   /** Collapse a signature into `numBands` band keys (md5 of each band's
     * concatenated rows). Docs sharing any band key are candidates.
     */

@@ -99,6 +99,21 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Production-hash variant of the LSH pipeline (seeded xxhash64,
+    * codegen'd): same structure, ~5x cheaper signatures. Rows-only
+    * gate (the hash family is engine-specific by design); its
+    * candidate set is spec-checked to contain the planted duplicate.
+    */
+  def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text",
+        fastHash = true)
+      .cache()
+    val cands = Dedup.minhashCandidates(banded, "doc_id")
+    Dedup.verifyJaccard(cands, banded, "doc_id")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, blocked by `source`
     * (bounded O(n^2) per block; the unblocked path is the LSH query).
     */
@@ -114,6 +129,7 @@ object TextQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_fast" -> (dedupMinhashFast _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   private val shingleCte =

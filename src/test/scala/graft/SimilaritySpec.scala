@@ -34,6 +34,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("fast-hash minhash LSH also catches the planted duplicate") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .union(Tables.documents(spark, sf).filter(col("doc_id") === 3)
+        .withColumn("doc_id", lit(8888L)))
+    val banded = Dedup.minhashBands(docs, "doc_id", "text", fastHash = true)
+    val cands = Dedup.minhashCandidates(banded, "doc_id")
+    assert(cands.filter(col("id_a") === 3 && col("id_b") === 8888).count() === 1)
+  }
+
   test("minhash LSH candidates include the exact-duplicate pair") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -29,7 +29,11 @@ object GraftExtensions {
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
   /** Idempotent registration on an already-built session. */
-  def registerOn(spark: SparkSession): Unit =
+  def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LatestWindowToMaxBy
+  }
 }

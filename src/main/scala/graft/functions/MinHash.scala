@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** MinHash + banded LSH over shingle sets — the scalable near-duplicate
   * candidate generator (shingle → minhash → band → bucket join).
   *
-  * The hash family is `md5(seed || '|' || shingle)` compared as hex
-  * strings: deterministic, engine-portable (the DuckDB oracle computes
-  * the identical signature), and collision-free enough at 128 bits.
-  * For a pure-Spark production run `xxhash64` is ~5x faster and a
-  * drop-in replacement here — md5 is kept because cross-engine
-  * reproducibility is a feature for a data pipeline (re-runs and
-  * audits must agree).
+  * Signatures are computed by the codegen'd native
+  * [[graft.plans.MinHashSignature]] expression (one tight loop per row,
+  * no per-element lambda frames, no intermediate arrays). Two families,
+  * both deterministic and engine-portable (the DuckDB oracle computes
+  * bit-identical signatures):
+  *
+  *  - `md5(seed || '|' || shingle)` compared as 32-hex strings
+  *    (lexicographic min == numeric min of the 128-bit hash) —
+  *    collision-free enough at 128 bits, the audit-grade family;
+  *  - seeded polynomial `fold(codepoints, h0 = seed, (h*131+cp) mod
+  *    1e9+7)` over numeric min — pure integer math, ~an order of
+  *    magnitude cheaper, the production family for bulk dedup.
   *
   * Scale shape: signatures are per-row map work (no shuffle); the LSH
   * bucket join shuffles only (doc_id, band) pairs — `numBands x |docs|`
@@ -23,27 +28,36 @@ import org.apache.spark.sql.functions._
 object MinHash {
 
   /** `numHashes` min-hashes of the shingle set, as an array of 32-hex
-    * strings (lexicographic min == numeric min of the 128-bit hash).
+    * strings (md5 family, codegen'd native expression).
     */
   def signature(shingleSet: Column, numHashes: Int): Column =
+    call_function("graft_minhash", shingleSet, lit(numHashes), lit("md5"))
+
+  /** Builtin-HOF md5 signature — byte-identical to [[signature]]; kept
+    * as the cross-check the spec compares the native expression against
+    * (and as the no-extension-registration fallback).
+    */
+  def signatureHof(shingleSet: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleSet,
         s => md5(concat(i.cast("string"), lit("|"), s)))))
 
-  /** Production-fast signature: seeded `xxhash64` (codegen'd, ~5x
-    * cheaper than md5) — numerically different family, same
-    * statistical behavior; use when cross-engine reproducibility of
-    * the exact signature is not required.
+  /** Production-fast signature: seeded polynomial hash family
+    * (array<long>), roughly an order of magnitude cheaper than md5 and
+    * still engine-portable — DuckDB reproduces it with
+    * `list_reduce(list_prepend(seed, codepoints), (h,c) -> (h*131+c) %
+    * 1000000007)`.
     */
   def signatureFast(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleSet,
-        s => xxhash64(i, s))))
+    call_function("graft_minhash", shingleSet, lit(numHashes), lit("poly"))
 
-  /** Band keys for a long-valued fast signature. */
+  /** Band keys for a long-valued fast signature: same md5-of-joined
+    * band as [[bands]] after casting the longs to strings, so band keys
+    * stay engine-portable (16 tiny casts per row — the signature is the
+    * hot path, not the bands).
+    */
   def bandsFast(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+    bands(transform(sig, x => x.cast("string")), numBands, rowsPerBand)
 
   /** Collapse a signature into `numBands` band keys (md5 of each band's
     * concatenated rows). Docs sharing any band key are candidates.

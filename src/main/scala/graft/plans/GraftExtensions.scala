@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotFunction)
+    e.injectFunction(GraftExtensions.minhashFunction)
   }
 }
 
@@ -28,10 +29,35 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  /** `graft_minhash(shingles, k, family)` — k and family must be
+    * literals (they shape the output schema).
+    */
+  private def buildMinhash(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val k = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash: numHashes must be an int literal, got $other")
+    }
+    val fam = children(2) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash: family must be a string literal, got $other")
+    }
+    MinHashSignature(children(0), k, fam)
+  }
+
+  private val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+    buildMinhash _)
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", buildMinhash _, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

@@ -69,11 +69,16 @@ object Similarity {
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
           .otherwise(col("_v")).as("_cv"))
       .cache()
-    // centroid per cell: positional mean via explode + groupBy(cell, pos)
+    // centroid per cell: positional mean via explode + groupBy(cell,
+    // pos). Components are rounded to 4 decimals so centroids are
+    // DETERMINISTIC across partition orderings, replicas and engines
+    // (float summation order can wiggle the last ulps; the probe
+    // ranking then re-rounds at 9 decimals) — which is what makes this
+    // approximate operator exactly oracle-checkable.
     val centroids = c
       .select(col("_cell"), posexplode(col("_cv")).as(Seq("_pos", "_x")))
       .groupBy(col("_cell"), col("_pos"))
-      .agg(avg(col("_x")).as("_m"))
+      .agg(round(avg(col("_x")), 4).as("_m"))
       .groupBy(col("_cell"))
       .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
       .select(col("_cell"), transform(col("_pm"), s => s.getField("_m")).as("_centroid"))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -23,18 +23,51 @@ import org.apache.spark.sql.types.IntegerType
   * (`/root/reference/dbt/models/int/int_metar_latest.sql:9-38`, the
   * pattern users naturally write in SQL).
   *
+  * The ascending form rewrites to `min_by` symmetrically.
+  *
   * Guards: single row_number window expression, filter `= 1` on it,
-  * all order directions descending (first-in-order == max), outer
-  * project referencing only pass-through attributes. Ties are
-  * arbitrary in both forms, so the rewrite does not change the
-  * determinism contract. Output attribute ids are preserved so parent
-  * operators resolve unchanged.
+  * all order directions equal — descending → max_by, ascending →
+  * min_by — with the DEFAULT null ordering for that direction (DESC
+  * NULLS LAST / ASC NULLS FIRST). Both defaults coincide with how
+  * struct comparison orders null fields (null smallest), so the
+  * kept row matches the window form even when order columns are null;
+  * a non-default null ordering (e.g. DESC NULLS FIRST) would keep a
+  * null-ordered row in the window form but the max non-null row in the
+  * aggregate form, so it is NOT rewritten. Order expressions must be
+  * deterministic (a non-deterministic order makes the window row a
+  * different sample than the aggregate's — neither "wrong", but the
+  * rewrite must not change which). The outer project may reference
+  * only pass-through attributes. Ties are arbitrary in both forms, so
+  * the rewrite does not change the determinism contract. Output
+  * attribute ids are preserved so parent operators resolve unchanged.
   *
   * Activate per session via
   * `spark.experimental.extraOptimizations ++= Seq(LatestWindowToMaxBy)`
   * (done by [[GraftExtensions.registerOn]]).
   */
 object LatestWindowToMaxBy extends Rule[LogicalPlan] {
+
+  private def defaultNulls(so: SortOrder): Boolean = so.direction match {
+    case Descending => so.nullOrdering == NullsLast
+    case Ascending  => so.nullOrdering == NullsFirst
+  }
+
+  /** An order expression is only safe to move into min_by/max_by if it
+    * is deterministic — including when the analyzer has pre-projected
+    * it below the window (`_w0 = rand(...)` makes the SortOrder child a
+    * plain, "deterministic" attribute), so attributes are resolved one
+    * projection deep before deciding.
+    */
+  private def orderDeterministic(e: Expression, child: LogicalPlan): Boolean = {
+    lazy val aliased: Map[ExprId, Expression] = child match {
+      case Project(pl, _) =>
+        pl.collect { case a: Alias => a.exprId -> a.child }.toMap
+      case WindowGroupLimit(_, _, _, _, Project(pl, _)) =>
+        pl.collect { case a: Alias => a.exprId -> a.child }.toMap
+      case _ => Map.empty
+    }
+    e.deterministic && e.references.forall(ar => aliased.get(ar.exprId).forall(_.deterministic))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Project(projectList,
@@ -43,7 +76,11 @@ object LatestWindowToMaxBy extends Rule[LogicalPlan] {
             WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _)),
           _, _, child, _)))
         if rnRef.exprId == rnAlias.exprId &&
-          order.nonEmpty && order.forall(_.direction == Descending) &&
+          order.nonEmpty &&
+          (order.forall(_.direction == Descending) ||
+            order.forall(_.direction == Ascending)) &&
+          order.forall(defaultNulls) &&
+          order.forall(so => orderDeterministic(so.child, child)) &&
           part.nonEmpty && part.forall(_.isInstanceOf[AttributeReference]) &&
           projectList.forall(_.isInstanceOf[AttributeReference]) &&
           projectList.forall(a => child.outputSet.contains(a.asInstanceOf[AttributeReference])) =>
@@ -59,8 +96,10 @@ object LatestWindowToMaxBy extends Rule[LogicalPlan] {
         realChild.output.flatMap(a => Seq(Literal(a.name), a)))
       val ordering = CreateNamedStruct(
         order.zipWithIndex.flatMap { case (so, i) => Seq(Literal(s"_o$i"), so.child) })
-      val latest = Alias(
-        MaxBy(payload, ordering).toAggregateExpression(), "_latest")()
+      val aggFn =
+        if (order.head.direction == Descending) MaxBy(payload, ordering)
+        else MinBy(payload, ordering)
+      val latest = Alias(aggFn.toAggregateExpression(), "_latest")()
       val agg = Aggregate(part,
         Seq(latest) ++ part.map(_.asInstanceOf[NamedExpression]), realChild)
 

@@ -26,8 +26,10 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF probe search (approximate; no SQL oracle — rows-only check +
-    * recall spec vs brute force).
+  /** IVF probe search — approximate by design but DETERMINISTIC
+    * (rounded centroids + 9-decimal rank rounding + id tie-breaks), so
+    * the full probe pipeline is exactly oracle-checked in SQL, on top
+    * of the recall spec vs brute force.
     */
   def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -75,6 +77,34 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_embedding_lsh" -> lshOracle,
+    "similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, label,
+        |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+        |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |    ELSE v END AS uv FROM e),
+        |comp AS (SELECT label, pos, round(avg(x), 4) AS m FROM (
+        |    SELECT label, unnest(range(1, len(uv) + 1)) AS pos,
+        |      unnest(uv) AS x FROM u)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+        |  FROM comp GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, uv AS qv FROM u WHERE vec_id < 100),
+        |probes AS (SELECT q_id, qv, label FROM (
+        |    SELECT q_id, qv, c.label,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY round(list_cosine_similarity(qv, c.centroid), 9) DESC,
+        |          c.label ASC) AS pr
+        |    FROM q CROSS JOIN cent c) WHERE pr <= 3),
+        |scored AS (SELECT p.q_id, u.vec_id AS c_id,
+        |    list_dot_product(p.qv, u.uv) AS cos
+        |  FROM probes p JOIN u ON u.label = p.label AND u.vec_id <> p.q_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 9) DESC, c_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, c_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 100),

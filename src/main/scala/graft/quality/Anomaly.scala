@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,13 +9,84 @@ import org.apache.spark.sql.functions._
   * 46,52,59`) and schema-drift detection (Q6, `schema_changes` at
   * `stg/schema.yml:8-9`).
   *
-  * Per-slice column metrics (row count, null count, mean, stddev) are
-  * one aggregation pass; each slice's z-score against the distribution
-  * of all slices flags outliers. Everything stays distributed — the
-  * "history" is just another aggregate, joined back by window
-  * functions over the slice rows (|slices| rows, trivially small).
+  * Two monitoring modes, both fully distributed:
+  *
+  *  - within-run: per-slice column metrics (row count, null count,
+  *    mean, stddev) in one aggregation pass, each slice z-scored
+  *    against the distribution of all slices ([[columnStats]]);
+  *  - across runs (elementary's actual semantics): each pipeline run
+  *    [[recordRun]]s its metrics into an append-only parquet
+  *    monitoring table, and [[historyAnomalies]] z-scores every run
+  *    against its PRECEDING runs — drift shows up the run it happens.
+  *    Schema snapshots persist the same way ([[recordSchema]] /
+  *    [[schemaDrift]]).
+  *
+  * The monitoring table is metadata-sized (rows = runs x monitored
+  * columns), so the trailing-window analytics are trivially cheap at
+  * any data scale; the expensive part — the metrics scan — is one
+  * map-side-combined aggregate over the run's data.
   */
 object Anomaly {
+
+  /** One run's metrics for `valueCol` as a single row. Doubles are
+    * rounded so the persisted history is deterministic across partition
+    * orderings and engines.
+    */
+  def runMetrics(df: DataFrame, valueCol: String, runId: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(valueCol).isNull, 1)).as("n_nulls"),
+        round(avg(col(valueCol)), 4).as("mean"),
+        round(stddev_samp(col(valueCol)), 4).as("std"))
+      .select(lit(runId).as("run_id"), col("n_rows"), col("n_nulls"),
+        col("mean"), col("std"))
+
+  /** Append one run's metrics to the monitoring table. */
+  def recordRun(spark: SparkSession, monitorDir: String, df: DataFrame,
+      valueCol: String, runId: String): Unit =
+    graft.operators.MergeWriter.append(spark, monitorDir,
+      runMetrics(df, valueCol, runId).coalesce(1))
+
+  /** Q7 (elementary semantics): z-score each run's mean against the
+    * runs BEFORE it. The first run has no history → null zscore, not
+    * anomalous.
+    */
+  def historyAnomalies(spark: SparkSession, monitorDir: String): DataFrame = {
+    // single-partition window over a runs x columns metadata table
+    val hist = Window.orderBy("run_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spark.read.parquet(monitorDir)
+      .withColumn("hist_mean", round(avg(col("mean")).over(hist), 6))
+      .withColumn("hist_std", round(stddev_samp(col("mean")).over(hist), 6))
+      .withColumn("zscore",
+        when(col("hist_std") > 0,
+          round((col("mean") - col("hist_mean")) / col("hist_std"), 4)))
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) > 3.0, lit(false)))
+      .orderBy("run_id")
+  }
+
+  /** Persist a run's schema snapshot as (run_id, column, type) rows. */
+  def recordSchema(spark: SparkSession, schemaDir: String, df: DataFrame,
+      runId: String): Unit = {
+    import spark.implicits._
+    graft.operators.MergeWriter.append(spark, schemaDir,
+      schemaSnapshot(df).map { case (c, t) => (runId, c, t) }
+        .toDF("run_id", "column_name", "column_type").coalesce(1))
+  }
+
+  /** Q6 across runs: diff every consecutive snapshot pair in the
+    * persisted history. The snapshot table is pure metadata (runs x
+    * columns rows), so driver-side diffing is bounded and exact.
+    */
+  def schemaDrift(spark: SparkSession, schemaDir: String): Seq[(String, Seq[String])] = {
+    val byRun = spark.read.parquet(schemaDir).collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val runs = byRun.keys.toSeq.sorted
+    runs.zip(runs.drop(1)).map { case (prev, cur) =>
+      cur -> schemaDiff(byRun(prev), byRun(cur))
+    }
+  }
 
   /** Per-slice stats + global z-score for the mean. */
   def columnStats(df: DataFrame, valueCol: String, sliceCol: String): DataFrame = {

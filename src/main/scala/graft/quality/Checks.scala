@@ -14,57 +14,75 @@ import org.apache.spark.sql.functions._
   *  - singular SQL assertion `visibility_m < 0`
   *    (`/root/reference/dbt/tests/not_negative_visibility.sql:1-3`)
   *
-  * Every check is a 1-row aggregate `(check_name, violations)` — no
-  * driver-side collection, each check is a single scan with map-side
-  * partial aggregation, and independent checks over the same table can
-  * be fused by the caller into one pass. `severity` mirrors dbt's
-  * error/warn distinction (`stg/schema.yml:56-58`).
+  * Every check is a 1-row aggregate `(check_name, violations,
+  * severity)` — no driver-side collection, each check is a single scan
+  * with map-side partial aggregation, and independent checks over the
+  * same table can be fused by the caller into one pass.
+  *
+  * `severity` mirrors dbt's error/warn distinction
+  * (`stg/schema.yml:56-58`: the reference's visibility not_null is
+  * `severity: warn`): [[enforce]] throws only on `error` violations;
+  * `warn` violations stay in the returned report for logging, exactly
+  * dbt's warn behavior.
   */
 object Checks {
 
-  private def result(name: String, violations: Column, df: DataFrame): DataFrame =
+  val Error = "error"
+  val Warn = "warn"
+
+  private def result(name: String, violations: Column, df: DataFrame,
+      severity: String): DataFrame =
     df.agg(violations.cast("long").as("violations"))
-      .select(lit(name).as("check_name"), col("violations"))
+      .select(lit(name).as("check_name"), col("violations"),
+        lit(severity).as("severity"))
 
   /** Q1/Q2: zero nulls in `c`. */
-  def notNull(df: DataFrame, c: String, name: String): DataFrame =
-    result(name, count(when(col(c).isNull, 1)), df)
+  def notNull(df: DataFrame, c: String, name: String,
+      severity: String = Error): DataFrame =
+    result(name, count(when(col(c).isNull, 1)), df, severity)
 
   /** Q3: no duplicate keys — violations = rows minus distinct keys. */
-  def unique(df: DataFrame, c: String, name: String): DataFrame =
-    result(name, count(col(c)) - countDistinct(col(c)), df)
+  def unique(df: DataFrame, c: String, name: String,
+      severity: String = Error): DataFrame =
+    result(name, count(col(c)) - countDistinct(col(c)), df, severity)
 
   /** Q4: column values restricted to a whitelist (nulls not counted,
     * matching dbt `accepted_values`).
     */
-  def acceptedValues(df: DataFrame, c: String, allowed: Seq[String], name: String): DataFrame =
-    result(name, count(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1)), df)
+  def acceptedValues(df: DataFrame, c: String, allowed: Seq[String], name: String,
+      severity: String = Error): DataFrame =
+    result(name, count(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1)), df,
+      severity)
 
   /** Q5/J2: referential integrity — every `childKey` exists in
     * `parent.parentKey`. Implemented as a left-anti join (broadcast
     * when the parent is a dimension) + count.
     */
   def relationships(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+      parent: DataFrame, parentKey: String, name: String,
+      severity: String = Error): DataFrame = {
     val orphans = child
       .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
-    result(name, count(lit(1)), orphans)
+    result(name, count(lit(1)), orphans, severity)
   }
 
   /** Q8/F6: singular assertion — zero rows may satisfy `predicate`. */
-  def expression(df: DataFrame, predicate: Column, name: String): DataFrame =
-    result(name, count(when(predicate, 1)), df)
+  def expression(df: DataFrame, predicate: Column, name: String,
+      severity: String = Error): DataFrame =
+    result(name, count(when(predicate, 1)), df, severity)
 
   /** Union a set of checks into one report, deterministically ordered. */
   def summary(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _).orderBy("check_name")
 
-  /** Run checks and throw on error-severity violations (the dbt
-    * `error` behavior); returns the report for logging.
+  /** Run checks; throw on `error`-severity violations (dbt `error`
+    * behavior), keep `warn`-severity violations in the returned report
+    * only (dbt `warn` behavior — the pipeline proceeds).
     */
   def enforce(checks: Seq[DataFrame]): DataFrame = {
     val report = summary(checks).cache()
-    val bad = report.filter(col("violations") > 0).collect()
+    val bad = report
+      .filter(col("violations") > 0 && col("severity") === Error).collect()
     if (bad.nonEmpty)
       throw new AssertionError(
         "quality checks failed: " +

@@ -42,6 +42,32 @@ object OpsQueries {
       .orderBy("slice")
   }
 
+  /** Q7 elementary semantics: four pipeline "runs" (date slices of the
+    * events feed) each persist their column metrics into an append-only
+    * parquet monitoring table; each run is then z-scored against the
+    * runs before it — metric drift is caught the run it happens, with
+    * the history surviving process restarts (unlike a within-run
+    * z-score, which can only compare slices it can see).
+    */
+  def dqHistoryAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val monitor =
+      Files.createTempDirectory("graft-monitor").resolve("metrics").toString
+    val ev = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+    val runs = Seq(
+      "r1" -> ev.filter(col("event_date") < cuts(0)),
+      "r2" -> ev.filter(col("event_date") >= cuts(0) && col("event_date") < cuts(1)),
+      "r3" -> ev.filter(col("event_date") >= cuts(1) && col("event_date") < cuts(2)),
+      "r4" -> ev.filter(col("event_date") >= cuts(2)))
+    runs.foreach { case (id, d) =>
+      Anomaly.recordRun(spark, monitor, d, "value", id)
+    }
+    Anomaly.historyAnomalies(spark, monitor)
+      .select("run_id", "n_rows", "n_nulls", "mean", "std",
+        "hist_mean", "hist_std", "zscore", "is_anomaly")
+  }
+
   /** P16: document → JSON string → field re-extraction round-trip. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -64,6 +90,7 @@ object OpsQueries {
   val defs: Map[String, Q] = Map(
     "pipeline_medallion" -> (pipelineMedallion _),
     "dq_column_anomalies" -> (dqColumnAnomalies _),
+    "dq_history_anomalies" -> (dqHistoryAnomalies _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -85,6 +112,30 @@ object OpsQueries {
         |  COALESCE(CASE WHEN sigma > 0
         |    THEN abs((mean - mu) / sigma) END > 3.0, FALSE) AS is_anomaly
         |FROM z ORDER BY slice""".stripMargin,
+    "dq_history_anomalies" ->
+      """WITH ev AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS d, value FROM events),
+        |m AS (
+        |  SELECT CASE WHEN d < DATE '2024-01-08' THEN 'r1'
+        |              WHEN d < DATE '2024-01-15' THEN 'r2'
+        |              WHEN d < DATE '2024-01-22' THEN 'r3'
+        |              ELSE 'r4' END AS run_id,
+        |    count(*) AS n_rows,
+        |    CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+        |    round(avg(value), 4) AS mean, round(stddev_samp(value), 4) AS std
+        |  FROM ev GROUP BY 1),
+        |h AS (SELECT *,
+        |    round(avg(mean) OVER w, 6) AS hist_mean,
+        |    round(stddev_samp(mean) OVER w, 6) AS hist_std
+        |  FROM m WINDOW w AS (ORDER BY run_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT run_id, n_rows, n_nulls, mean, std, hist_mean, hist_std,
+        |  CASE WHEN hist_std > 0
+        |    THEN round((mean - hist_mean) / hist_std, 4) END AS zscore,
+        |  COALESCE(CASE WHEN hist_std > 0
+        |    THEN abs(round((mean - hist_mean) / hist_std, 4)) END > 3.0, FALSE)
+        |    AS is_anomaly
+        |FROM h ORDER BY run_id""".stripMargin,
     "json_roundtrip" ->
       """SELECT event_id,
         |  to_json(struct_pack(event_id := event_id, event_type := event_type,

@@ -98,8 +98,10 @@ object ParityQueries {
       Checks.notNull(orders, "o_custkey", "orders_custkey_not_null"),
       Checks.relationships(lineitem, "l_orderkey", orders, "o_orderkey",
         "lineitem_orderkey_in_orders"),
+      // warn severity, mirroring the reference's warn-level visibility
+      // not_null (dbt/models/stg/schema.yml:56-58)
       Checks.acceptedValues(documents, "lang", Seq("de", "en", "es", "fr", "zh"),
-        "documents_lang_accepted"),
+        "documents_lang_accepted", severity = Checks.Warn),
       Checks.expression(events, col("value") < 0, "events_value_not_negative")))
   }
 
@@ -155,22 +157,25 @@ object ParityQueries {
     "dq_summary" ->
       """SELECT * FROM (
         |  SELECT 'orders_id_unique' AS check_name,
-        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |    'error' AS severity
         |  FROM orders
         |  UNION ALL
         |  SELECT 'orders_custkey_not_null',
-        |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM orders
+        |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT), 'error'
+        |  FROM orders
         |  UNION ALL
-        |  SELECT 'lineitem_orderkey_in_orders', CAST(count(*) AS BIGINT)
+        |  SELECT 'lineitem_orderkey_in_orders', CAST(count(*) AS BIGINT), 'error'
         |  FROM lineitem WHERE NOT EXISTS
         |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         |  UNION ALL
         |  SELECT 'documents_lang_accepted',
         |    CAST(count(CASE WHEN lang IS NOT NULL
-        |      AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END) AS BIGINT)
+        |      AND lang NOT IN ('de','en','es','fr','zh') THEN 1 END) AS BIGINT), 'warn'
         |  FROM documents
         |  UNION ALL
         |  SELECT 'events_value_not_negative',
-        |    CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) FROM events
+        |    CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT), 'error'
+        |  FROM events
         |) t ORDER BY check_name""".stripMargin)
 }

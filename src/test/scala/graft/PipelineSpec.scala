@@ -63,4 +63,47 @@ class PipelineSpec extends SparkSpec {
     val stats = Anomaly.columnStats(df, "v", "slice")
     assert(stats.filter(col("is_anomaly")).select("slice").head().getInt(0) === 99)
   }
+
+  test("warn-severity violations report but do not throw (Q2)") {
+    import spark.implicits._
+    import graft.quality.Checks
+    val df = Seq(("a", 1), ("a", 2)).toDF("k", "v")
+    // duplicate keys: as warn -> report row, no exception
+    val report = Checks.enforce(Seq(
+      Checks.unique(df, "k", "k_unique_warn", severity = Checks.Warn),
+      Checks.notNull(df, "v", "v_not_null")))
+    val warnRow = report.filter(col("check_name") === "k_unique_warn").head()
+    assert(warnRow.getLong(1) === 1L && warnRow.getString(2) === "warn")
+    // same violation at error severity -> throws
+    intercept[AssertionError] {
+      Checks.enforce(Seq(Checks.unique(df, "k", "k_unique_err")))
+    }
+  }
+
+  test("run-history anomalies flag a drifted run, first run has no score (Q7)") {
+    import spark.implicits._
+    val monitor = Files.createTempDirectory("graft-monitor-test")
+      .resolve("m").toString
+    for (r <- 1 to 5) {
+      val v = if (r == 5) 500.0 else 10.0 + r * 0.01 // run 5 drifts hard
+      val df = (1 to 100).map(i => v + (i % 3) * 0.001).toDF("v")
+      Anomaly.recordRun(spark, monitor, df, "v", s"r$r")
+    }
+    val hist = Anomaly.historyAnomalies(spark, monitor)
+    val flagged = hist.filter(col("is_anomaly")).select("run_id").collect().map(_.getString(0))
+    assert(flagged.toSeq === Seq("r5"))
+    assert(hist.filter(col("run_id") === "r1").head().isNullAt(hist.columns.indexOf("zscore")))
+  }
+
+  test("persisted schema snapshots diff across runs (Q6)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-schema-test").resolve("s").toString
+    Anomaly.recordSchema(spark, dir, Seq((1L, "a")).toDF("id", "x"), "r1")
+    Anomaly.recordSchema(spark, dir, Seq((1L, "a")).toDF("id", "x"), "r2")
+    Anomaly.recordSchema(spark, dir, Seq((1, "a", 0.5)).toDF("id", "x", "y"), "r3")
+    val drift = Anomaly.schemaDrift(spark, dir)
+    assert(drift === Seq(
+      "r2" -> Seq.empty,
+      "r3" -> Seq("added:y", "retyped:id:bigint->int")))
+  }
 }

@@ -61,54 +61,82 @@ object MergeWriter {
     df.write.mode("append").parquet(dir)
 
   /** Partition-pruned merge: only partitions (by `partCol`, e.g. a date
-    * column) present in `updates` are rewritten; untouched history is
-    * never read or written.
+    * column) present in `updates` are read, merged and rewritten;
+    * untouched history is never read or written — their files stay
+    * byte-identical (spec-asserted).
+    *
+    * The merged rows are written ONCE to a temp layout partitioned by
+    * `partCol`, then each touched `partCol=x` directory is swapped into
+    * the target with the crash-recoverable rename dance of
+    * [[swapWrite]]. No dynamic-partition-overwrite second write, no
+    * session-wide conf mutation.
     */
   def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], versionCols: Seq[String], partCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.catalog.refreshByPath(dir)
     val incoming = updates.withColumn("_src", lit(1))
+    val fresh = !exists(spark, dir)
     val unioned =
-      if (!exists(spark, dir)) incoming
+      if (fresh) incoming
       else {
-        val touched = updates.select(partCol).distinct()
+        // driver-side touched-partition values (bounded by |partitions|,
+        // metadata-sized): an isin filter partition-PRUNES the target
+        // scan — only touched dirs are listed into the plan, no join,
+        // no exchange (vs a broadcast semi join, which still scans the
+        // full partition listing through the probe side)
+        val touched = updates.select(partCol).distinct().collect()
+          .map(_.get(0)).toSeq
         spark.read.parquet(dir)
-          .join(broadcast(touched), Seq(partCol), "left_semi")
+          .filter(col(partCol).isInCollection(touched))
           .withColumn("_src", lit(0))
           .unionByName(incoming, allowMissingColumns = true)
       }
     // one file per partition dir: co-locate each partition's rows before
     // the partitionBy write (32 shuffle partitions x |days| would
-    // otherwise write a small-file storm, twice)
+    // otherwise write a small-file storm)
     val merged = LatestPerKey(unioned, keys, versionCols :+ "_src").drop("_src")
       .repartition(col(partCol))
-    if (!exists(spark, dir)) {
-      // fresh target: no read-write conflict, write directly
+    if (fresh) {
       merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)
     } else {
-      // materialize to a temp dir to break lineage on the target, then
-      // dynamic-overwrite only the touched partitions
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(dir + ".merge.tmp")
-      spark.read.parquet(dir + ".merge.tmp").write
-        .mode("overwrite").partitionBy(partCol).parquet(dir)
-      fs(spark, new Path(dir + ".merge.tmp")).delete(new Path(dir + ".merge.tmp"), true)
+      val tmp = new Path(dir + ".merge.tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val f = fs(spark, tmp)
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      val parts = f.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      parts.foreach { s =>
+        swapDir(f, s.getPath, new Path(dir, s.getPath.getName))
+      }
+      f.delete(tmp, true)
     }
     spark.catalog.refreshByPath(dir)
   }
 
-  /** Materialize `df` then atomically-ish replace `dir` with it
-    * (write temp → delete old → rename). Safe against the
-    * read-then-overwrite-same-path trap; idempotent on re-run.
-    */
+  /** Materialize `df` then replace `dir` with it. */
   private def swapWrite(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val dst = new Path(dir)
     val f = fs(spark, dst)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (f.exists(dst)) f.delete(dst, true)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"merge swap failed: $tmp -> $dst")
+    swapDir(f, tmp, dst)
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Crash-recoverable directory replace: the previous content is
+    * renamed to `<dst>.old` before the new content renames in, so a
+    * crash between the two renames leaves a recoverable copy at a
+    * well-known name (never a silently lost table); `.old` is dropped
+    * only after the new content is in place.
+    */
+  private def swapDir(f: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit = {
+    val old = dst.suffix(".old")
+    f.delete(old, true) // leftover from a previous crashed swap
+    if (f.exists(dst) && !f.rename(dst, old))
+      throw new java.io.IOException(s"merge swap failed: $dst -> $old")
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"merge swap failed: $src -> $dst")
+    f.delete(old, true)
   }
 }

@@ -25,6 +25,11 @@ object PipelineQueries {
     * (user_id, event_date), latest (ts, event_id) winning. The final
     * table must equal the batch latest-per-(user,day) — upsert
     * idempotence under replay is exactly the reference's guarantee.
+    *
+    * Runs through the PARTITIONED merge on `event_date`: each batch
+    * reads and rewrites only the date partitions it touches, so merge
+    * cost is O(touched days), not O(|target|) — the shape that holds at
+    * 100 TB where updates land on the recent tail of years of history.
     */
   def mergeUpsertDaily(spark: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft-merge").resolve("t").toString
@@ -38,8 +43,9 @@ object PipelineQueries {
       ev.filter(col("event_date") >= cuts.head && col("event_date") <= cuts(1)),
       ev.filter(col("event_date") >= cuts(1)))
     batches.foreach { b =>
-      MergeWriter.upsert(spark, target, b,
-        keys = Seq("user_id", "event_date"), versionCols = Seq("ts", "event_id"))
+      MergeWriter.upsertPartitioned(spark, target, b,
+        keys = Seq("user_id", "event_date"), versionCols = Seq("ts", "event_id"),
+        partCol = "event_date")
     }
     spark.read.parquet(target)
       .select("user_id", "event_date", "event_id", "event_type", "value")

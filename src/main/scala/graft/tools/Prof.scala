@@ -1,21 +1,47 @@
 package graft.tools
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
 import graft._
+import graft.operators.LatestPerKey
 
 /** Scratch profiling main (dev tool). */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val fast = graft.queries.TextQueries.dedupMinhashFast(spark, dir)
-      val md5v = graft.queries.TextQueries.dedupMinhashLsh(spark, dir)
-      println(s"PROF $dir fast jaccards: " +
-        fast.select("jaccard").collect().map(_.getDouble(0)).sorted.mkString(","))
-      println(s"PROF $dir md5 jaccards:  " +
-        md5v.select("jaccard").collect().map(_.getDouble(0)).sorted.mkString(","))
-      val f5 = fast.filter("jaccard >= 0.5").select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val m5 = md5v.filter("jaccard >= 0.5").select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"PROF $dir thresholded equal: ${f5 == m5} (fast ${f5.size}, md5 ${m5.size})")
+    val dir = "/root/testdata/sf0.1"
+    spark.read.parquet(s"$dir/lineitem.parquet").count() // warm
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(s"PROF $label: ${(System.nanoTime() - t0) / 1e9}")
+      r
+    }
+    def pipeline() = {
+      val ev = Tables.events(spark, dir)
+        .withColumn("event_date", to_date(date_trunc("day", col("ts"))))
+        .select("user_id", "event_date", "ts", "event_id", "event_type", "value")
+        .filter(col("event_date") < "2024-01-11")
+      LatestPerKey(ev.withColumn("_src", lit(1)),
+        Seq("user_id", "event_date"), Seq("ts", "event_id", "_src")).drop("_src")
+    }
+    for (round <- 1 to 2) {
+      time(s"r$round agg count") { pipeline().count() }
+      time(s"r$round plain write") {
+        pipeline().write.mode("overwrite")
+          .parquet(Files.createTempDirectory("p").resolve("t").toString)
+      }
+      time(s"r$round partitionBy only") {
+        pipeline().write.mode("overwrite").partitionBy("event_date")
+          .parquet(Files.createTempDirectory("p").resolve("t").toString)
+      }
+      time(s"r$round repart+partitionBy") {
+        pipeline().repartition(col("event_date")).write.mode("overwrite")
+          .partitionBy("event_date")
+          .parquet(Files.createTempDirectory("p").resolve("t").toString)
+      }
     }
     spark.stop()
   }

@@ -78,4 +78,37 @@ class MergeWriterSpec extends SparkSpec {
     assert(got.count() === 2)
     assert(got.filter(col("id") === 2).select("v").head().getLong(0) === 11L)
   }
+
+  /** Recursive (path, size, mtime, checksum-ish first bytes) listing of
+    * a partition dir, to prove byte-level no-touch.
+    */
+  private def fileState(root: java.io.File): Seq[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).filterNot(_.getName.startsWith("."))
+      .map(f => (f.getAbsolutePath, f.length(), f.lastModified())).sortBy(_._1)
+  }
+
+  test("partitioned upsert leaves untouched partitions byte-identical") {
+    import spark.implicits._
+    val dir = tmp()
+    val b1 = Seq((1L, "2024-01-01", 10L), (2L, "2024-01-02", 10L),
+      (3L, "2024-01-03", 10L)).toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b1, Seq("id"), Seq("v"), "day")
+    val before = fileState(new java.io.File(dir, "day=2024-01-01"))
+    assert(before.nonEmpty)
+    // merge touching only day 02 and a brand-new day 04
+    val b2 = Seq((2L, "2024-01-02", 11L), (4L, "2024-01-04", 10L))
+      .toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b2, Seq("id"), Seq("v"), "day")
+    val after = fileState(new java.io.File(dir, "day=2024-01-01"))
+    assert(after === before) // same files, same sizes, same mtimes
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 4)
+    assert(got.filter(col("id") === 2).select("v").head().getLong(0) === 11L)
+    // no leftover tmp/old dirs from the swap dance
+    val leftovers = new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.contains(".merge.tmp") || n.endsWith(".old"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

@@ -45,4 +45,33 @@ object CheckWxSource {
   /** Canned transport for tests / offline runs. */
   def fixture(docs: Seq[String]): CheckWxSource =
     new CheckWxSource(_ => s"""{"data":[${docs.mkString(",")}]}""")
+
+  /** Production transport: `java.net.http` GET with the reference's
+    * `X-API-Key` header and 15 s timeout, failing on non-2xx like
+    * `raise_for_status` (`/root/reference/src/collector/main.py:57-68`).
+    * Spec-tested against an in-process HTTP server (header delivery,
+    * error propagation, timeout) — the zero-egress environment never
+    * exercises it against the real API, by design.
+    */
+  def httpTransport(apiKey: String, timeoutSeconds: Int = 15): String => String = {
+    lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .build()
+    url => {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .header("X-API-Key", apiKey)
+        .GET().build()
+      val resp =
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+      resp.body()
+    }
+  }
+
+  /** Production source over [[httpTransport]]. */
+  def http(apiKey: String, base: String, timeoutSeconds: Int = 15): CheckWxSource =
+    new CheckWxSource(httpTransport(apiKey, timeoutSeconds), base, timeoutSeconds)
 }

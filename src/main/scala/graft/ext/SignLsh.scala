@@ -38,7 +38,11 @@ object SignLsh {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, minCosine: Double): DataFrame = {
-    val planes = hyperplanes(bits, 64)
+    // derive hyperplane dimensionality from the data (1-row probe, limit
+    // pushes into the scan) — a hardcoded dim would silently bucket
+    // non-matching embeddings on a truncated/null prefix
+    val dim = df.select(size(col(vecCol)).as("_d")).head().getInt(0)
+    val planes = hyperplanes(bits, dim)
     val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", Vectors.norm(col("_v")))
       .withColumn("_u",

@@ -33,16 +33,24 @@ object AsofJoin {
     val keyCols = keys.map(col)
     val leftCols = left.columns
     val valueType = right.schema(rightValue).dataType
+    // the carried payload is a (marker, value) STRUCT, non-null on every
+    // right row: `last(..., ignoreNulls)` then matches the most recent
+    // right ROW — whose value may legitimately be NULL — instead of
+    // skipping to the most recent non-null VALUE (DuckDB ASOF JOIN
+    // yields the matched row's NULL, and so do we)
+    val structType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", valueType)))
 
     val r = right.select(
       keyCols ++ Seq(
         col(rightTs).as("_ts"), lit(0).as("_side"), col(tieBreak).as("_tb"),
-        col(rightValue).as("_v")) ++
+        struct(lit(1).as("m"), col(rightValue).as("v")).as("_v")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       keyCols ++ Seq(
         col(leftTs).as("_ts"), lit(1).as("_side"), col(tieBreak).as("_tb"),
-        lit(null).cast(valueType).as("_v")) ++
+        lit(null).cast(structType).as("_v")) ++
         leftCols.filterNot(keys.contains).map(col(_)): _*)
 
     val w = Window.partitionBy(keyCols: _*)
@@ -50,7 +58,8 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)
-      .withColumn(asofCol, last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn(asofCol,
+        last(col("_v"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
       .select(leftCols.map(col).toSeq :+ col(asofCol): _*)
   }

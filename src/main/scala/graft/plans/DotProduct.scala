@@ -36,7 +36,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // zip_with pads the shorter array with nulls, so the HOF form is
+    // NULL on a length mismatch — match it rather than silently summing
+    // a truncated prefix
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -53,11 +57,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $sum;
        """.stripMargin

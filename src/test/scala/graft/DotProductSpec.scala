@@ -19,6 +19,15 @@ class DotProductSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("unequal lengths yield null, matching the zip_with HOF form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val res = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotHof(col("a"), col("b")).as("hof")).head()
+    assert(res.isNullAt(0) && res.isNullAt(1))
+  }
+
   test("null array and null element propagate to null") {
     import spark.implicits._
     val df = Seq(

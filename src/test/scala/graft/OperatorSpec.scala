@@ -54,6 +54,25 @@ class OperatorSpec extends SparkSpec {
     assert(d > 0 && d <= 32)
   }
 
+  test("asof join returns the latest right ROW's value even when it is NULL") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    // right rows for key k: v=5 at t=1, v=NULL at t=2 (the later row).
+    // A left probe at t=3 must see NULL (the matched row's value), not
+    // fall back to the earlier non-null 5 — DuckDB ASOF JOIN parity.
+    val right = Seq(("k", 1L, Some(5L), 100L), ("k", 2L, None, 101L))
+      .toDF("key", "ts", "v", "rid")
+      .select(col("key"), col("ts"), col("v"), col("rid").as("tb"))
+    val left = Seq(("k", 3L, 200L), ("k", 1L, 201L))
+      .toDF("key", "ts", "tb")
+    val got = AsofJoin.lastValue(left, right, Seq("key"),
+        leftTs = "ts", rightTs = "ts", rightValue = "v",
+        tieBreak = "tb", asofCol = "asof_v")
+      .orderBy("ts").collect()
+    assert(got(0).getLong(2) === 201L && got(0).getLong(3) === 5L) // probe t=1 -> v=5
+    assert(got(1).getLong(2) === 200L && got(1).isNullAt(3))       // probe t=3 -> NULL row
+  }
+
   test("winnow and shingles handle short documents") {
     import spark.implicits._
     import graft.functions.Text

@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; 8g thrashes GC on
   // shuffle-heavy queries (observed 10x timing variance at sf0.1)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput collector: batch queries care about aggregate speed, not
+  // pauses; G1's concurrent cycles on a 24g heap bill noticeable CPU to
+  // whichever query happens to allocate next (observed multi-second
+  // run-to-run swing on the shuffle-heavy dedup queries)
+  "-XX:+UseParallelGC",
 )

@@ -22,9 +22,16 @@ object Text {
 
   /** Word n-gram shingles. Documents shorter than `n` tokens collapse
     * to a single whole-text shingle so every document has a non-empty
-    * shingle set.
+    * shingle set. Computed by the codegen'd native
+    * [[graft.plans.Shingles]] expression (the hottest per-row loop in
+    * the dedup queries); [[shinglesHof]] is the byte-identical builtin
+    * formulation it is spec-checked against.
     */
   def shingles(toks: Column, n: Int): Column =
+    call_function("graft_shingles", toks, lit(n))
+
+  /** Builtin-HOF shingles (no extension registration needed). */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotFunction)
     e.injectFunction(GraftExtensions.minhashFunction)
+    e.injectFunction(GraftExtensions.shinglesFunction)
   }
 }
 
@@ -52,12 +53,30 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
     buildMinhash _)
 
+  /** `graft_shingles(tokens, n)` — n must be an int literal. */
+  private def buildShingles(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val n = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles: n must be an int literal, got $other")
+    }
+    Shingles(children(0), n)
+  }
+
+  private val shinglesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+    buildShingles _)
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", buildMinhash _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", buildShingles _, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

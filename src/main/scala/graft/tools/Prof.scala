@@ -1,11 +1,9 @@
 package graft.tools
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.LatestPerKey
+import graft.functions.Text
 
 /** Scratch profiling main (dev tool). */
 object Prof {
@@ -19,29 +17,29 @@ object Prof {
       println(s"PROF $label: ${(System.nanoTime() - t0) / 1e9}")
       r
     }
-    def pipeline() = {
-      val ev = Tables.events(spark, dir)
-        .withColumn("event_date", to_date(date_trunc("day", col("ts"))))
-        .select("user_id", "event_date", "ts", "event_id", "event_type", "value")
-        .filter(col("event_date") < "2024-01-11")
-      LatestPerKey(ev.withColumn("_src", lit(1)),
-        Seq("user_id", "event_date"), Seq("ts", "event_id", "_src")).drop("_src")
-    }
-    for (round <- 1 to 2) {
-      time(s"r$round agg count") { pipeline().count() }
-      time(s"r$round plain write") {
-        pipeline().write.mode("overwrite")
-          .parquet(Files.createTempDirectory("p").resolve("t").toString)
-      }
-      time(s"r$round partitionBy only") {
-        pipeline().write.mode("overwrite").partitionBy("event_date")
-          .parquet(Files.createTempDirectory("p").resolve("t").toString)
-      }
-      time(s"r$round repart+partitionBy") {
-        pipeline().repartition(col("event_date")).write.mode("overwrite")
-          .partitionBy("event_date")
-          .parquet(Files.createTempDirectory("p").resolve("t").toString)
-      }
+    val docs = Tables.documents(spark, dir)
+    time("docs count") { docs.count() }
+    val sh = docs.select(col("doc_id"), col("source"),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("shingle_set"))
+    time("shingle compute") { sh.select(sum(size(col("shingle_set")))).head() }
+    time("shingle compute 2nd") { sh.select(sum(size(col("shingle_set")))).head() }
+    val inv = sh.select(col("source"), col("doc_id"),
+      size(col("shingle_set")).as("_sz"),
+      explode(col("shingle_set")).as("_shingle"))
+    time("posting count") { println("postings: " + inv.count()) }
+    val cached = inv.cache()
+    time("cache materialize") { cached.count() }
+    val a = cached.select(col("source"), col("_shingle"),
+      col("doc_id").as("id_a"), col("_sz").as("_sza"))
+    val b = cached.select(col("source"), col("_shingle"),
+      col("doc_id").as("id_b"), col("_sz").as("_szb"))
+    val joined = a.join(b, Seq("source", "_shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
+      .agg(count(lit(1)).as("_inter"))
+    time("join+agg") { println("pairs: " + joined.count()) }
+    time("full query") {
+      graft.queries.TextQueries.dedupNgramJaccard(spark, dir).count()
     }
     spark.stop()
   }

@@ -16,6 +16,22 @@ class MinHashSignatureSpec extends SparkSpec {
       array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
   }
 
+  test("native shingles == HOF shingles on the corpus (incl. short docs)") {
+    val docs = Tables.documents(spark, sf)
+    val diff = docs.select(
+        Text.shingles(Text.tokens(col("text")), 3).as("native"),
+        Text.shinglesHof(Text.tokens(col("text")), 3).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(diff.isEmpty)
+    // short-document fallback + concat_ws null-skip parity
+    import spark.implicits._
+    val edge = Seq(Seq("one", "two"), Seq("a", null, "b", "c")).toDF("toks")
+      .select(Text.shingles(col("toks"), 3).as("native"),
+        Text.shinglesHof(col("toks"), 3).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(edge.isEmpty)
+  }
+
   test("native md5 signature == HOF md5 signature") {
     val df = shingled
       .withColumn("native", MinHash.signature(col("s"), 16))

@@ -1,0 +1,34 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — how a training pipeline takes
+  * reproducible samples and train/test splits at any scale: membership
+  * is a pure function of the row key (no RNG state, no seed-per-
+  * partition nondeterminism), so a sample is stable across re-runs,
+  * engines, repartitioning and incremental arrival, and two samples
+  * with nested thresholds are nested (a 10% sample is a subset of the
+  * 50% sample). Embarrassingly parallel map-side filter, zero shuffle.
+  *
+  * Buckets are the first two hex chars of md5(key) — 256 equal-ish
+  * buckets; a threshold of "19" keeps buckets 00..19 = 26/256 ≈ 10.2%.
+  * md5 keeps it engine-portable (the DuckDB oracle reproduces
+  * membership bit-for-bit).
+  */
+object Sampling {
+
+  /** 256-bucket hash of a key column ("00".."ff"). */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  /** Keep rows whose bucket <= the (possibly per-row, e.g. per-stratum)
+    * hex threshold.
+    */
+  def sample(df: DataFrame, key: Column, hexThreshold: Column): DataFrame =
+    df.filter(hashBucket(key) <= hexThreshold)
+
+  /** Train/test split flag: rows hash to the same side forever. */
+  def isTest(key: Column, hexThreshold: String): Column =
+    hashBucket(key) <= lit(hexThreshold)
+}

@@ -1,0 +1,39 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** TF-IDF term scoring over a document corpus — the standard
+  * quality/topicality signal for training-data curation.
+  *
+  * Shuffle shape at scale: one explode to (doc, term) postings, one
+  * (doc, term) count aggregation (map-side combined), one term-level
+  * document-frequency aggregation, a join of postings to the term
+  * frequencies, and a per-doc top-k window. The df table is |vocab|
+  * rows; the corpus count is a broadcast 1-row aggregate, never a
+  * driver-side collect. Scores are rounded (ranking at 9 decimals with
+  * a term tie-break, output at 6) so results are reproducible across
+  * engines and float-summation orders.
+  */
+object TfIdf {
+
+  /** Top-k terms per document by `tf * ln(N / df)`. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("tfidf"), 9).desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+}

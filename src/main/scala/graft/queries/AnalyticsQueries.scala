@@ -190,7 +190,23 @@ object AnalyticsQueries {
       .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
   }
 
+  /** Deterministic stratified hash sample of the event stream: 100% of
+    * purchases, ~10% of clicks, ~50% of everything else — membership a
+    * pure function of event_id ([[graft.ext.Sampling]]), so the sample
+    * is reproducible across runs/engines/partitionings and nested
+    * across rates. Pure map-side filter, zero shuffle.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rates = when(col("event_type") === "purchase", lit("ff"))
+      .when(col("event_type") === "click", lit("19"))
+      .otherwise(lit("7f"))
+    graft.ext.Sampling.sample(Tables.events(spark, dir), col("event_id"), rates)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "sample_stratified" -> (sampleStratified _),
     "array_agg_types" -> (arrayAgg _),
     "cube_customers" -> (cubeRevenue _),
     "window_running" -> (windowRunning _),
@@ -205,6 +221,13 @@ object AnalyticsQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <=
+        |  CASE event_type WHEN 'purchase' THEN 'ff'
+        |                  WHEN 'click' THEN '19'
+        |                  ELSE '7f' END
+        |ORDER BY event_id""".stripMargin,
     "array_agg_types" ->
       """SELECT user_id,
         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.Dedup
+import graft.ext.{Clusters, Dedup, TfIdf}
 import graft.functions.{SimHash, Text}
 
 /** Text-analysis and deduplication surface over the `documents` corpus
@@ -123,8 +123,30 @@ object TextQueries {
         blockCol = "source", shingleN = 3, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup pairs → connected components → canonical-per-cluster:
+    * the step that turns pairwise dedup output into "keep this doc,
+    * drop those" decisions. Iterative min-label propagation (see
+    * [[graft.ext.Clusters]]); gated against a DuckDB recursive-CTE
+    * transitive closure.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsBlocked(Tables.documents(spark, dir),
+      "doc_id", "text", blockCol = "source", shingleN = 3, minJaccard = 0.5)
+    Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"),
+        (col("node") === col("cluster")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-3 TF-IDF terms per document (quality/topicality signal). */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> (textStats _),
+    "text_tfidf" -> (textTfidf _),
+    "dedup_clusters" -> (dedupClusters _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact" -> (dedupExact _),
@@ -142,6 +164,39 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
+        |SELECT node AS doc_id, min(r) AS cluster_id,
+        |  (node = min(r)) AS is_canonical
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+        |    round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+        |    PARTITION BY doc_id
+        |    ORDER BY round(tfidf, 9) DESC, term ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
         |           FROM documents)

@@ -20,6 +20,36 @@ import graft.functions.Text
   */
 object TfIdf {
 
+  /** Okapi BM25 top-k terms per document:
+    * `idf = ln((N - df + 0.5) / (df + 0.5) + 1)` (the standard
+    * non-negative variant) and the saturating, length-normalized
+    * `tf' = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))`. Same shuffle
+    * shape as [[topTerms]] plus a broadcast (N, avgdl) aggregate;
+    * avgdl is an exact integer-sum / count division so it is
+    * bit-reproducible without rounding.
+    */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val dl = docs.select(col(idCol), size(Text.tokens(col(textCol))).cast("long").as("dl"))
+    val stats = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    val scored = tf.join(df, "term").join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("bm25", round(
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + col("dl") * b / col("avgdl"))), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("bm25"), 9).desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("bm25"))
+  }
+
   /** Top-k terms per document by `tf * ln(N / df)`. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, SignLsh, Similarity}
+import graft.ext.{Dedup, KMeans, SignLsh, Similarity}
 
 /** Similarity-search surface over the `embeddings` table: brute-force
   * cosine top-k (exact baseline, oracle-checked), IVF-style probe
@@ -51,7 +51,18 @@ object SimilarityQueries {
         bits = 8, minCosine = 0.25)
       .orderBy("id_a", "id_b")
 
+  /** Deterministic distributed k-means (2 Lloyd rounds from the
+    * per-label init): assignment is broadcast-centroids × corpus scan,
+    * update is a positional-mean aggregation — vectors never shuffle.
+    * Fully oracle-gated thanks to rounded centroids/rankings.
+    */
+  def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    KMeans.fit(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        initCol = "label", iters = 2)
+      .orderBy("vec_id")
+
   val defs: Map[String, Q] = Map(
+    "kmeans_embeddings" -> (kmeansEmbeddings _),
     "similarity_topk" -> (similarityTopk _),
     "similarity_ivf" -> (similarityIvf _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -75,7 +86,43 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Unrolled 2-round Lloyd trajectory as chained CTEs (the iteration
+    * templates mirror KMeans.fit exactly: rounded centroids, 9-decimal
+    * rank, cluster tie-break).
+    */
+  private def kmeansOracle: String = {
+    def cents(src: String) =
+      s"""SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+         |    SELECT cluster, pos, round(avg(x), 4) AS m FROM (
+         |      SELECT cluster, unnest(range(1, len(uv) + 1)) AS pos,
+         |        unnest(uv) AS x FROM $src)
+         |    GROUP BY cluster, pos)
+         |  GROUP BY cluster""".stripMargin
+    def assignFrom(centsCte: String) =
+      s"""SELECT vec_id, uv, cluster,
+         |    round(list_cosine_similarity(uv, centroid), 6) AS similarity
+         |  FROM (
+         |    SELECT u.vec_id, u.uv, c.cluster, c.centroid,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY round(list_cosine_similarity(u.uv, c.centroid), 9) DESC,
+         |          c.cluster ASC) AS rn
+         |    FROM u CROSS JOIN $centsCte c) WHERE rn = 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT vec_id, label,
+       |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+       |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    ELSE v END AS uv FROM e),
+       |c0 AS (${cents("(SELECT label AS cluster, uv FROM u) s0")}),
+       |a1 AS (${assignFrom("c0")}),
+       |c1 AS (${cents("(SELECT cluster, uv FROM a1) s1")}),
+       |a2 AS (${assignFrom("c1")}),
+       |c2 AS (${cents("(SELECT cluster, uv FROM a2) s2")}),
+       |a3 AS (${assignFrom("c2")})
+       |SELECT vec_id, cluster, similarity FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "kmeans_embeddings" -> kmeansOracle,
     "dedup_embedding_lsh" -> lshOracle,
     "similarity_ivf" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

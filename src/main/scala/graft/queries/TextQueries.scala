@@ -143,9 +143,15 @@ object TextQueries {
     TfIdf.topTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Top-3 BM25 terms per document (saturating, length-normalized). */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.bm25TopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> (textStats _),
     "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
     "dedup_clusters" -> (dedupClusters _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -196,6 +202,27 @@ object TextQueries {
         |    ORDER BY round(tfidf, 9) DESC, term ASC) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT doc_id, term, bm25, CAST(row_number() OVER (
+        |    PARTITION BY doc_id
+        |    ORDER BY round(bm25, 9) DESC, term ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, bm25 FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks

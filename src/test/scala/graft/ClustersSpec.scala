@@ -39,6 +39,35 @@ class ClustersSpec extends SparkSpec {
     assert(top === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("kmeans: separable synthetic clusters stay put, deterministic") {
+    import spark.implicits._
+    // two well-separated directions in 4-d; init labels already correct
+    val rows = (0 until 20).map { i =>
+      val cl = i % 2
+      val base = if (cl == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f) else Seq(0.0f, 0.0f, 1.0f, 0.0f)
+      val jitter = (i % 5) * 0.01f
+      (i.toLong, cl.toLong, base.map(_ + jitter))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val fit1 = graft.ext.KMeans.fit(df, "vec_id", "embedding", "label", iters = 2)
+    val got = fit1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === rows.map(r => r._1 -> r._2).toMap)
+    // deterministic across runs
+    val fit2 = graft.ext.KMeans.fit(df, "vec_id", "embedding", "label", iters = 2)
+    assert(fit1.exceptAll(fit2).isEmpty && fit2.exceptAll(fit1).isEmpty)
+  }
+
+  test("bm25: rare distinctive term outranks ubiquitous term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common alpha"),
+      (2L, "common beta beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val top = graft.ext.TfIdf.bm25TopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
   test("hash sample: deterministic, nested across rates, rate in ballpark") {
     val ev = Tables.events(spark, sf)
     val s10 = Sampling.sample(ev, col("event_id"), lit("19"))

@@ -60,10 +60,18 @@ object PipelineQueries {
   def streamingLatest(spark: SparkSession, dir: String): DataFrame =
     Streams.latestPerKey(spark, dir)
 
+  /** Watermarked stream-stream interval join — must equal the batch
+    * interval join (inner-join emissions are eager; the watermark only
+    * bounds state).
+    */
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    Streams.purchasesAfterSignups(spark, dir)
+
   val defs: Map[String, Q] = Map(
     "merge_upsert_daily" -> (mergeUpsertDaily _),
     "streaming_daily_metrics" -> (streamingDaily _),
-    "streaming_latest_per_key" -> (streamingLatest _))
+    "streaming_latest_per_key" -> (streamingLatest _),
+    "streaming_interval_join" -> (streamingIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "merge_upsert_daily" ->
@@ -87,6 +95,17 @@ object PipelineQueries {
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y%m%d'))
         |    AS user_id_date
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "streaming_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM ev
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts FROM ev
+        |  WHERE event_type = 'signup')
+        |SELECT p.p_id, p.user_id, s.s_id
+        |FROM p JOIN s ON p.user_id = s.s_user
+        |  AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+        |ORDER BY p_id, s_id""".stripMargin,
     "streaming_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -245,10 +245,15 @@ object Streams {
   /** Watermarked stream-stream inner join: purchases joined to the
     * same user's signups within the preceding hour. Both sides carry
     * watermarks so the join state is bounded (old rows age out) — the
-    * streaming analogue of the batch range join.
+    * streaming analogue of the batch range join. INNER join matches
+    * emit eagerly (only outer-join results wait on the watermark), so
+    * replaying finite input yields the complete batch answer; the
+    * watermark's job here is purely state eviction. Append-mode
+    * emissions land in the parquet changelog sink (each joined row is
+    * final; compaction keys on the pair id); nothing driver-resident.
     */
   def purchasesAfterSignups(spark: SparkSession, dir: String): DataFrame = {
-    val base = eventsStream(spark, dir)
+    val base = eventsStream(spark, dir, batches = 3)
     val purchases = base.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
@@ -259,7 +264,9 @@ object Streams {
     val joined = purchases.join(signups,
       expr("""user_id = s_user AND
              |p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR""".stripMargin))
-    runToTable(joined, "append")
+      .select(col("p_id"), col("user_id"), col("s_id"))
+    runToCompactedChangelog(joined, "append",
+        keys = Seq("p_id", "s_id"), versionCols = Seq("user_id"))
       .select(col("p_id"), col("user_id"), col("s_id"))
       .orderBy("p_id", "s_id")
   }

@@ -47,4 +47,28 @@ class PlanSpec extends SparkSpec {
     val p = plan(ParityQueries.latestPerKey(spark, sf))
     assert(!p.contains("props"))
   }
+
+  test("hash sampling is a shuffle-free map-side filter") {
+    val sampled = graft.ext.Sampling.sample(Tables.events(spark, sf),
+      org.apache.spark.sql.functions.col("event_id"),
+      org.apache.spark.sql.functions.lit("19"))
+    val p = plan(sampled)
+    assert(!p.contains("Exchange"), p.take(400))
+  }
+
+  test("kmeans assignment broadcasts centroids, never shuffles vectors") {
+    val p = plan(graft.ext.KMeans.fit(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", "label", iters = 1))
+    // every centroid join is a broadcast nested-loop/hash, and the only
+    // sort-merge machinery allowed is the per-vector top-1 window
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("tf-idf counts partially aggregate before their shuffles") {
+    val p = plan(graft.ext.TfIdf.topTerms(Tables.documents(spark, sf),
+      "doc_id", "text", k = 3))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(600))
+  }
 }

@@ -31,4 +31,23 @@ object Sampling {
   /** Train/test split flag: rows hash to the same side forever. */
   def isTest(key: Column, hexThreshold: String): Column =
     hashBucket(key) <= lit(hexThreshold)
+
+  /** Per-group quota cap: keep at most `quota` rows per group, chosen
+    * by hash order of the key (not arrival/id order, which would bias
+    * the kept set toward whatever sorted first). This is the
+    * domain-balancing step of corpus assembly — cap each domain's
+    * contribution while keeping selection deterministic and
+    * reproducible. One shuffle on the group key; within a group the
+    * window is a top-k, never a full materialization, and heavy
+    * domains can be pre-thinned with [[sample]] (nested thresholds
+    * compose) before the window if a single group would overflow an
+    * executor.
+    */
+  def quotaPerGroup(df: DataFrame, key: Column, groupCol: String,
+      quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+  }
 }

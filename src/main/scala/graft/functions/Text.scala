@@ -76,6 +76,31 @@ object Text {
     }._1
   }
 
+  /** Adjacent-repeat collapse: drops each token equal to its
+    * predecessor ("batch batch batch" → "batch") — the cheap
+    * boilerplate/stutter normalization every corpus-cleaning pass
+    * runs before dedup. Null-safe compare against `get` (0-based,
+    * null out-of-bounds) keeps the first token unconditionally.
+    * Pure per-row array work — map-only, zero shuffle.
+    */
+  def collapseRepeats(toks: Column): Column =
+    filter(toks, (t, i) => !(t <=> get(toks, i - lit(1))))
+
+  /** PII/noise scrub patterns (RE2-safe so the same pattern runs in
+    * any engine): URLs, emails and long digit runs replaced by typed
+    * placeholder tokens. Order matters — URLs first so their digits
+    * are not half-eaten by the digit-run rule.
+    */
+  val scrubPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  def scrub(text: Column): Column =
+    scrubPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
   /** Winnowing (local-min fingerprint selection over a sliding window
     * of shingle hashes): the standard rolling-fingerprint dedup trick —
     * returns the distinct window-minimum hashes.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Clusters, Dedup, TfIdf}
+import graft.ext.{Clusters, Dedup, Pack, Sampling, TfIdf}
 import graft.functions.{SimHash, Text}
 
 /** Text-analysis and deduplication surface over the `documents` corpus
@@ -148,7 +148,76 @@ object TextQueries {
     TfIdf.bm25TopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Corpus cleaning: adjacent-repeat collapse + PII/noise scrub
+    * (URL/email/digit-run placeholders) — the normalization pass run
+    * before dedup. Map-only, zero shuffle.
+    */
+  def textClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.tokens(col("text"))
+    val kept = Text.collapseRepeats(toks)
+    docs.select(
+        col("doc_id"),
+        Text.scrub(concat_ws(" ", kept)).as("clean_text"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality scoring: repetition / lexical-diversity /
+    * stopword-density features, hard filter flags, and a fixed-weight
+    * logistic score — the quality-filtering stage of corpus assembly.
+    * Features are rounded before the sigmoid so the score is a pure
+    * function of engine-portable inputs. Map-only, zero shuffle.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.tokens(col("text"))
+    val kept = Text.collapseRepeats(toks)
+    val n = size(toks).cast("double")
+    val linear = lit(-2.0) +
+      lit(4.0) * col("distinct_ratio") + lit(8.0) * col("stop_ratio") -
+      lit(6.0) * col("dup_ratio") + lit(0.005) * col("n_tokens")
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(size(array_distinct(toks)) / n, 6).as("distinct_ratio"),
+        round(Text.countIn(toks, stopwords) / n, 6).as("stop_ratio"),
+        round((size(toks) - size(kept)) / n, 6).as("dup_ratio"))
+      .withColumn("quality_score",
+        round(lit(1.0) / (lit(1.0) + exp(-linear)), 4))
+      .withColumn("keep",
+        col("n_tokens") >= 30 && col("distinct_ratio") >= 0.3 &&
+          col("stop_ratio") >= 0.01)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing into 256-token training chunks, sharded by
+    * source ([[graft.ext.Pack]]): per-shard prefix-sum offsets, no
+    * global sort.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Pack.sequences(docs, "doc_id", size(Text.tokens(col("text"))),
+        "source", budget = 256)
+      .select("doc_id", "source", "n_tokens", "start_offset",
+        "chunk_idx", "chunk_id")
+      .orderBy("doc_id")
+  }
+
+  /** Domain-balancing quota: at most 5 docs per source, selected in
+    * hash order ([[graft.ext.Sampling.quotaPerGroup]]).
+    */
+  def sampleQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaPerGroup(Tables.documents(spark, dir), col("doc_id"),
+        "source", quota = 5)
+      .select("doc_id", "source", "sample_rank")
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "text_clean" -> (textClean _),
+    "text_quality" -> (textQuality _),
+    "pack_sequences" -> (packSequences _),
+    "sample_quota" -> (sampleQuota _),
     "text_stats" -> (textStats _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
@@ -170,6 +239,66 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |k AS (SELECT doc_id, l,
+        |  list_filter(list_transform(generate_series(1, len(l)), i ->
+        |    CASE WHEN l[i] IS DISTINCT FROM l[i-1] THEN l[i] END),
+        |    v -> v IS NOT NULL) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    array_to_string(kept, ' '),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |k AS (SELECT doc_id, l,
+        |  list_filter(list_transform(generate_series(1, len(l)), i ->
+        |    CASE WHEN l[i] IS DISTINCT FROM l[i-1] THEN l[i] END),
+        |    v -> v IS NOT NULL) AS kept
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS distinct_ratio,
+        |  round(CAST(len(list_filter(l, x -> x IN ('the','a','or','and','of','to','in')))
+        |    AS DOUBLE) / len(l), 6) AS stop_ratio,
+        |  round(CAST(len(l) - len(kept) AS DOUBLE) / len(l), 6) AS dup_ratio
+        |  FROM k)
+        |SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, dup_ratio,
+        |  round(1.0 / (1.0 + exp(-(-2.0 + 4.0 * distinct_ratio +
+        |    8.0 * stop_ratio - 6.0 * dup_ratio + 0.005 * n_tokens))), 4)
+        |    AS quality_score,
+        |  (n_tokens >= 30 AND distinct_ratio >= 0.3 AND stop_ratio >= 0.01)
+        |    AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 256) AS BIGINT) AS chunk_idx,
+        |  source || '_' ||
+        |    CAST(CAST(floor(start_offset / 256) AS BIGINT) AS VARCHAR)
+        |    AS chunk_id
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "sample_quota" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
         |pairs AS (

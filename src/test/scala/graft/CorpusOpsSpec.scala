@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Pack, Sampling}
+import graft.functions.Text
+
+/** Corpus-assembly operators: cleaning, quality scoring, sequence
+  * packing and per-group quota sampling.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collapseRepeats drops adjacent duplicates only") {
+    val out = Seq("a a a b a c c").toDF("text")
+      .select(concat_ws(" ", Text.collapseRepeats(Text.tokens(col("text")))))
+      .as[String].head()
+    assert(out == "a b a c")
+  }
+
+  test("scrub replaces URLs, emails and digit runs") {
+    val out = Seq("see https://x.io/p?q=1 mail bob@x.io id 12345678 ok")
+      .toDF("t").select(Text.scrub(col("t"))).as[String].head()
+    assert(out == "see <URL> mail <EMAIL> id 12345678".replace("12345678", "<NUM>") + " ok")
+  }
+
+  test("pack offsets are per-shard prefix sums and chunks respect the budget") {
+    val docs = Seq(
+      (1L, "s1", 100), (2L, "s1", 200), (3L, "s1", 300), (4L, "s2", 50))
+      .toDF("doc_id", "source", "n")
+    val packed = Pack.sequences(docs, "doc_id", col("n"), "source", budget = 256)
+      .orderBy("doc_id")
+      .select("start_offset", "chunk_idx")
+      .as[(Long, Long)].collect()
+    // s1: offsets 0,100,300 → chunks 0,0,1 ; s2 restarts at 0
+    assert(packed.toSeq == Seq((0L, 0L), (100L, 0L), (300L, 1L), (0L, 0L)))
+  }
+
+  test("quota sampling keeps at most N per group, stable across partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val a = Sampling.quotaPerGroup(docs, col("doc_id"), "source", 5)
+    val counts = a.groupBy("source").count().as[(String, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 <= 5))
+    val b = Sampling.quotaPerGroup(docs.repartition(13), col("doc_id"), "source", 5)
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).isEmpty)
+  }
+
+  test("quality keep flag implies the hard filters") {
+    val q = graft.queries.TextQueries.textQuality(spark, sf)
+    val bad = q.filter(col("keep") &&
+      (col("n_tokens") < 30 || col("distinct_ratio") < 0.3)).count()
+    assert(bad == 0)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+}

@@ -116,6 +116,31 @@ object Dedup {
     * cluster id). Cosine on the rounded-to-4 scale so the threshold
     * comparison is reproducible across engines.
     */
+  /** Benchmark decontamination: count, per training document, the
+    * distinct word n-gram shingles it shares with any document of the
+    * held-out/benchmark set — the contamination check every training
+    * corpus runs before release (train docs overlapping eval data leak
+    * the benchmark into the weights).
+    *
+    * Shape: explode both sides to (shingle, id) postings and join on
+    * the shingle — the posting-list pattern again, never
+    * docs × benchmark pairs. The benchmark shingle set is tiny
+    * relative to the corpus (eval suites are fixed-size), so it is
+    * broadcast: the 100 TB training side streams through map-side,
+    * zero shuffle of training data.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      isBenchmark: org.apache.spark.sql.Column, shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol), isBenchmark.as("_bm"),
+      explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN)))
+        .as("_shingle"))
+    val bench = sh.filter(col("_bm")).select("_shingle").distinct()
+    sh.filter(!col("_bm"))
+      .join(broadcast(bench), "_shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     // unit-normalize once per row; the pairwise stage is then one dot

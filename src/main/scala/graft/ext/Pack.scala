@@ -37,4 +37,32 @@ object Pack {
       .withColumn("chunk_id",
         concat(col(shardCol), lit("_"), col("chunk_idx").cast("string")))
   }
+
+  /** Sliding-window chunking of individual documents: split each
+    * document's token array into windows of `maxTokens` tokens
+    * advancing by `maxTokens - overlap` — the long-document step
+    * (context-window splitting for pretraining, passage chunking for
+    * retrieval). A trailing window is emitted only if it starts within
+    * the document, so short documents yield exactly one chunk.
+    *
+    * Pure per-row explode — map-only, zero shuffle, and output size is
+    * input tokens × (1 + overlap/stride), a constant factor known in
+    * advance.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textToks: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap $overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), textToks.as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(1),
+          greatest(size(col("_toks")) - overlap, lit(1)), lit(stride)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("_start"), lit(maxTokens)))
+          .as("chunk_text"),
+        least(size(col("_toks")) - col("_start") + 1, lit(maxTokens))
+          .cast("long").as("n_chunk_tokens"))
+  }
 }

@@ -50,4 +50,31 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= quota)
   }
+
+  /** Mixture weighting: materialize per-domain epoch counts — the data
+    * mixing step of corpus assembly (upsample high-quality domains,
+    * downsample bulk ones; weights are usually tuned per source).
+    * A weight is (base epochs, hex threshold for one extra epoch): a
+    * row repeats `base` times, plus once more if its key hashes under
+    * the threshold — so weight 2.1 means "2 epochs, and a
+    * deterministic ~10% of rows get a 3rd". Base 0 downsamples (rows
+    * not selected emit nothing).
+    *
+    * Repetition is `explode(sequence(...))` — map-side row
+    * amplification at the point of consumption, no shuffle; and
+    * because the fractional selection is [[hashBucket]]-based it is
+    * reproducible and nests across weight changes.
+    */
+  def mixWeighted(df: DataFrame, key: Column, base: Column,
+      extraHexThreshold: Column): DataFrame = {
+    val repeats = (base +
+      when(hashBucket(key) <= extraHexThreshold, 1).otherwise(0)).cast("int")
+    // guard: Spark's sequence(1, 0) auto-reverses to [1, 0] instead of
+    // returning empty, so 0-repeat rows must map to an empty array
+    // explicitly (explode then drops them)
+    df.withColumn("epoch",
+        explode(when(repeats >= 1, sequence(lit(1), repeats))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
 }

@@ -213,7 +213,59 @@ object TextQueries {
       .select("doc_id", "source", "sample_rank")
       .orderBy("doc_id")
 
+  /** Sliding-window chunking of documents into 32-token windows with
+    * 8-token overlap ([[graft.ext.Pack.chunkDocuments]]).
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Pack.chunkDocuments(Tables.documents(spark, dir), "doc_id",
+        Text.tokens(col("text")), maxTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Data mixing: per-source epoch weights (src0 ≈ 2.1 epochs, src1 ≈
+    * 0.5, rest ≈ 1.25) materialized as deterministic row repetition
+    * ([[graft.ext.Sampling.mixWeighted]]).
+    */
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = when(col("source") === "src0", 2)
+      .when(col("source") === "src1", 0).otherwise(1)
+    val thr = when(col("source") === "src0", lit("19"))
+      .when(col("source") === "src1", lit("7f")).otherwise(lit("3f"))
+    Sampling.mixWeighted(docs, col("doc_id"), base, thr)
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Benchmark decontamination: shared-shingle counts of training docs
+    * (sources ≠ src0) against the benchmark set (src0)
+    * ([[graft.ext.Dedup.contamination]]).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(Tables.documents(spark, dir), "doc_id", "text",
+        col("source") === "src0", shingleN = 3)
+      .orderBy("doc_id")
+
+  /** Leakage-safe train/test split: near-dup clusters land on the same
+    * side (split key = the connected-component id, singletons cluster
+    * to themselves), so test docs never have a training near-duplicate.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairsBlocked(docs, "doc_id", "text",
+      blockCol = "source", shingleN = 3, minJaccard = 0.5)
+    val clusters = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+    docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_test", Sampling.isTest(col("cluster_id"), "28"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "chunk_documents" -> (chunkDocuments _),
+    "mix_weighted" -> (mixWeighted _),
+    "decontaminate" -> (decontaminate _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "text_clean" -> (textClean _),
     "text_quality" -> (textQuality _),
     "pack_sequences" -> (packSequences _),
@@ -239,6 +291,54 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, l,
+        |  unnest(generate_series(1, greatest(len(l) - 8, 1), 24)) AS s
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  array_to_string(l[s:s+31], ' ') AS chunk_text,
+        |  CAST(least(len(l) - s + 1, 32) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "mix_weighted" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END +
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |    CASE source WHEN 'src0' THEN '19' WHEN 'src1' THEN '7f'
+        |      ELSE '3f' END
+        |  THEN 1 ELSE 0 END AS reps
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1, reps)) AS BIGINT) AS epoch
+        |FROM w ORDER BY doc_id, epoch""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $shingleCte,
+        |bm AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0')
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN bm USING (g)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+        |cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+        |  substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 2)
+        |    <= '28' AS is_test
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+        |ORDER BY d.doc_id""".stripMargin,
     "text_clean" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |k AS (SELECT doc_id, l,

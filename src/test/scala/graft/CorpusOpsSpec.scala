@@ -45,6 +45,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.select("doc_id").exceptAll(b.select("doc_id")).isEmpty)
   }
 
+  test("chunking covers every token and respects max/overlap") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = Pack.chunkDocuments(docs, "doc_id",
+      Text.tokens(col("text")), maxTokens = 32, overlap = 8)
+    assert(chunks.filter(col("n_chunk_tokens") > 32).count() == 0)
+    // total tokens = sum of chunk tokens minus double-counted overlaps
+    val tok = docs.select(sum(size(Text.tokens(col("text"))))).as[Long].head()
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("s"), count(lit(1)).as("c"))
+      .select(sum(col("s") - (col("c") - 1) * 8)).as[Long].head()
+    assert(perDoc == tok)
+  }
+
+  test("mixWeighted repeats by base + deterministic fraction, drops base-0 unselected") {
+    val df = Seq((1L, "keep2"), (2L, "drop")).toDF("id", "src")
+    val base = when(col("src") === "keep2", 2).otherwise(0)
+    val out = Sampling.mixWeighted(df, col("id"), base, lit("!"))
+    val got = out.select("id", "epoch").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 1L), (1L, 2L)))
+  }
+
+  test("contamination flags exactly the planted overlap") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "alpha beta gamma epsilon", false), // shares 2 trigrams? no — 1
+      (3L, "zeta eta theta iota", false))
+      .toDF("id", "text", "bm")
+    val out = graft.ext.Dedup.contamination(df, "id", "text", col("bm"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 1L)) // only "alpha beta gamma" is shared
+  }
+
+  test("leakage-safe split puts near-dup pairs on one side") {
+    val split = graft.queries.TextQueries.splitLeakageSafe(spark, sf)
+    val pairs = graft.ext.Dedup.jaccardPairsBlocked(
+      Tables.documents(spark, sf), "doc_id", "text", "source", 3, 0.5)
+    val sides = split.select(col("doc_id"), col("is_test"))
+    val crossed = pairs
+      .join(sides.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("is_test", "t_a"), "id_a")
+      .join(sides.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("is_test", "t_b"), "id_b")
+      .filter(col("t_a") =!= col("t_b")).count()
+    assert(crossed == 0)
+    assert(split.count() == Tables.documents(spark, sf).count())
+  }
+
   test("quality keep flag implies the hard filters") {
     val q = graft.queries.TextQueries.textQuality(spark, sf)
     val bad = q.filter(col("keep") &&

@@ -141,6 +141,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental dedup: match each document of an arriving batch
+    * against the existing corpus — exactly (content hash) and nearly
+    * (blocked n-gram Jaccard) — WITHOUT any corpus × corpus work. This
+    * is the production shape of dedup at 100 TB: the corpus was
+    * deduped once; every new batch only pays batch-vs-corpus joins
+    * (hash equi-join + posting-list join), both proportional to the
+    * batch, and the corpus side is read pre-filtered by the batch's
+    * blocks.
+    *
+    * @return one row per batch doc: `exact_match` (min corpus id with
+    *         identical content, null if none), `near_match` (min
+    *         corpus id with Jaccard ≥ threshold in the same block),
+    *         `n_near` (count of such corpus near-dups, 0 if none).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, blockCol: String, shingleN: Int,
+      minJaccard: Double): DataFrame = {
+    val exact = batch.select(col(idCol), md5(col(textCol)).as("_h"))
+      .join(corpus.select(col(idCol).as("_cid"), md5(col(textCol)).as("_h")), "_h")
+      .groupBy(col(idCol)).agg(min(col("_cid")).as("exact_match"))
+    def postings(df: DataFrame, as: String) = df
+      .select(col(blockCol), col(idCol).as(as + "_id"),
+        array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
+          .as("_set"))
+      .select(col(blockCol), col(as + "_id"), size(col("_set")).as(as + "_sz"),
+        explode(col("_set")).as("_shingle"))
+    val near = postings(batch, "b")
+      .join(postings(corpus, "c"), Seq(blockCol, "_shingle"))
+      .groupBy(col("b_id"), col("c_id"), col("b_sz"), col("c_sz"))
+      .agg(count(lit(1)).as("_inter"))
+      .filter(round(col("_inter").cast("double") /
+        (col("b_sz") + col("c_sz") - col("_inter")).cast("double"), 4)
+        >= minJaccard)
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(col("c_id")).as("near_match"), count(lit(1)).as("n_near"))
+    batch.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     // unit-normalize once per row; the pairwise stage is then one dot

@@ -32,4 +32,18 @@ object Vectors {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v))
+
+  /** Symmetric int8 quantization scale: 127 / max|x|. Stored per
+    * vector; dequantize = q * (1/scale).
+    */
+  def quantScale(v: Column): Column =
+    lit(127.0) / array_max(transform(v, x => abs(x)))
+
+  /** Int8-quantized vector (round-half-up, like both engines' round on
+    * doubles). Per-row map work — the 4× storage/bandwidth shrink that
+    * makes billion-scale ANN serving fit in memory; pairs with
+    * [[quantScale]] for dequantization.
+    */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x => round(x * scale).cast("int"))
 }

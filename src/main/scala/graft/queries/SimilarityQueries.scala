@@ -61,7 +61,24 @@ object SimilarityQueries {
         initCol = "label", iters = 2)
       .orderBy("vec_id")
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * shrink applied before shipping vectors to an ANN serving tier.
+    * Map-only; the quantized vector is emitted as a CSV string so the
+    * gate hash-compares it byte-for-byte.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(spark, dir)
+    val scale = Vectors.quantScale(col("embedding"))
+    emb.select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        concat_ws(",", Vectors.quantize(col("embedding"), scale)).as("qvec"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "embed_quantize" -> (embedQuantize _),
     "kmeans_embeddings" -> (kmeansEmbeddings _),
     "similarity_topk" -> (similarityTopk _),
     "similarity_ivf" -> (similarityIvf _),
@@ -122,6 +139,15 @@ object SimilarityQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding AS v,
+        |  127.0::DOUBLE / list_max(list_transform(embedding, x -> abs(x)))
+        |    AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(round(x * scale) AS INTEGER)), ',') AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin,
     "kmeans_embeddings" -> kmeansOracle,
     "dedup_embedding_lsh" -> lshOracle,
     "similarity_ivf" ->

@@ -261,7 +261,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: docs with doc_id % 5 == 0 arrive as the new
+    * batch, the rest are the already-deduped corpus; each batch doc is
+    * matched exactly (content hash) and nearly (blocked Jaccard)
+    * against the corpus only ([[graft.ext.Dedup.incrementalDedup]]).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalDedup(
+        corpus = docs.filter(col("doc_id") % 5 =!= 0),
+        batch = docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", blockCol = "source", shingleN = 3,
+        minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary induction: top-50 terms by corpus frequency (ties
+    * broken alphabetically) with document frequency — the seed of
+    * tokenizer training. The heavy part is the distributed term
+    * aggregation; the ranking is a distributed top-k
+    * (TakeOrderedAndProject), never a global sort, and the final
+    * row_number window runs over just the k survivors.
+    */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val agg = toks.groupBy("term")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("term"))
+    agg.orderBy(col("cf").desc, col("term")).limit(50)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
+    "vocab_topk" -> (vocabTopk _),
     "chunk_documents" -> (chunkDocuments _),
     "mix_weighted" -> (mixWeighted _),
     "decontaminate" -> (decontaminate _),
@@ -291,6 +327,37 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""WITH $shingleCte,
+        |b AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 5 = 0),
+        |c AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT a.doc_id, min(x.doc_id) AS exact_match
+        |  FROM documents a JOIN documents x ON md5(a.text) = md5(x.text)
+        |    AND x.doc_id % 5 <> 0
+        |  WHERE a.doc_id % 5 = 0 GROUP BY 1),
+        |nr AS (SELECT b.doc_id, min(c.doc_id) AS near_match,
+        |    count(*) AS n_near
+        |  FROM b JOIN c ON b.source = c.source AND
+        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))), 4)
+        |      >= 0.5
+        |  GROUP BY 1)
+        |SELECT d.doc_id, ex.exact_match, nr.near_match,
+        |  CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near
+        |FROM documents d
+        |  LEFT JOIN ex ON d.doc_id = ex.doc_id
+        |  LEFT JOIN nr ON d.doc_id = nr.doc_id
+        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |a AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+        |  FROM t GROUP BY 1),
+        |r AS (SELECT term, cf, df,
+        |  CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank
+        |  FROM a)
+        |SELECT term, cf, df, rank FROM r WHERE rank <= 50
+        |ORDER BY rank""".stripMargin,
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |c AS (SELECT doc_id, l,

@@ -92,6 +92,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(split.count() == Tables.documents(spark, sf).count())
   }
 
+  test("incremental dedup finds planted exact and near matches, no corpus×corpus work") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over dogs", "s"),
+      (11L, "totally different corpus content here", "s"))
+      .toDF("id", "text", "src")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over dogs", "s"),  // exact dup of 10
+      (101L, "the quick brown fox jumps over cats", "s"),  // near dup of 10
+      (102L, "nothing like anything in the corpus", "s"))
+      .toDF("id", "text", "src")
+    val out = graft.ext.Dedup.incrementalDedup(corpus, batch,
+        "id", "text", "src", shingleN = 3, minJaccard = 0.5)
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      (100L, Some(10L), Some(10L), 1L),
+      (101L, None, Some(10L), 1L),
+      (102L, None, None, 0L)))
+  }
+
+  test("int8 quantization reconstructs within half a step") {
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val scale = Vectors.quantScale(col("embedding"))
+    val err = emb.select(
+        max(aggregate(
+          zip_with(Vectors.quantize(col("embedding"), scale).cast("array<double>"),
+            col("embedding").cast("array<double>"),
+            (q, x) => abs(q / scale - x)),
+          lit(0.0), (a, v) => greatest(a, v))).as("e"))
+      .as[Double].head()
+    // max abs error of dequantized value = 0.5 / scale; scale >= 127/max|x|
+    val bound = emb.select(max(lit(0.5) / scale)).as[Double].head()
+    assert(err <= bound + 1e-12, s"err $err > bound $bound")
+  }
+
   test("quality keep flag implies the hard filters") {
     val q = graft.queries.TextQueries.textQuality(spark, sf)
     val bad = q.filter(col("keep") &&

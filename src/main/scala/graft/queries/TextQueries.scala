@@ -295,7 +295,41 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** The corpus-assembly DAG end-to-end, as one declarative plan:
+    * clean (repeat collapse + scrub) → quality filter (hard flags on
+    * the cleaned text) → exact dedup (keep min id per content hash) →
+    * per-domain quota (hash-ordered cap) → sequence packing. Each
+    * stage is the already-gated operator; composing them in one query
+    * lets Catalyst pipeline the map-side stages and share the scan —
+    * the per-stage shuffles (dedup hash, quota window, pack window)
+    * are the only exchanges in the plan.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val cleaned = docs.select(col("doc_id"), col("source"),
+      Text.scrub(concat_ws(" ", Text.collapseRepeats(Text.tokens(col("text")))))
+        .as("clean_text"))
+    val ctoks = Text.tokens(col("clean_text"))
+    val n = size(ctoks).cast("double")
+    val qual = cleaned
+      .withColumn("n_tokens", size(ctoks).cast("long"))
+      .withColumn("distinct_ratio", round(size(array_distinct(ctoks)) / n, 6))
+      .withColumn("stop_ratio", round(Text.countIn(ctoks, stopwords) / n, 6))
+      .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3 &&
+        col("stop_ratio") >= 0.01)
+    val deduped = qual
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col("clean_text"))).orderBy("doc_id")))
+      .filter(col("_rn") === 1).drop("_rn")
+    val capped = Sampling.quotaPerGroup(deduped, col("doc_id"), "source", 20)
+    Pack.sequences(capped, "doc_id", col("n_tokens"), "source", budget = 256)
+      .select("doc_id", "source", "n_tokens", "chunk_id")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "corpus_pipeline" -> (corpusPipeline _),
     "dedup_incremental" -> (dedupIncremental _),
     "vocab_topk" -> (vocabTopk _),
     "chunk_documents" -> (chunkDocuments _),
@@ -327,6 +361,52 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_pipeline" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l
+        |  FROM documents),
+        |k AS (SELECT doc_id, source,
+        |  list_filter(list_transform(generate_series(1, len(l)), i ->
+        |    CASE WHEN l[i] IS DISTINCT FROM l[i-1] THEN l[i] END),
+        |    v -> v IS NOT NULL) AS kept
+        |  FROM t),
+        |c AS (SELECT doc_id, source,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    array_to_string(kept, ' '),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+        |  FROM k),
+        |q AS (SELECT doc_id, source, clean_text,
+        |  string_split(clean_text, ' ') AS cl FROM c),
+        |f AS (SELECT doc_id, source, clean_text,
+        |  CAST(len(cl) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(cl)) AS DOUBLE) / len(cl), 6)
+        |    AS distinct_ratio,
+        |  round(CAST(len(list_filter(cl,
+        |    x -> x IN ('the','a','or','and','of','to','in'))) AS DOUBLE)
+        |    / len(cl), 6) AS stop_ratio
+        |  FROM q),
+        |g AS (SELECT * FROM f WHERE n_tokens >= 20
+        |  AND distinct_ratio >= 0.3 AND stop_ratio >= 0.01),
+        |d AS (SELECT * FROM (SELECT g.*, row_number() OVER (
+        |    PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn FROM g)
+        |  WHERE rn = 1),
+        |s AS (SELECT * FROM (SELECT d.doc_id, d.source, d.n_tokens,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS srank
+        |    FROM d)
+        |  WHERE srank <= 20),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens,
+        |  source || '_' ||
+        |    CAST(CAST(floor(start_offset / 256) AS BIGINT) AS VARCHAR)
+        |    AS chunk_id
+        |FROM o ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $shingleCte,
         |b AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 5 = 0),

@@ -65,6 +65,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(400))
   }
 
+  test("corpus pipeline: one scan, two exchanges (source partition reused)") {
+    val p = plan(graft.queries.TextQueries.corpusPipeline(spark, sf))
+    // 2 hash exchanges: content-hash dedup window + ONE source
+    // partition shared by the quota and pack windows (the 3rd exchange
+    // is the final orderBy's range partition — determinism scaffolding)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).length == 2, p.take(600))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+  }
+
   test("tf-idf counts partially aggregate before their shuffles") {
     val p = plan(graft.ext.TfIdf.topTerms(Tables.documents(spark, sf),
       "doc_id", "text", k = 3))

@@ -205,7 +205,34 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Time-series resampling: per-user daily spine (min..max day, gaps
+    * included) with event counts gap-filled to 0 and the day value
+    * forward-filled from the last observed day — the
+    * regularize-then-interpolate step of metric pipelines. The spine
+    * is generated distributively (per-key `sequence` explode, no
+    * driver-side calendar), and the forward fill is a running
+    * `last(ignoreNulls)` frame — one pass per key, no self-join.
+    */
+  def resampleDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"),
+        count(lit(1)).as("n_events"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "resample_daily" -> (resampleDaily _),
     "sample_stratified" -> (sampleStratified _),
     "array_agg_types" -> (arrayAgg _),
     "cube_customers" -> (cubeRevenue _),
@@ -221,6 +248,22 @@ object AnalyticsQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "resample_daily" ->
+      """WITH d AS (SELECT user_id,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  round(sum(value), 4) AS day_value, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id,
+        |  unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE
+        |    AS day
+        |  FROM d GROUP BY user_id)
+        |SELECT sp.user_id, sp.day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY sp.user_id ORDER BY sp.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM sp LEFT JOIN d ON sp.user_id = d.user_id AND sp.day = d.day
+        |ORDER BY sp.user_id, sp.day""".stripMargin,
     "sample_stratified" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <=

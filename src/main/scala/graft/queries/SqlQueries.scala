@@ -47,8 +47,22 @@ object SqlQueries {
         |     WHERE o2.o_custkey = orders.o_custkey), 6) AS share
         |FROM orders ORDER BY o_orderkey""".stripMargin)
 
+  /** Explicit GROUPING SETS with grouping() markers (generalizes the
+    * cube/rollup queries: arbitrary set lists in one pass).
+    */
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    withViews(spark, dir, "customer")(
+      """SELECT c_mktsegment, c_nationkey % 3 AS nation_grp,
+        |  count(*) AS n_customers,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(grouping(c_nationkey % 3) AS BIGINT) AS g_ng
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 3), ())
+        |ORDER BY g_seg, g_ng, c_mktsegment, nation_grp""".stripMargin)
+
   val defs: Map[String, Q] = Map(
     "sql_daily_mart" -> (sqlDailyMart _),
+    "sql_grouping_sets" -> (sqlGroupingSets _),
     "sql_correlated_subquery" -> (sqlCorrelatedSubquery _))
 
   val oracles: Map[String, String] = Map(
@@ -59,5 +73,13 @@ object SqlQueries {
         |  round(o_totalprice /
         |    (SELECT sum(o2.o_totalprice) FROM orders o2
         |     WHERE o2.o_custkey = orders.o_custkey), 6) AS share
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey % 3 AS nation_grp,
+        |  count(*) AS n_customers,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(grouping(c_nationkey % 3) AS BIGINT) AS g_ng
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey % 3), ())
+        |ORDER BY g_seg, g_ng, c_mktsegment, nation_grp""".stripMargin)
 }

@@ -45,12 +45,17 @@ object Clusters {
     val p = math.max(4L, math.min(saved.toLong, edgeCount / 50000L)).toString
     spark.conf.set("spark.sql.shuffle.partitions", p)
     try {
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("cluster", col("node"))
+      // fused round 1: with every node initially labeled by itself,
+      // the first propagation round is exactly least(self, min
+      // neighbor) — computable straight from the edge list, saving a
+      // full join+checkpoint round
+      var labels = edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("_nmin"))
+        .select(col("node"), least(col("node"), col("_nmin")).as("cluster"))
         .localCheckpoint()
 
       var converged = false
-      var i = 0
+      var i = 1
       while (!converged && i < maxIter) {
         // min label among each node's neighbors this round
         val neighborMin = edges

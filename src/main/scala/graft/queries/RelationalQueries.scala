@@ -81,12 +81,44 @@ object RelationalQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** The salted-join skew shape behind the correctness gate: revenue
+    * per supplier nation through [[graft.operators.Skew.saltedJoin]]
+    * (fact side salted 8 ways on a row-id expression, dimension
+    * replicated per salt) — proving the rewrite is result-identical to
+    * the plain join. On skew-free data the salt is pure overhead (and
+    * supplier would broadcast anyway); the query exists to gate the
+    * operator a 100 TB plan reaches for when one hot key owns a
+    * reducer.
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir).select(
+      col("l_suppkey").as("suppkey"), col("l_extendedprice"),
+      col("l_discount"), col("l_orderkey"), col("l_linenumber"))
+    val small = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Skew
+      .saltedJoin(big, small, Seq("suppkey"),
+        spread = col("l_orderkey") * lit(7) + col("l_linenumber"), salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
+    "join_salted" -> (joinSalted _),
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_regional_revenue" -> (regionalRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT s_nationkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

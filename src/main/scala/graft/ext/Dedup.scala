@@ -182,6 +182,28 @@ object Dedup {
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs on a bounded key prefix,
+    * blocked like [[jaccardPairsBlocked]] — the entity-resolution
+    * flavor of dedup (typo-level variants that shingle sets can miss).
+    * Levenshtein is O(p²) per pair on the truncated prefix, and the
+    * block join bounds the pair count; at scale the block should be a
+    * cheap cluster key (here: source) so no block exceeds one
+    * executor's slice.
+    */
+  def fuzzyPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, prefixLen: Int, maxDist: Int): DataFrame = {
+    val p = df.select(col(blockCol), col(idCol),
+      substring(col(textCol), 1, prefixLen).as("_p"))
+    val a = p.select(col(blockCol), col(idCol).as("id_a"), col("_p").as("_pa"))
+    val b = p.select(col(blockCol), col(idCol).as("id_b"), col("_p").as("_pb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("_pa"), col("_pb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     // unit-normalize once per row; the pairwise stage is then one dot

@@ -231,7 +231,32 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Event-time rolling window: per-user 7-day trailing average and
+    * count via a RANGE frame over epoch-microseconds — the
+    * time-anchored (not row-anchored) rolling metric. One shuffle on
+    * the key, one sort, then a streaming frame scan per partition.
+    * The average aggregates cent-precision integers (exact, summation-
+    * order-independent) and is emitted in integer micro-units
+    * (truncating division; values are positive) — fully deterministic,
+    * no float rounding anywhere: sliding-frame evaluation strategies
+    * and round-ties can't drift.
+    */
+  def windowRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-604800000000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("_cents"), col("ts"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("_sum_c", sum(col("_cents")).over(w))
+      .withColumn("avg_7d_micro", expr("(_sum_c * 10000) div n_7d"))
+      .select("event_id", "user_id", "avg_7d_micro", "n_7d")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "window_rolling_7d" -> (windowRolling7d _),
     "resample_daily" -> (resampleDaily _),
     "sample_stratified" -> (sampleStratified _),
     "array_agg_types" -> (arrayAgg _),
@@ -248,6 +273,16 @@ object AnalyticsQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "window_rolling_7d" ->
+      """SELECT event_id, user_id,
+        |  CAST((sum(CAST(round(value * 100) AS BIGINT)) OVER w * 10000)
+        |    // count(*) OVER w AS BIGINT) AS avg_7d_micro,
+        |  count(*) OVER w AS n_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "resample_daily" ->
       """WITH d AS (SELECT user_id,
         |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

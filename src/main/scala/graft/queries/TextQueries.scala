@@ -328,7 +328,16 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance near-dup pairs on 40-char prefixes within source
+    * blocks ([[graft.ext.Dedup.fuzzyPairsBlocked]]).
+    */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairsBlocked(Tables.documents(spark, dir), "doc_id", "text",
+        blockCol = "source", prefixLen = 40, maxDist = 12)
+      .orderBy("id_a", "id_b")
+
   val defs: Map[String, Q] = Map(
+    "dedup_fuzzy" -> (dedupFuzzy _),
     "corpus_pipeline" -> (corpusPipeline _),
     "dedup_incremental" -> (dedupIncremental _),
     "vocab_topk" -> (vocabTopk _),
@@ -361,6 +370,14 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy" ->
+      """WITH p AS (SELECT doc_id, source, substr(text, 1, 40) AS pf
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS edit_dist
+        |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pf, b.pf) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
     "corpus_pipeline" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l
         |  FROM documents),

@@ -198,9 +198,12 @@ object Dedup {
     val b = p.select(col(blockCol), col(idCol).as("id_b"), col("_p").as("_pb"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
+      // thresholded levenshtein runs the banded O(p·maxDist) algorithm
+      // and returns -1 past the cutoff — same kept pairs, ~O(p/maxDist)×
+      // cheaper on the (dominant) far pairs
       .withColumn("edit_dist",
-        levenshtein(col("_pa"), col("_pb")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("_pa"), col("_pb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 

@@ -79,12 +79,29 @@ object Text {
   /** Adjacent-repeat collapse: drops each token equal to its
     * predecessor ("batch batch batch" → "batch") — the cheap
     * boilerplate/stutter normalization every corpus-cleaning pass
-    * runs before dedup. Null-safe compare against `get` (0-based,
-    * null out-of-bounds) keeps the first token unconditionally.
-    * Pure per-row array work — map-only, zero shuffle.
+    * runs before dedup. Computed by the codegen'd native
+    * [[graft.plans.CollapseRepeats]] (the HOF formulation
+    * [[collapseRepeatsHof]] evaluates an interpreted lambda frame per
+    * token; spec-checked equal). Pure per-row array work — map-only,
+    * zero shuffle.
     */
   def collapseRepeats(toks: Column): Column =
+    call_function("graft_collapse", toks)
+
+  /** Builtin-HOF collapse (no extension registration needed): keeps
+    * each token not null-safe-equal to its predecessor (`get` is
+    * 0-based and null out-of-bounds, so the first token always stays).
+    */
+  def collapseRepeatsHof(toks: Column): Column =
     filter(toks, (t, i) => !(t <=> get(toks, i - lit(1))))
+
+  /** One-pass native token statistics
+    * ([[graft.plans.TextStats]]): struct(n_tokens, n_distinct,
+    * n_stop, n_repeat).
+    */
+  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
+    call_function("graft_textstats",
+      (toks +: stopwords.map(lit(_))): _*)
 
   /** PII/noise scrub patterns (RE2-safe so the same pattern runs in
     * any engine): URLs, emails and long digit runs replaced by typed

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dotFunction)
     e.injectFunction(GraftExtensions.minhashFunction)
     e.injectFunction(GraftExtensions.shinglesFunction)
+    e.injectFunction(GraftExtensions.collapseFunction)
+    e.injectFunction(GraftExtensions.textstatsFunction)
   }
 }
 
@@ -69,6 +71,29 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
     buildShingles _)
 
+  /** `graft_textstats(tokens, stopwords...)` — stopwords as trailing
+    * string literals (they parameterize the expression, not the rows).
+    */
+  private def buildTextStats(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val words = children.tail.map {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_textstats: stopwords must be string literals, got $other")
+    }
+    TextStats(children.head, words)
+  }
+
+  private val collapseFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_collapse"),
+    new ExpressionInfo(classOf[CollapseRepeats].getName, "graft_collapse"),
+    (children: Seq[Expression]) => CollapseRepeats(children.head))
+
+  private val textstatsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_textstats"),
+    new ExpressionInfo(classOf[TextStats].getName, "graft_textstats"),
+    buildTextStats _)
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -77,6 +102,10 @@ object GraftExtensions {
       "graft_minhash", buildMinhash _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", buildShingles _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_collapse", exprs => CollapseRepeats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_textstats", buildTextStats _, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

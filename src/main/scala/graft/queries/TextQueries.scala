@@ -171,18 +171,19 @@ object TextQueries {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = Text.tokens(col("text"))
-    val kept = Text.collapseRepeats(toks)
-    val n = size(toks).cast("double")
+    val n = col("_st.n_tokens").cast("double")
     val linear = lit(-2.0) +
       lit(4.0) * col("distinct_ratio") + lit(8.0) * col("stop_ratio") -
       lit(6.0) * col("dup_ratio") + lit(0.005) * col("n_tokens")
-    docs.select(
+    docs
+      .select(col("doc_id"),
+        Text.tokenStats(Text.tokens(col("text")), stopwords).as("_st"))
+      .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        round(size(array_distinct(toks)) / n, 6).as("distinct_ratio"),
-        round(Text.countIn(toks, stopwords) / n, 6).as("stop_ratio"),
-        round((size(toks) - size(kept)) / n, 6).as("dup_ratio"))
+        col("_st.n_tokens").as("n_tokens"),
+        round(col("_st.n_distinct") / n, 6).as("distinct_ratio"),
+        round(col("_st.n_stop") / n, 6).as("stop_ratio"),
+        round(col("_st.n_repeat") / n, 6).as("dup_ratio"))
       .withColumn("quality_score",
         round(lit(1.0) / (lit(1.0) + exp(-linear)), 4))
       .withColumn("keep",
@@ -310,18 +311,31 @@ object TextQueries {
     val cleaned = docs.select(col("doc_id"), col("source"),
       Text.scrub(concat_ws(" ", Text.collapseRepeats(Text.tokens(col("text")))))
         .as("clean_text"))
-    val ctoks = Text.tokens(col("clean_text"))
-    val n = size(ctoks).cast("double")
-    val qual = cleaned
-      .withColumn("n_tokens", size(ctoks).cast("long"))
-      .withColumn("distinct_ratio", round(size(array_distinct(ctoks)) / n, 6))
-      .withColumn("stop_ratio", round(Text.countIn(ctoks, stopwords) / n, 6))
+    val n = col("_st.n_tokens").cast("double")
+    // native one-pass feature extraction (graft_textstats) + a
+    // persist barrier: filter pushdown and project collapsing would
+    // otherwise inline the regex-scrub chain into every downstream
+    // consumer (measured 7 copies in the plan, ~5s at sf0.1).
+    // Materializing the clean layer once is also the 100 TB shape — a
+    // corpus pipeline persists its cleaned corpus, it doesn't
+    // re-derive it per downstream op.
+    // the content hash is extracted WITH the features so clean_text
+    // itself is dropped before any exchange — the windows downstream
+    // shuffle skinny (id, source, hash, counts) rows, never documents
+    val featured = cleaned
+      .withColumn("_st", Text.tokenStats(Text.tokens(col("clean_text")), stopwords))
+      .select(col("doc_id"), col("source"), md5(col("clean_text")).as("_h"),
+        col("_st.n_tokens").as("n_tokens"),
+        round(col("_st.n_distinct") / n, 6).as("distinct_ratio"),
+        round(col("_st.n_stop") / n, 6).as("stop_ratio"))
+      .cache()
+    val qual = featured
       .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3 &&
         col("stop_ratio") >= 0.01)
     val deduped = qual
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(md5(col("clean_text"))).orderBy("doc_id")))
-      .filter(col("_rn") === 1).drop("_rn")
+        Window.partitionBy(col("_h")).orderBy("doc_id")))
+      .filter(col("_rn") === 1).drop("_rn", "_h")
     val capped = Sampling.quotaPerGroup(deduped, col("doc_id"), "source", 20)
     Pack.sequences(capped, "doc_id", col("n_tokens"), "source", budget = 256)
       .select("doc_id", "source", "n_tokens", "chunk_id")

@@ -67,13 +67,38 @@ object PipelineQueries {
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     Streams.purchasesAfterSignups(spark, dir)
 
+  /** Append-mode streaming session windows — each session emits
+    * exactly once when the watermark passes its end (sentinel
+    * micro-batch flushes the trailing state); must equal batch
+    * sessionization.
+    */
+  def streamingSessionize(spark: SparkSession, dir: String): DataFrame =
+    Streams.sessionWindows(spark, dir)
+
   val defs: Map[String, Q] = Map(
+    "streaming_sessionize" -> (streamingSessionize _),
     "merge_upsert_daily" -> (mergeUpsertDaily _),
     "streaming_daily_metrics" -> (streamingDaily _),
     "streaming_latest_per_key" -> (streamingLatest _),
     "streaming_interval_join" -> (streamingIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    event_id FROM events),
+        |m AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
     "merge_upsert_daily" ->
       """SELECT user_id, event_date, event_id, event_type, value FROM (
         |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)

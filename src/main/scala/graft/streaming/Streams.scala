@@ -41,7 +41,7 @@ object Streams {
     * by every stream reading it, so it is memoized per process.
     */
   private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), String]()
 
   /** Streaming read of the events table (micro-batched file source).
     * The file source requires a directory, so the parquet data is
@@ -56,9 +56,17 @@ object Streams {
     * advances between batches and evicts closed-window state — the
     * shape a production landing zone has.
     */
-  def eventsStream(spark: SparkSession, dir: String, batches: Int = 1): DataFrame = {
+  /** With `flushSentinel` the landing zone gets one final single-row
+    * micro-batch far in event-time future (user_id = -1; filter it
+    * from results): its only job is to advance the watermark past
+    * every open window so append-mode aggregations flush their
+    * trailing state — the finite-replay analogue of the stream
+    * staying live past the last real event.
+    */
+  def eventsStream(spark: SparkSession, dir: String, batches: Int = 1,
+      flushSentinel: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = stagedDirs.computeIfAbsent((dir, batches), { _ =>
+    val staged = stagedDirs.computeIfAbsent((dir, batches, flushSentinel), { _ =>
       val out = Files.createTempDirectory("graft-stream-src")
       if (batches <= 1) {
         Files.copy(
@@ -77,6 +85,30 @@ object Streams {
           // deterministic arrival order regardless of copy speed
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      }
+      if (flushSentinel) {
+        import spark.implicits._
+        val maxTs = spark.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        // two sentinel micro-batches: the watermark a batch runs with
+        // comes from the PREVIOUS batch's max event time, so the first
+        // sentinel advances it and the second triggers the batch that
+        // actually emits the flushed windows
+        Seq(10L, 20L).zipWithIndex.foreach { case (days, i) =>
+          val sentTmp = Files.createTempDirectory("graft-stream-sent")
+            .resolve("d").toString
+          Seq((-1L - i, maxTs + days * 86400L * 1000000000L, -1L, "sentinel",
+              0.0, null.asInstanceOf[String]))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.parquet(sentTmp)
+          val part = new java.io.File(sentTmp).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          val dst = out.resolve(s"zzz-sentinel$i.parquet")
+          Files.copy(part.toPath, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + (990 + i) * 60000L))
         }
       }
       out.toString
@@ -214,16 +246,28 @@ object Streams {
   /** Session windows (gap-based) in streaming — the streaming twin of
     * the batch [[graft.operators.Sessionize]] operator. Returns one row
     * per (user, session window) with event count and value sum.
+    *
+    * Production-shaped: APPEND mode — each session emits exactly once,
+    * when the watermark passes its end, and its state is evicted; the
+    * sentinel micro-batch flushes the trailing sessions a live stream
+    * would flush on the next real arrival. Emissions append to the
+    * parquet changelog; nothing driver-resident, state ∝ open sessions.
     */
   def sessionWindows(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 day")
+    val agg = eventsStream(spark, dir, batches = 3, flushSentinel = true)
+      .withWatermark("ts", gap)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
-    runToTable(agg, "complete")
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
+    // the sentinel rows are excluded AFTER the sink: a pre-agg filter
+    // on the grouping key would be pushed into the file scan and strip
+    // the sentinel before it can advance the watermark
+    runToCompactedChangelog(agg, "append",
+        keys = Seq("user_id", "session_start"), versionCols = Seq("n_events"))
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "n_events", "session_value")
       .orderBy("user_id", "session_start")
   }
 

@@ -106,13 +106,61 @@ object RelationalQueries {
       .orderBy("s_nationkey")
   }
 
+  /** Bucketed co-located join behind the correctness gate: both sides
+    * written bucketed on the join key (datasource tables, no Hive),
+    * then joined with broadcast disabled — the sort-merge join reads
+    * pre-partitioned buckets with NO exchange on either side
+    * (plan-guarded in `BucketingSpec`). This is how a 100 TB fact
+    * table joins repeatedly without re-shuffling: pay the partition
+    * once at write time.
+    */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    // external tables at a fresh temp location: a stale managed-table
+    // dir from a previous session would collide with the (in-memory)
+    // catalog's overwrite
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    li.write.mode("overwrite").option("path", s"$wh/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    ord.write.mode("overwrite").option("path", s"$wh/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_ord_bucketed")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.table("graft_li_bucketed")
+        .join(spark.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          round(sum(col("l_quantity")), 2).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("order_year")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   val defs: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
     "join_salted" -> (joinSalted _),
+    "join_bucketed" -> (joinBucketed _),
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_regional_revenue" -> (regionalRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(l_quantity), 2) AS total_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY order_year""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -74,6 +74,22 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan(graft.ext.Dedup.contamination(Tables.documents(spark, sf),
+      "doc_id", "text", org.apache.spark.sql.functions.col("source") === "src0", 3))
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("incremental dedup joins postings, never documents crosswise") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(graft.ext.Dedup.incrementalDedup(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+      "doc_id", "text", "source", 3, 0.5))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("tf-idf counts partially aggregate before their shuffles") {
     val p = plan(graft.ext.TfIdf.topTerms(Tables.documents(spark, sf),
       "doc_id", "text", k = 3))

@@ -145,12 +145,23 @@ object AnalyticsQueries {
     * sketch shuffles a fixed-size buffer per group. No SQL oracle
     * (approximate); the error bound vs exact is spec-tested.
     */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  /** Approximate distinct counts via the portable deterministic HLL
+    * ([[graft.ext.Hll]]) rather than Spark's engine-private
+    * `approx_count_distinct`, so the estimate itself is oracle-checkable.
+    * Both sketches share ONE scan: the two key columns are exploded to
+    * (column-id, value) rows, sketched together, then pivoted back.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        posexplode(array(col("l_partkey").cast("string"),
+          col("l_orderkey").cast("string"))).as(Seq("_ci", "_v")))
+    graft.ext.Hll.approxDistinct(exploded, Seq("l_returnflag", "_ci"), "_v", "est")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+      .agg(max(when(col("_ci") === 0, col("est"))).as("approx_parts"),
+        max(when(col("_ci") === 1, col("est"))).as("approx_orders"))
       .orderBy("l_returnflag")
+  }
 
   /** Exact distinct aggregates (expands to two-phase agg in Spark). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
@@ -273,6 +284,52 @@ object AnalyticsQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
+    // BIGINT harmonic sum, same literal association in the estimate so
+    // the double arithmetic is bit-equal.
+    "approx_distinct" ->
+      """WITH raw AS (
+        |  SELECT l_returnflag, 0 AS ci, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 1 AS ci, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+        |), pre AS (
+        |  SELECT l_returnflag, ci, h,
+        |    regexp_replace(substr(h, 3, 10), '^0+', '') AS s
+        |  FROM raw
+        |), reg AS (
+        |  SELECT l_returnflag, ci,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b,
+        |    CASE WHEN length(s) = 0 THEN 41
+        |         ELSE 4 * (10 - length(s))
+        |           + CASE WHEN substr(s, 1, 1) = '1' THEN 3
+        |                  WHEN substr(s, 1, 1) IN ('2', '3') THEN 2
+        |                  WHEN substr(s, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                  ELSE 0 END + 1 END AS r
+        |  FROM pre
+        |), regs AS (
+        |  SELECT l_returnflag, ci, b, max(r) AS m FROM reg GROUP BY 1, 2, 3
+        |), folded AS (
+        |  SELECT l_returnflag, ci,
+        |    sum(CAST(1 AS BIGINT) << (41 - m)) AS sh, count(*) AS nb
+        |  FROM regs GROUP BY 1, 2
+        |), est AS (
+        |  SELECT l_returnflag, ci,
+        |    CAST(floor(CASE WHEN e <= 640.0 AND v > 0.0
+        |      THEN 256.0 * ln(256.0 / v) ELSE e END) AS BIGINT) AS estl
+        |  FROM (SELECT l_returnflag, ci,
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE)
+        |        * CAST(2199023255552.0 AS DOUBLE)
+        |        / (sh + (CAST(256 AS BIGINT) - nb) * CAST(2199023255552 AS BIGINT)) AS e,
+        |      CAST(256 - nb AS DOUBLE) AS v
+        |    FROM folded)
+        |)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN ci = 0 THEN estl END) AS approx_parts,
+        |  max(CASE WHEN ci = 1 THEN estl END) AS approx_orders
+        |FROM est GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "window_rolling_7d" ->
       """SELECT event_id, user_id,
         |  CAST((sum(CAST(round(value * 100) AS BIGINT)) OVER w * 10000)

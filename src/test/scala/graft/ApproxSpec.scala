@@ -18,4 +18,36 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.03, s"approx=$a exact=$e")
     }
   }
+
+  // m=256 registers → rsd = 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma.
+  test("portable HLL within 3x rsd of exact on real keys") {
+    val li = Tables.lineitem(spark, sf)
+    val approx = ext.Hll.approxDistinct(li, Seq("l_returnflag"), "l_partkey", "approx")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+    approx.join(exact, "l_returnflag").collect().foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e <= 0.20, s"approx=$a exact=$e")
+    }
+  }
+
+  test("portable HLL ignores nulls and is deterministic across runs") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None, Some("a"), Some("c"))
+      .toDF("v").withColumn("g", lit(1))
+    val r1 = ext.Hll.approxDistinct(df, Seq("g"), "v", "n").collect()
+    val r2 = ext.Hll.approxDistinct(df.repartition(7), Seq("g"), "v", "n").collect()
+    assert(r1.sameElements(r2), s"${r1.toSeq} vs ${r2.toSeq}")
+    // 3 distincts, tiny cardinality → linear-counting path, near-exact
+    assert(math.abs(r1.head.getAs[Long]("n") - 3L) <= 1)
+  }
+
+  test("portable HLL register shape: at most m rows shuffle per group") {
+    val li = Tables.lineitem(spark, sf)
+    val out = ext.Hll.approxDistinct(li, Seq("l_returnflag"), "l_orderkey", "n")
+    val plan = out.queryExecution.executedPlan.toString
+    // two-level aggregation: partial max per bucket before the exchange
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan.take(400))
+    assert(out.count() == 3)
+  }
 }

@@ -20,6 +20,23 @@ object Text {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** PII scrub: replace emails, international-format phone numbers and
+    * IPv4 addresses with typed placeholder tokens. The patterns are
+    * RE2-safe (no backrefs/lookaround) so the DuckDB oracle applies the
+    * byte-identical regexes; replacement is global in both engines.
+    * Map-only — composes with [[cleanText]] in the corpus pipeline.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Word n-gram shingles. Documents shorter than `n` tokens collapse
     * to a single whole-text shingle so every document has a non-empty
     * shingle set. Computed by the codegen'd native

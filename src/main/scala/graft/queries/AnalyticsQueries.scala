@@ -163,6 +163,22 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Per-user event frequency estimated from a Count-Min sketch
+    * ([[graft.ext.CountMin]]) next to the exact count — the estimate is
+    * itself deterministic and oracle-checked, and the exact column
+    * makes the CM overestimate bound visible in the output.
+    */
+  def sketchCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = graft.ext.CountMin.sketch(ev, "user_id")
+    val probes = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+    graft.ext.CountMin.estimate(sk, probes, "user_id", "cm_estimate")
+      .join(ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n")),
+        Seq("user_id"))
+      .orderBy("user_id")
+  }
+
   /** Exact distinct aggregates (expands to two-phase agg in Spark). */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -281,9 +297,40 @@ object AnalyticsQueries {
     "pivot_event_types" -> (pivotEventTypes _),
     "topk_orders" -> (topkOrders _),
     "distinct_agg" -> (distinctAgg _),
-    "approx_distinct" -> (approxDistinct _))
+    "approx_distinct" -> (approxDistinct _),
+    "sketch_countmin" -> (sketchCountMin _))
 
   val oracles: Map[String, String] = Map(
+    // Mirrors graft.ext.CountMin: salted md5 row-hashes, 256 buckets,
+    // exact BIGINT counters, min over the d=4 rows.
+    "sketch_countmin" ->
+      """WITH hashed AS (
+        |  SELECT i, md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS i, user_id
+        |        FROM events WHERE user_id IS NOT NULL)
+        |), sk AS (
+        |  SELECT i,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b,
+        |    count(*) AS cnt
+        |  FROM hashed GROUP BY 1, 2
+        |), pe AS (
+        |  SELECT user_id, i,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b
+        |  FROM (SELECT user_id, i,
+        |      md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
+        |    FROM (SELECT unnest(generate_series(0, 3)) AS i, user_id
+        |          FROM (SELECT DISTINCT user_id FROM events
+        |                WHERE user_id IS NOT NULL)))
+        |), est AS (
+        |  SELECT user_id, min(COALESCE(cnt, CAST(0 AS BIGINT))) AS cm_estimate
+        |  FROM pe LEFT JOIN sk ON pe.i = sk.i AND pe.b = sk.b GROUP BY 1
+        |)
+        |SELECT est.user_id, cm_estimate, exact_n
+        |FROM est JOIN (SELECT user_id, count(*) AS exact_n
+        |               FROM events GROUP BY 1) e ON est.user_id = e.user_id
+        |ORDER BY est.user_id""".stripMargin,
     // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
     // BIGINT harmonic sum, same literal association in the estimate so
     // the double arithmetic is bit-equal.

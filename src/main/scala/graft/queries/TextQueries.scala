@@ -350,7 +350,64 @@ object TextQueries {
         blockCol = "source", prefixLen = 40, maxDist = 12)
       .orderBy("id_a", "id_b")
 
+  /** Collocation mining: adjacent-bigram PMI over the corpus. The
+    * bigram and marginal counts are exact integers (one hash agg each,
+    * partial-aggregated before their shuffles; the marginals and the
+    * grand total are broadcast back); the single `ln` at scoring time
+    * is the only floating-point step. Ranked on `round(pmi, 9)` with
+    * (w1, w2) tie-breaks for a cross-engine-stable top 50.
+    */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("_t")
+    val bg = Tables.documents(spark, dir)
+      .select(Text.tokens(col("text")).as("_t"))
+      .filter(size(t) >= 2)
+      .select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("_bg"))
+      .select(col("_bg.w1"), col("_bg.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cL = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val cR = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").as("n"))
+    val scored = c12
+      .join(broadcast(cL), "w1").join(broadcast(cR), "w2")
+      .crossJoin(broadcast(n))
+      .filter(col("c12") >= 5)
+      .withColumn("_pmi", log((col("c12") * col("n")).cast("double") /
+        (col("c1") * col("c2")).cast("double")))
+    val w = Window.orderBy(round(col("_pmi"), 9).desc, col("w1"), col("w2"))
+    scored.orderBy(round(col("_pmi"), 9).desc, col("w1"), col("w2")).limit(50)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        round(col("_pmi"), 6).as("pmi"))
+      .orderBy("rank")
+  }
+
+  /** PII redaction over the corpus ([[Text.redactPii]]): the synthetic
+    * corpus carries no PII, so deterministic spans (an email, a phone,
+    * an IP derived from doc_id) are injected first — the redaction
+    * behavior, not the injection, is the operator under test. Map-only,
+    * zero shuffle; match counts come from the pre-redaction text.
+    */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact u"), col("doc_id"), lit("@mail.example or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(injected, lit(Text.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(injected, lit(Text.PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(injected, lit(Text.Ipv4Re)).cast("long").as("n_ips"),
+        Text.redactPii(injected).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "text_collocations" -> (textCollocations _),
+    "text_redact" -> (textRedact _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "corpus_pipeline" -> (corpusPipeline _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -384,6 +441,43 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2
+        |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM t WHERE len(l) >= 2)
+        |), c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |m AS (SELECT w1, w2, c12,
+        |    sum(c12) OVER (PARTITION BY w1) AS c1,
+        |    sum(c12) OVER (PARTITION BY w2) AS c2,
+        |    sum(c12) OVER () AS n FROM c),
+        |s AS (SELECT w1, w2, c12,
+        |    ln(CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) AS pmi
+        |  FROM m WHERE c12 >= 5)
+        |SELECT CAST(row_number() OVER (ORDER BY round(pmi, 9) DESC, w1, w2)
+        |    AS BIGINT) AS rank,
+        |  w1, w2, c12, round(pmi, 6) AS pmi
+        |FROM s ORDER BY rank LIMIT 50""".stripMargin,
+    "text_redact" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(s,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,6}', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "dedup_fuzzy" ->
       """WITH p AS (SELECT doc_id, source, substr(text, 1, 40) AS pf
         |  FROM documents)

@@ -42,6 +42,33 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(r1.head.getAs[Long]("n") - 3L) <= 1)
   }
 
+  test("count-min estimate upper-bounds the exact count, tightly for most keys") {
+    val ev = Tables.events(spark, sf)
+    val sk = ext.CountMin.sketch(ev, "user_id")
+    val probes = ev.filter(col("user_id").isNotNull).select("user_id").distinct()
+    val est = ext.CountMin.estimate(sk, probes, "user_id", "est")
+      .join(ev.groupBy("user_id").agg(count(lit(1)).as("exact")), Seq("user_id"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CM must never under-estimate: $r")
+    }
+    val tight = est.count(r => r.getAs[Long]("est") == r.getAs[Long]("exact"))
+    assert(tight >= est.length / 2, s"only $tight/${est.length} exact")
+  }
+
+  test("count-min of an unseen key estimates 0 (no false floor)") {
+    import spark.implicits._
+    val data = Seq.tabulate(100)(i => s"k${i % 10}").toDF("v")
+    val sk = ext.CountMin.sketch(data, "v")
+    val unseen = Seq("never-seen-xyz").toDF("v")
+    val est = ext.CountMin.estimate(sk, unseen, "v", "est").head().getAs[Long]("est")
+    // 10 keys across 256 buckets: an unseen key colliding in ALL 4 rows
+    // is (10/256)^4 ≈ 2e-6 — deterministic here, and it doesn't
+    assert(est == 0L, s"est=$est")
+  }
+
   test("portable HLL register shape: at most m rows shuffle per group") {
     val li = Tables.lineitem(spark, sf)
     val out = ext.Hll.approxDistinct(li, Seq("l_returnflag"), "l_orderkey", "n")

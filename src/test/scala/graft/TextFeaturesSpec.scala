@@ -52,6 +52,37 @@ class TextFeaturesSpec extends SparkSpec {
     assert(d == 0)
   }
 
+  test("PII redaction removes every match and nothing else") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@x-corp.io now", "call +1-555-0042 then 10.0.3.7 ok",
+      "no pii here", "999.999.999.999 still an ipv4 shape").toDF("t")
+    val out = df.select(Text.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> then <IP> ok")
+    assert(out(2) == "no pii here")
+    assert(out(3) == "<IP> still an ipv4 shape")
+    val residue = df.select(Text.redactPii(col("t")).as("r"))
+      .filter(col("r").rlike(Text.EmailRe) || col("r").rlike(Text.PhoneRe) ||
+        col("r").rlike(Text.Ipv4Re)).count()
+    assert(residue == 0)
+  }
+
+  test("collocation bigrams cover n-1 adjacent pairs per document") {
+    val docs = Tables.documents(spark, sf)
+    val expected = docs
+      .select((size(Text.tokens(col("text"))) - 1).cast("long").as("n"))
+      .filter(col("n") >= 1).agg(sum("n")).head().getLong(0)
+    val t = col("_t")
+    val total = docs.select(Text.tokens(col("text")).as("_t"))
+      .filter(size(t) >= 2)
+      .select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("_bg"))
+      .count()
+    assert(total == expected, s"$total vs $expected")
+  }
+
   test("native text expressions stay inside whole-stage codegen") {
     val p = graft.queries.TextQueries.textQuality(spark, sf)
       .queryExecution.executedPlan.toString

@@ -63,4 +63,39 @@ object AsofJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col).toSeq :+ col(asofCol): _*)
   }
+
+  /** Native as-of join through the engine's custom Catalyst operator
+    * ([[graft.plans.AsofJoinNode]] → `AsofJoinExec`): same semantics as
+    * [[lastValue]] (null keys group; a matched NULL value stays NULL;
+    * ties at equal ts resolve to the last right row in `rightTieBreak`
+    * order), but the physical plan is a two-sided co-partitioned
+    * streaming merge instead of union + window — no union
+    * materialization, O(1) merge state per partition.
+    *
+    * The right side is re-projected through fresh aliases before the
+    * node is built so a self-join (left and right derived from the same
+    * scan) never carries conflicting attribute ids into the plan.
+    */
+  def native(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValue: String,
+      rightTieBreak: Seq[String], asofCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    val r0 = right.select(
+      right.columns.toIndexedSeq.map(c => col(c).as("__r_" + c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r0.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asof: no column $name"))
+    val valAttr = attr(rPlan, "__r_" + rightValue)
+    val node = graft.plans.AsofJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, "__r_" + k)),
+      attr(lPlan, leftTs), attr(rPlan, "__r_" + rightTs),
+      valAttr, rightTieBreak.map(t => attr(rPlan, "__r_" + t)),
+      AttributeReference(asofCol, valAttr.dataType, nullable = true)())
+    org.apache.spark.sql.graft.PlanDsl.ofRows(spark, node)
+  }
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shinglesFunction)
     e.injectFunction(GraftExtensions.collapseFunction)
     e.injectFunction(GraftExtensions.textstatsFunction)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
@@ -109,5 +110,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
   }
 }

@@ -80,6 +80,25 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the engine's native custom
+    * operator (`AsofJoinNode` → `AsofJoinExec`, SURVEY §7.3 tier c):
+    * two co-partitioned sorted sides merged streamingly per partition,
+    * no union materialization, no window machinery. Gate: identical
+    * result (and oracle) as the composed `asof_signup`.
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    AsofJoin.native(purchases, signups, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightValue = "event_id",
+        rightTieBreak = Seq("event_id"), asofCol = "last_signup_id")
+      .select("event_id", "user_id", "last_signup_id")
+      .orderBy("event_id")
+  }
+
   /** Range join (binned, not nested-loop): clicks within ±5 minutes of
     * each error event, per user, zero-match errors kept.
     */
@@ -292,6 +311,7 @@ object AnalyticsQueries {
     "window_rank_lag" -> (windowRankLag _),
     "sessionize" -> (sessionize _),
     "asof_signup" -> (asofSignup _),
+    "asof_native" -> (asofNative _),
     "range_join_events" -> (rangeJoinEvents _),
     "rollup_acctbal" -> (rollupAcctbal _),
     "pivot_event_types" -> (pivotEventTypes _),
@@ -299,6 +319,28 @@ object AnalyticsQueries {
     "distinct_agg" -> (distinctAgg _),
     "approx_distinct" -> (approxDistinct _),
     "sketch_countmin" -> (sketchCountMin _))
+
+  /** Shared by `asof_signup` (composed) and `asof_native` (custom
+    * physical operator) — both must reproduce exactly this window-form
+    * reduction, including equal-ts tie resolution.
+    */
+  private val asofOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |comb AS (
+      |  SELECT user_id, ts, event_id AS tb, 0 AS side,
+      |         event_id AS sig_id, CAST(NULL AS BIGINT) AS p_id
+      |  FROM ev WHERE event_type = 'signup'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 1, NULL, event_id
+      |  FROM ev WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *, last_value(sig_id IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, side, tb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+      |  FROM comb)
+      |SELECT p_id AS event_id, user_id, last_signup_id
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Mirrors graft.ext.CountMin: salted md5 row-hashes, 256 buckets,
@@ -456,23 +498,8 @@ object AnalyticsQueries {
         |  round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
-    "asof_signup" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-        |comb AS (
-        |  SELECT user_id, ts, event_id AS tb, 0 AS side,
-        |         event_id AS sig_id, CAST(NULL AS BIGINT) AS p_id
-        |  FROM ev WHERE event_type = 'signup'
-        |  UNION ALL
-        |  SELECT user_id, ts, event_id, 1, NULL, event_id
-        |  FROM ev WHERE event_type = 'purchase'),
-        |w AS (
-        |  SELECT *, last_value(sig_id IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY ts, side, tb
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
-        |  FROM comb)
-        |SELECT p_id AS event_id, user_id, last_signup_id
-        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "asof_signup" -> asofOracle,
+    "asof_native" -> asofOracle,
     "range_join_events" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(count(c.event_id) AS BIGINT) AS n_nearby_clicks

@@ -223,4 +223,38 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (semantic dedup): cluster embeddings with the
+    * deterministic [[KMeans]], then prune near-duplicates only WITHIN
+    * each cluster — the cluster assignment bounds the pairwise work, so
+    * the quadratic term is per-cluster, never corpus-wide (the scale
+    * trick of arXiv:2303.09540, re-expressed as k-means + blocked
+    * self-join). A row is dropped when some lower-id cluster-mate sits
+    * above `minCosine`; `dup_of` records the smallest such id, making
+    * the survivor choice deterministic and the decision auditable.
+    *
+    * Output: (id, cluster, dup_of, keep) — keep = 1 iff no lower-id
+    * semantic duplicate exists in the row's cluster.
+    */
+  def semantic(df: DataFrame, idCol: String, vecCol: String,
+      initCol: String, iters: Int, minCosine: Double): DataFrame = {
+    val assigned = KMeans.fit(df, idCol, vecCol, initCol, iters)
+    val unit = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .select(col(idCol),
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")).as("_uv"))
+    val m = assigned.select(col(idCol), col("cluster")).join(unit, Seq(idCol))
+    val a = m.select(col("cluster"), col(idCol).as("_ia"), col("_uv").as("_ua"))
+    val b = m.select(col("cluster"), col(idCol).as("_ib"), col("_uv").as("_ub"))
+    val dup = a.join(b, Seq("cluster"))
+      .filter(col("_ia") < col("_ib"))
+      .filter(round(Vectors.dot(col("_ua"), col("_ub")), 4) >= minCosine)
+      .groupBy(col("_ib")).agg(min(col("_ia")).as("dup_of"))
+      .withColumnRenamed("_ib", idCol)
+    assigned.select(col(idCol), col("cluster"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("dup_of"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
 }

@@ -77,7 +77,19 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup over the embeddings table: k-means cells (same
+    * deterministic trajectory as `kmeans_embeddings`) bound the
+    * pairwise cosine pruning — corpus-wide quadratic work becomes
+    * per-cluster. Every decision (cluster, dup_of, keep) is
+    * oracle-checked.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semantic(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        initCol = "label", iters = 2, minCosine = 0.4)
+      .orderBy("vec_id")
+
   val defs: Map[String, Q] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "embed_quantize" -> (embedQuantize _),
     "kmeans_embeddings" -> (kmeansEmbeddings _),
     "similarity_topk" -> (similarityTopk _),
@@ -103,11 +115,12 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Unrolled 2-round Lloyd trajectory as chained CTEs (the iteration
-    * templates mirror KMeans.fit exactly: rounded centroids, 9-decimal
-    * rank, cluster tie-break).
+  /** Unrolled 2-round Lloyd trajectory as chained CTEs, ending at the
+    * final assignment `a3` (the iteration templates mirror KMeans.fit
+    * exactly: rounded centroids, 9-decimal rank, cluster tie-break).
+    * Shared by the `kmeans_embeddings` and `dedup_semantic` oracles.
     */
-  private def kmeansOracle: String = {
+  private def kmeansCtes: String = {
     def cents(src: String) =
       s"""SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
          |    SELECT cluster, pos, round(avg(x), 4) AS m FROM (
@@ -134,11 +147,32 @@ object SimilarityQueries {
        |c1 AS (${cents("(SELECT cluster, uv FROM a1) s1")}),
        |a2 AS (${assignFrom("c1")}),
        |c2 AS (${cents("(SELECT cluster, uv FROM a2) s2")}),
-       |a3 AS (${assignFrom("c2")})
-       |SELECT vec_id, cluster, similarity FROM a3 ORDER BY vec_id""".stripMargin
+       |a3 AS (${assignFrom("c2")})""".stripMargin
   }
 
+  private def kmeansOracle: String =
+    s"""$kmeansCtes
+       |SELECT vec_id, cluster, similarity FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** Mirrors Dedup.semantic: within-cluster pairs on the SAME unit
+    * vectors and 4-decimal dot rounding, dup_of = min lower id above
+    * the threshold.
+    */
+  private def semanticOracle: String =
+    s"""$kmeansCtes,
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.uv, b.uv), 4) >= 0.4),
+       |dup AS (SELECT ib AS vec_id, min(ia) AS dup_of FROM pairs GROUP BY ib)
+       |SELECT a3.vec_id, a3.cluster, dup.dup_of,
+       |  CASE WHEN dup.dup_of IS NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vec_id
+       |ORDER BY a3.vec_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "dedup_semantic" -> semanticOracle,
     "embed_quantize" ->
       """WITH s AS (SELECT vec_id, embedding AS v,
         |  127.0::DOUBLE / list_max(list_transform(embedding, x -> abs(x)))

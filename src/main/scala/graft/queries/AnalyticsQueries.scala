@@ -301,7 +301,82 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Distribution window functions (ntile / percent_rank / cume_dist)
+    * per market segment: quartile bucketing and empirical CDF position
+    * of each customer's balance. Partitioned windows (no global
+    * single-partition sort); the rank ratios are exact small-integer
+    * divisions, identical across engines.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+
+  /** Wide→long unpivot of a per-flag metrics table (the inverse of
+    * `pivot_event_types`). Metrics are exact integer cents so the
+    * unpivoted value column is engine-portable BIGINT.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        count(lit(1)).as("n_rows"))
+    agg.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents"), col("n_rows")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** Statistical aggregates (correlation, sample stddev/covariance)
+    * computed from EXACT integer-cent power sums — the sums shuffle as
+    * decimal partials (order-independent, no FP drift), and the only
+    * floating-point work is the final closed-form formula on exact
+    * inputs, identical on any engine. This is how second-moment stats
+    * stay deterministic on a 1000-executor cluster where summation
+    * order is nondeterministic.
+    */
+  def statsNumeric(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(col("l_quantity") * 100).cast(dec)       // qty cents
+    val y = round(col("l_extendedprice") * 100).cast(dec)  // price cents
+    val agg = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("_x"), y.as("_y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(dec).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+    val n = col("_n"); val num = (n * col("_sxy") - col("_sx") * col("_sy"))
+    val dx = (n * col("_sxx") - col("_sx") * col("_sx"))
+    val dy = (n * col("_syy") - col("_sy") * col("_sy"))
+    agg.select(
+        col("l_returnflag"),
+        col("_n").cast("long").as("n_rows"),
+        round(num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)
+          .as("corr_qty_price"),
+        round(sqrt(dx.cast("double") /
+          (n * (n - lit(1))).cast("double")) / 100.0, 6).as("stddev_qty"),
+        round(num.cast("double") / (n * (n - lit(1))).cast("double") / 10000.0, 6)
+          .as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
+    "window_distribution" -> (windowDistribution _),
+    "unpivot_metrics" -> (unpivotMetrics _),
+    "stats_numeric" -> (statsNumeric _),
     "window_rolling_7d" -> (windowRolling7d _),
     "resample_daily" -> (resampleDaily _),
     "sample_stratified" -> (sampleStratified _),
@@ -343,6 +418,46 @@ object AnalyticsQueries {
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM (UNPIVOT a ON qty_cents, price_cents, n_rows
+        |      INTO NAME metric VALUE value)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // Mirrors statsNumeric: exact HUGEINT power sums, closed-form
+    // double formula only at the end.
+    "stats_numeric" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM s GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((n * sxx - sx * sx)::DOUBLE)
+        |      * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr_qty_price,
+        |  round(sqrt((n * sxx - sx * sx)::DOUBLE
+        |    / (n * (n - 1))::DOUBLE) / 100.0, 6) AS stddev_qty,
+        |  round((n * sxy - sx * sy)::DOUBLE / (n * (n - 1))::DOUBLE
+        |    / 10000.0, 6) AS covar_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     // Mirrors graft.ext.CountMin: salted md5 row-hashes, 256 buckets,
     // exact BIGINT counters, min over the d=4 rows.
     "sketch_countmin" ->

@@ -75,7 +75,21 @@ object PipelineQueries {
   def streamingSessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionWindows(spark, dir)
 
+  /** Streaming exactly-once dedup (T4/T7): the events file delivered
+    * TWICE (at-least-once duplicate shape), absorbed by watermarked
+    * `dropDuplicates` state + the idempotent merge sink. The final
+    * table must equal the plain distinct batch read — double delivery
+    * leaves no trace.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft-sdedup").resolve("t").toString
+    Streams.dedupToMergeSink(spark, dir, target, duplicated = true)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "streaming_dedup" -> (streamingDedup _),
     "streaming_sessionize" -> (streamingSessionize _),
     "merge_upsert_daily" -> (mergeUpsertDaily _),
     "streaming_daily_metrics" -> (streamingDaily _),
@@ -83,6 +97,9 @@ object PipelineQueries {
     "streaming_interval_join" -> (streamingIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "streaming_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |    event_id FROM events),

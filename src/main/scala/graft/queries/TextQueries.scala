@@ -385,6 +385,48 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Bigram-LM perplexity scoring — the KenLM-style quality signal of
+    * corpus curation: train an add-one-smoothed bigram model on the
+    * corpus itself (distributed count aggregation), then score every
+    * document by its average per-bigram negative log-likelihood. High
+    * avg_nll = improbable under the corpus model = noise/outlier text.
+    *
+    * Scale shape: the "model" is two count tables (bigram, context) +
+    * a scalar vocab size — aggregated map-side, then joined back to
+    * the per-doc bigram stream by key (broadcast when small, hash join
+    * at scale; no driver-side model object, no UDF). Everything is
+    * exact integer counts until the final ln/avg, which rounds to 4
+    * decimals on both engines.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("_t")
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+    val bg = toks.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1").as("w1"),
+        concat_ws(" ", col("_bg.w1"), col("_bg.w2")).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("_c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val v = toks.select(explode(t).as("_tok"))
+      .agg(countDistinct(col("_tok")).as("_vs"))
+    val scored = bg
+      .join(c2, "bg").join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("_lp", log((col("_c2") + lit(1)).cast("double") /
+        (col("_c1") + col("_vs")).cast("double")))
+    val agg = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("_lp")) / count(lit(1)), 4).as("avg_nll"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction over the corpus ([[Text.redactPii]]): the synthetic
     * corpus carries no PII, so deterministic spans (an email, a phone,
     * an IP derived from doc_id) are injected first — the redaction
@@ -407,6 +449,7 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     "text_collocations" -> (textCollocations _),
+    "text_perplexity" -> (textPerplexity _),
     "text_redact" -> (textRedact _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "corpus_pipeline" -> (corpusPipeline _),
@@ -441,6 +484,31 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors textPerplexity: add-one bigram LM trained on the corpus,
+    // per-doc average negative log-likelihood; counts exact, ln/round
+    // only at the end.
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i + 1] AS bg
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM t WHERE len(l) >= 2)
+        |), c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vs
+        |      FROM (SELECT unnest(l) AS tok FROM t)),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.vs)::DOUBLE) AS lp
+        |  FROM bg b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(-sum(lp) / count(*), 4) AS avg_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams, agg.avg_nll
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
         |bg AS (

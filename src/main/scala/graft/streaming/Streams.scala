@@ -41,7 +41,7 @@ object Streams {
     * by every stream reading it, so it is memoized per process.
     */
   private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean, Boolean), String]()
 
   /** Streaming read of the events table (micro-batched file source).
     * The file source requires a directory, so the parquet data is
@@ -63,12 +63,24 @@ object Streams {
     * trailing state — the finite-replay analogue of the stream
     * staying live past the last real event.
     */
+  /** With `duplicated` the whole events file is staged TWICE (two
+    * micro-batches of identical content): the at-least-once delivery
+    * shape whose duplicates a streaming `dropDuplicates` must absorb
+    * through its keyed state.
+    */
   def eventsStream(spark: SparkSession, dir: String, batches: Int = 1,
-      flushSentinel: Boolean = false): DataFrame = {
+      flushSentinel: Boolean = false, duplicated: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = stagedDirs.computeIfAbsent((dir, batches, flushSentinel), { _ =>
+    val staged = stagedDirs.computeIfAbsent((dir, batches, flushSentinel, duplicated), { _ =>
       val out = Files.createTempDirectory("graft-stream-src")
-      if (batches <= 1) {
+      if (duplicated) {
+        Seq("a0", "a1").zipWithIndex.foreach { case (n, i) =>
+          val dst = out.resolve(s"$n.parquet")
+          Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      } else if (batches <= 1) {
         Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           out.resolve("events.parquet"))
@@ -277,8 +289,9 @@ object Streams {
     * collector→upsert path as a real stream. Returns the final merged
     * table.
     */
-  def dedupToMergeSink(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
-    val deduped = eventsStream(spark, dir)
+  def dedupToMergeSink(spark: SparkSession, dir: String, targetDir: String,
+      duplicated: Boolean = false): DataFrame = {
+    val deduped = eventsStream(spark, dir, duplicated = duplicated)
       .withWatermark("ts", "1 day")
       .dropDuplicates("event_id")
     runToMergeSink(deduped, "append", targetDir,

@@ -373,7 +373,46 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** SCD Type-2 dimension history: collapse each user's event stream
+    * to state-change rows and emit validity intervals
+    * (valid_from/valid_to, open-ended current row) — the
+    * slowly-changing-dimension build every warehouse pipeline runs.
+    * Two window passes over ONE (key, ts) sort/shuffle (lag to detect
+    * changes, lead for the interval end).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Per-group top-k (k > 1): each customer's 3 largest orders. The
+    * optimizer plans this as `WindowGroupLimit` — per-partition heaps
+    * prune to k rows per group BEFORE the shuffle/sort, so the full
+    * window is never materialized (plan-guarded in PlanSpec).
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
   val defs: Map[String, Q] = Map(
+    "scd2_history" -> (scd2History _),
+    "topk_per_group" -> (topkPerGroup _),
     "window_distribution" -> (windowDistribution _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "stats_numeric" -> (statsNumeric _),
@@ -418,6 +457,30 @@ object AnalyticsQueries {
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |ch AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, ts,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM e)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) IS NULL
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+        |FROM ch ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "window_distribution" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

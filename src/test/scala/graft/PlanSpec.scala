@@ -31,6 +31,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("per-group top-k prunes to k rows per partition via WindowGroupLimit") {
+    val p = plan(AnalyticsQueries.topkPerGroup(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
   test("latest-per-key partially aggregates max_by before the shuffle") {
     val ev = Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "event_type", "value")

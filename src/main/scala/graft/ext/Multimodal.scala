@@ -76,4 +76,52 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(mediaFromDocuments(docs).as[MediaRow], StubDecoder).toDF()
   }
+
+  case class FrameRow(id: Long, modality: String, n_frames: Long,
+      frame_idx: Long, frame_chars: Long, frame_sig: String)
+
+  /** Uniform temporal frame sampling — the video analogue of
+    * [[extractFeatures]]: each asset is a sequence of fixed-size frames
+    * (here: `frameLen` code points of the decoded blob; a real decoder
+    * would seek keyframes), and at most `maxFrames` frames are sampled
+    * at evenly spaced positions `idx_j = j * n_frames / k`. One output
+    * row per sampled frame carries a content signature, so downstream
+    * dedup/similarity operators run per-frame.
+    *
+    * Scale: map-only explode with fan-out ≤ maxFrames (no shuffle);
+    * only sampled frame windows are materialized, never the full frame
+    * list — at 100 TB of video the scan stays bounded by the sample
+    * budget, not the asset length. All index math is integer division,
+    * so the sample schedule is exactly reproducible by the oracle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
+      maxFrames: Int = 8, batchSize: Int = 64): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          // stub "decode": utf-8 blob → code points (real: demux frames)
+          val cps = new String(row.blob, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+          val n = cps.length
+          if (n == 0) Seq.empty[FrameRow]
+          else {
+            val fc = (n.toLong + frameLen - 1) / frameLen
+            val k = math.min(maxFrames.toLong, fc)
+            (0L until k).map { j =>
+              val idx = j * fc / k
+              val start = (idx * frameLen).toInt
+              val len = math.min(frameLen.toLong, n - start).toInt
+              val frame = new String(cps, start, len)
+              val sig = md5.digest(
+                frame.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+              FrameRow(row.id, row.modality, fc, idx, len.toLong, sig)
+            }
+          }
+        }
+      }
+    }
+  }
 }

@@ -87,12 +87,26 @@ object OpsQueries {
         col("last_byte"), col("checksum"), size(col("features")).as("n_features"))
       .orderBy("id")
 
+  /** Multimodal frame sampling: each document's blob treated as a
+    * frame sequence; ≤8 evenly spaced 64-codepoint frames per asset,
+    * one row per frame with a content signature.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+          .as[Multimodal.MediaRow])
+      .toDF()
+      .orderBy("id", "frame_idx")
+  }
+
   val defs: Map[String, Q] = Map(
     "pipeline_medallion" -> (pipelineMedallion _),
     "dq_column_anomalies" -> (dqColumnAnomalies _),
     "dq_history_anomalies" -> (dqHistoryAnomalies _),
     "json_roundtrip" -> (jsonRoundtrip _),
-    "multimodal_features" -> (multimodalFeatures _))
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     // layered incremental run must equal the one-shot daily-mart SQL
@@ -151,5 +165,19 @@ object OpsQueries {
         |  CAST(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> ascii(substr(text, i, 1)))) % 256 AS INTEGER) AS checksum,
         |  3 AS n_features
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id AS id, text,
+        |    (length(text) + 63) // 64 AS fc
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (SELECT id, text, fc, least(8, fc) AS k FROM d),
+        |f AS (SELECT id, text, fc, (j * fc) // k AS frame_idx
+        |  FROM s CROSS JOIN generate_series(0, 7) AS g(j) WHERE j < k),
+        |x AS (SELECT id, fc, frame_idx,
+        |  substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS ft
+        |  FROM f)
+        |SELECT id, 'text' AS modality, CAST(fc AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(ft) AS BIGINT) AS frame_chars, md5(ft) AS frame_sig
+        |FROM x ORDER BY id, frame_idx""".stripMargin)
 }

@@ -55,6 +55,31 @@ class PipelineSpec extends SparkSpec {
     assert(small.count() === 500)
   }
 
+  test("multimodal frame sampling: budget, spacing, short-asset cases") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "text", ("x" * 1000).getBytes("UTF-8"), "utf-8"),
+      Multimodal.MediaRow(2L, "text", "short".getBytes("UTF-8"), "utf-8"),
+      Multimodal.MediaRow(3L, "text", Array.empty[Byte], "utf-8"))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media).collect()
+    // 1000 chars -> 16 frames, capped at 8 samples, evenly spaced
+    val f1 = frames.filter(_.id == 1L).sortBy(_.frame_idx)
+    assert(f1.length === 8 && f1.forall(_.n_frames === 16L))
+    assert(f1.map(_.frame_idx).toSeq === Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L))
+    assert(f1.forall(_.frame_chars === 64L))
+    // 5 chars -> 1 frame of 5
+    val f2 = frames.filter(_.id == 2L)
+    assert(f2.length === 1 && f2.head.frame_chars === 5L)
+    // empty asset -> no frames
+    assert(!frames.exists(_.id == 3L))
+    // identical frames hash identically; batch size doesn't matter
+    assert(f1.map(_.frame_sig).distinct.length === 1)
+    val rebatched = Multimodal.sampleFrames(media, batchSize = 1).collect()
+    assert(rebatched.sortBy(r => (r.id, r.frame_idx)).toSeq ===
+      frames.sortBy(r => (r.id, r.frame_idx)).toSeq)
+  }
+
   test("anomaly stats flag an injected outlier slice (Q7)") {
     import spark.implicits._
     val base = (1 to 300).map(i => (i % 30, 10.0 + (i % 7) * 0.1))

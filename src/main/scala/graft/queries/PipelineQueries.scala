@@ -88,7 +88,14 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Stream-static broadcast enrichment — every micro-batch joined to
+    * the static customer dimension; must equal the batch left join.
+    */
+  def streamingEnrich(spark: SparkSession, dir: String): DataFrame =
+    Streams.enrichWithDim(spark, dir)
+
   val defs: Map[String, Q] = Map(
+    "streaming_enrich" -> (streamingEnrich _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_sessionize" -> (streamingSessionize _),
     "merge_upsert_daily" -> (mergeUpsertDaily _),
@@ -97,6 +104,11 @@ object PipelineQueries {
     "streaming_interval_join" -> (streamingIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "streaming_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -328,6 +328,30 @@ object Streams {
       .orderBy("p_id", "s_id")
   }
 
+  /** Stream-static enrichment join: each micro-batch of the event
+    * stream left-joins the static customer dimension — the canonical
+    * "enrich at ingest" shape. The dimension is explicitly broadcast:
+    * the stream side never shuffles, so enrichment cost is O(batch) per
+    * micro-batch regardless of total corpus size, and the join is
+    * stateless (no watermark state — the static side is re-planned per
+    * batch, picking up dimension updates between batches). Append-mode
+    * emissions land in the parquet changelog; each enriched row is
+    * final.
+    */
+  def enrichWithDim(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventsStream(spark, dir, batches = 3)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("value"))
+    runToCompactedChangelog(enriched, "append",
+        keys = Seq("event_id"), versionCols = Seq("user_id"))
+      .select("event_id", "user_id", "c_mktsegment", "value")
+      .orderBy("event_id")
+  }
+
   /** T5: latest event per user via explicit keyed state
     * (`mapGroupsWithState`) — the streaming twin of the batch
     * latest-per-key. Each micro-batch emits the current best row for

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — PageRank as the
+  * representative fixed-iteration algorithm (the training-corpus use:
+  * authority-weighting documents by citation/link structure before
+  * sampling).
+  *
+  * Arithmetic is FIXED-POINT: ranks are BIGINT micro-units (`scale` =
+  * 1e9 ≈ total mass), per-edge contributions are integer division
+  * `pr div outdeg`, damping is `(85 * x) div 100`. Integer sums are
+  * exact and order-independent, so the result is bit-identical across
+  * partitionings, retries, and engines — a distributed float PageRank
+  * can never hash-match a serial oracle, a fixed-point one must.
+  * Truncation loses < 1 unit per edge per round of mass, irrelevant for
+  * ranking (and identically reproduced by the oracle's `//`).
+  *
+  * Scale shape: each round is one edges⋈ranks join shuffling (node,
+  * contrib) pairs + one groupBy — never adjacency lists; the dangling
+  * mass is a 1-row aggregate cross-joined back (broadcast, J3 pattern,
+  * no driver collect); each round's ranks are `localCheckpoint`ed so
+  * the plan stays O(1) per round (see [[Clusters]] for why). Ranks are
+  * O(|nodes|), edges stream through each round.
+  */
+object Graph {
+
+  /** @param nodes (node) — one row per vertex, must cover every edge
+    *              endpoint
+    * @param edges (src, dst) — distinct directed edges
+    * @return (node, pr) — BIGINT fixed-point rank, sum ≈ scale
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    val n = nodes.count()
+    val base = 15L * scale / (100L * n)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("pr div outdeg").as("contrib"))
+        .groupBy("node")
+        .agg(sum(col("contrib")).as("infl"))
+      // dangling nodes (no out-edges) spread their mass evenly: 1-row
+      // aggregate, broadcast back — never collected on the driver
+      val dang = pr.join(deg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
+      pr = nodes.select("node")
+        .join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + expr(
+            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + _dm div $n)) div 100"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

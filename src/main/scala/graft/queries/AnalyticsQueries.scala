@@ -410,7 +410,32 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Fixed-point PageRank (5 iterations) over the customer→supplier
+    * purchase graph — exact BIGINT arithmetic, so the distributed
+    * result hash-matches the oracle's serial unrolled replay (see
+    * [[graft.ext.Graph.pageRank]] for why fixed-point).
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val nodes = Tables.customer(spark, dir)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"),
+        lit("customer").as("node_type"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node"),
+          lit("supplier").as("node_type")))
+    graft.ext.Graph.pageRank(nodes.select("node"), edges, iters = 5)
+      .join(nodes, "node")
+      .select(col("node"), col("node_type"), col("pr").as("pagerank"))
+      .orderBy("node")
+  }
+
   val defs: Map[String, Q] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "scd2_history" -> (scd2History _),
     "topk_per_group" -> (topkPerGroup _),
     "window_distribution" -> (windowDistribution _),
@@ -456,7 +481,51 @@ object AnalyticsQueries {
       |SELECT p_id AS event_id, user_id, last_signup_id
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Serial unrolled replay of the 5 fixed-point PageRank rounds —
+    * integer arithmetic only, so it must equal the distributed run
+    * exactly (DuckDB `//` floor-div == Spark `div` on positive BIGINTs).
+    */
+  private val pagerankOracle: String = {
+    def iter(k: Int): String = {
+      val p = s"pr${k - 1}"
+      s"""pr$k AS (
+         |  SELECT n.node,
+         |    CAST(CAST(15 AS BIGINT) * 1000000000 // (100 * nn.n)
+         |      + (85 * (COALESCE(i.infl, 0) + dg.dm // nn.n)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes n
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT CAST(COALESCE(sum(p.pr), 0) AS BIGINT) AS dm
+         |    FROM $p p LEFT JOIN deg d ON d.node = p.node
+         |    WHERE d.node IS NULL) dg
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum(p.pr // d.outdeg) AS BIGINT) AS infl
+         |    FROM edges e JOIN $p p ON p.node = e.src
+         |    JOIN deg d ON d.node = e.src GROUP BY 1) i
+         |    ON i.node = n.node)""".stripMargin
+    }
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |    's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |nodes AS (
+       |  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node,
+       |    'customer' AS node_type FROM customer
+       |  UNION ALL
+       |  SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node,
+       |    'supplier' AS node_type FROM supplier),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT n.node, n.node_type, p.pr AS pagerank
+       |FROM pr5 p JOIN nodes n ON n.node = p.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
     "scd2_history" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),

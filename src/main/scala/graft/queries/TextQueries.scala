@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Clusters, Dedup, Pack, Sampling, TfIdf}
+import graft.ext.{Clusters, Dedup, HeavyHitters, Pack, Sampling, TfIdf}
 import graft.functions.{SimHash, Text}
 
 /** Text-analysis and deduplication surface over the `documents` corpus
@@ -296,6 +296,18 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Heavy hitters: tokens holding more than 1/200 of all token
+    * positions — per-partition Misra–Gries candidates + one exact
+    * verification pass, so the result is exact without a full-domain
+    * shuffle (see [[graft.ext.HeavyHitters]]).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("item")).as[String]
+    HeavyHitters.frequentItems(toks, 200).orderBy("item")
+  }
+
   /** The corpus-assembly DAG end-to-end, as one declarative plan:
     * clean (repeat collapse + scrub) → quality filter (hard flags on
     * the cleaned text) → exact dedup (keep min id per content hash) →
@@ -454,6 +466,7 @@ object TextQueries {
     "dedup_fuzzy" -> (dedupFuzzy _),
     "corpus_pipeline" -> (corpusPipeline _),
     "dedup_incremental" -> (dedupIncremental _),
+    "heavy_hitters" -> (heavyHitters _),
     "vocab_topk" -> (vocabTopk _),
     "chunk_documents" -> (chunkDocuments _),
     "mix_weighted" -> (mixWeighted _),
@@ -621,6 +634,13 @@ object TextQueries {
         |  LEFT JOIN ex ON d.doc_id = ex.doc_id
         |  LEFT JOIN nr ON d.doc_id = nr.doc_id
         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS item
+        |  FROM documents),
+        |n AS (SELECT count(*) AS c FROM t)
+        |SELECT item, count(*) AS freq FROM t CROSS JOIN n
+        |GROUP BY item, n.c HAVING count(*) * 200 > n.c
+        |ORDER BY item""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),

@@ -34,6 +34,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("PQ-ADC: k rows per query, no self, recall beats random floor") {
+    import graft.ext.Pq
+    val q = emb.filter(col("vec_id") < 50)
+    val pq = Pq.adcTopK(q, emb, "vec_id", "vec_id", "embedding",
+        blockCol = "label", m = 16, k = 3).cache()
+    assert(pq.filter(col("q_id") === col("neighbor_id")).isEmpty)
+    assert(pq.groupBy("q_id").count().filter(col("count") =!= 3).isEmpty)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id")
+    val hits = bf.intersect(pq.select("q_id", "neighbor_id")).count().toDouble
+    val recall = hits / bf.count().toDouble
+    // 16x4 sub-codes over 10 codewords: coarse, but far above random
+    // top-3 of 500 (~0.006)
+    assert(recall > 0.10, s"recall=$recall")
+  }
+
+  test("PQ-ADC deterministic across partitionings") {
+    import graft.ext.Pq
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Pq.adcTopK(q, emb, "vec_id", "vec_id", "embedding", "label", 16, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = Pq.adcTopK(q.repartition(7), emb.repartition(13), "vec_id",
+        "vec_id", "embedding", "label", 16, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("fast-hash minhash LSH also catches the planted duplicate") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

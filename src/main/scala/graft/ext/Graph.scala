@@ -33,33 +33,48 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000L): DataFrame = {
+    val spark = nodes.sparkSession
     val n = nodes.count()
     val base = 15L * scale / (100L * n)
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
+    // out-degree is static: join it onto the edge list ONCE, so each
+    // round's only edge-side work is the broadcast rank lookup
+    val e = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    // the dangling set (no out-edges) is static too
+    val dangNodes = nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
       .localCheckpoint()
     var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val inflow = edges
-        .join(deg.withColumnRenamed("node", "src"), "src")
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("pr div outdeg").as("contrib"))
-        .groupBy("node")
-        .agg(sum(col("contrib")).as("infl"))
-      // dangling nodes (no out-edges) spread their mass evenly: 1-row
-      // aggregate, broadcast back — never collected on the driver
-      val dang = pr.join(deg, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
-      pr = nodes.select("node")
-        .join(inflow, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(base) + expr(
-            s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + _dm div $n)) div 100"))
-            .as("pr"))
-        .localCheckpoint()
-    }
-    pr
+    // each round is ONE shuffle (the inflow groupBy of (dst, contrib)
+    // pairs); ranks broadcast to the edge scan — O(|nodes|) rows, the
+    // natural broadcast side of a power-iteration (at web-graph node
+    // counts, swap for a shuffle join on src / pre-bucketed edges)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val p = math.max(4L, math.min(saved.toLong, n / 50000L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    try {
+      for (_ <- 1 to iters) {
+        val inflow = e
+          .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+          .select(col("dst").as("node"), expr("pr div outdeg").as("contrib"))
+          .groupBy("node")
+          .agg(sum(col("contrib")).as("infl"))
+        // dangling mass spreads evenly: 1-row aggregate, broadcast
+        // back — never collected on the driver
+        val dang = pr.join(broadcast(dangNodes), Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
+        pr = nodes.select("node")
+          .join(inflow, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit(base) + expr(
+              s"(85 * (coalesce(infl, CAST(0 AS BIGINT)) + _dm div $n)) div 100"))
+              .as("pr"))
+          .localCheckpoint()
+      }
+      pr
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 }

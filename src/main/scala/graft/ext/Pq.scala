@@ -37,9 +37,17 @@ object Pq {
   def adcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, blockCol: String, m: Int,
       k: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val w = dim / m
+    // the index-build shuffles move (id, sub, code/dot) triples — size
+    // them to corpus × m, not the session-wide batch setting
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nRows = corpus.count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(savedParts.toLong, nRows * m / 100000L)).toString)
+    try {
 
     def unitize(df: DataFrame, id: String, idAs: String): DataFrame =
       df.select(col(id).as(idAs), Vectors.asDouble(col(vecCol)).as("_v"))
@@ -95,6 +103,9 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("cw")))).as("_sc"))
       .select(col("c_id"),
         transform(col("_sc"), s => s.getField("cw")).as("_codes"))
+      // materialized: this IS the PQ index — built once under the
+      // right-sized shuffles, probed many times
+      .localCheckpoint()
 
     // query LUT: lut[sub][cw] = dot(q subvector, codeword) — nested
     // array ordered by (sub, cw) so ADC is pure positional lookup
@@ -108,6 +119,7 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("_l")))).as("_sl"))
       .select(col("q_id"),
         transform(col("_sl"), s => s.getField("_l")).as("_lut"))
+      .localCheckpoint()
 
     // ADC: m lookups + adds per (query, corpus row), fixed subspace
     // order so the float sum is bit-reproducible
@@ -123,5 +135,6 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         round(col("_adc"), 6).as("adc_cosine"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 }

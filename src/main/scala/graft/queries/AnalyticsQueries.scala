@@ -434,7 +434,59 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  /** Exact equi-width histogram of `events.value` (20 buckets over the
+    * global [min, max]). The bounds are a 1-row aggregate broadcast
+    * back onto the scan (J3 pattern, no driver collect), bucketing is
+    * map-side arithmetic, and the final count shuffles only 20 keyed
+    * partials — two scans, one 20-row shuffle, regardless of input
+    * size. IEEE double ops are written identically on both engines so
+    * bucket edges hash-match.
+    */
+  def histogramValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("value"))
+    val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / lit(20.0))), lit(19.0))
+          .cast("long").as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Robust outlier detection: per-group median / MAD (median absolute
+    * deviation) and the |x − med| > 3·MAD outlier rate. Two exact
+    * grouped percentiles with the tiny per-group stats broadcast back
+    * between passes — the corpus never re-shuffles. (Exact percentile
+    * gathers each group; at 100 TB swap in `approx_percentile` — the
+    * exact form is what a serial oracle can replay.)
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "histogram_values" -> (histogramValues _),
+    "outlier_mad" -> (outlierMad _),
     "graph_pagerank" -> (graphPagerank _),
     "scd2_history" -> (scd2History _),
     "topk_per_group" -> (topkPerGroup _),
@@ -525,6 +577,29 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Bucket arithmetic written with the exact same IEEE double ops as
+    // the Spark side so edge cases land in the same bucket.
+    "histogram_values" ->
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19.0)
+        |         AS BIGINT) AS bucket,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "outlier_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, m.med
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, round(max(d.med), 4) AS med,
+        |  round(max(md.mad), 4) AS mad, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(d.value - d.med) > 3.0 * md.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN abs(d.value - d.med) > 3.0 * md.mad
+        |                THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS outlier_frac
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
     "scd2_history" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

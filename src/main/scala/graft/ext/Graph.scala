@@ -36,13 +36,17 @@ object Graph {
     val spark = nodes.sparkSession
     val n = nodes.count()
     val base = 15L * scale / (100L * n)
+    // materialize the caller's edge plan ONCE — it appears on both
+    // sides of the outdeg join below, and an expensive upstream plan
+    // (e.g. a fact-table join) must not run twice
+    val ed = edges.localCheckpoint()
     // out-degree is static: join it onto the edge list ONCE, so each
     // round's only edge-side work is the broadcast rank lookup
-    val e = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    val e = ed
+      .join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
     // the dangling set (no out-edges) is static too
-    val dangNodes = nodes.join(e.select(col("src").as("node")).distinct(),
+    val dangNodes = nodes.join(ed.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
       .localCheckpoint()
     var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
@@ -65,8 +69,11 @@ object Graph {
         // back — never collected on the driver
         val dang = pr.join(broadcast(dangNodes), Seq("node"), "left_semi")
           .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
+        // inflow is O(|nodes|) — the same broadcast compromise as the
+        // rank lookup above (at web-graph scale swap both for shuffle
+        // joins on pre-bucketed node id)
         pr = nodes.select("node")
-          .join(inflow, Seq("node"), "left")
+          .join(broadcast(inflow), Seq("node"), "left")
           .crossJoin(broadcast(dang))
           .select(col("node"),
             (lit(base) + expr(

@@ -416,21 +416,32 @@ object AnalyticsQueries {
     * [[graft.ext.Graph.pageRank]] for why fixed-point).
     */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.orders(spark, dir)
+    // orders is the dimension side here (2 pruned columns): broadcast
+    // it into the lineitem scan so edge extraction is map-side and the
+    // only edge-build shuffle is the distinct. Node ids stay BIGINT
+    // through every iteration shuffle (2·custkey / 2·suppkey+1 — the
+    // two key spaces interleaved); the "c:"/"s:" display form is a
+    // 16k-row dimension projection applied once at the end. String
+    // keys in an iterative shuffle are pure overhead at scale.
+    val edges = broadcast(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")))
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val nodes = Tables.customer(spark, dir)
-      .select(concat(lit("c:"), col("c_custkey")).as("node"),
+      .select((col("c_custkey") * 2).as("node"),
+        concat(lit("c:"), col("c_custkey")).as("label"),
         lit("customer").as("node_type"))
       .unionByName(Tables.supplier(spark, dir)
-        .select(concat(lit("s:"), col("s_suppkey")).as("node"),
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          concat(lit("s:"), col("s_suppkey")).as("label"),
           lit("supplier").as("node_type")))
     graft.ext.Graph.pageRank(nodes.select("node"), edges, iters = 5)
       .join(nodes, "node")
-      .select(col("node"), col("node_type"), col("pr").as("pagerank"))
+      .select(col("label").as("node"), col("node_type"),
+        col("pr").as("pagerank"))
       .orderBy("node")
   }
 

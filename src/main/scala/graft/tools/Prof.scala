@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.functions.Text
 
 /** Scratch profiling main (dev tool). */
 object Prof {
@@ -17,29 +16,39 @@ object Prof {
       println(s"PROF $label: ${(System.nanoTime() - t0) / 1e9}")
       r
     }
-    val docs = Tables.documents(spark, dir)
-    time("docs count") { docs.count() }
-    val sh = docs.select(col("doc_id"), col("source"),
-      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("shingle_set"))
-    time("shingle compute") { sh.select(sum(size(col("shingle_set")))).head() }
-    time("shingle compute 2nd") { sh.select(sum(size(col("shingle_set")))).head() }
-    val inv = sh.select(col("source"), col("doc_id"),
-      size(col("shingle_set")).as("_sz"),
-      explode(col("shingle_set")).as("_shingle"))
-    time("posting count") { println("postings: " + inv.count()) }
-    val cached = inv.cache()
-    time("cache materialize") { cached.count() }
-    val a = cached.select(col("source"), col("_shingle"),
-      col("doc_id").as("id_a"), col("_sz").as("_sza"))
-    val b = cached.select(col("source"), col("_shingle"),
-      col("doc_id").as("id_b"), col("_sz").as("_szb"))
-    val joined = a.join(b, Seq("source", "_shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("_sza"), col("_szb"))
-      .agg(count(lit(1)).as("_inter"))
-    time("join+agg") { println("pairs: " + joined.count()) }
-    time("full query") {
-      graft.queries.TextQueries.dedupNgramJaccard(spark, dir).count()
+    def edgesBroadcastLong = broadcast(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    def edgesPlainLong = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    def edgesBroadcastStr = broadcast(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    for (i <- 1 to 2) {
+      time(s"bcast-long $i") { edgesBroadcastLong.localCheckpoint() }
+      time(s"plain-long $i") { edgesPlainLong.localCheckpoint() }
+      time(s"bcast-str  $i") { edgesBroadcastStr.localCheckpoint() }
+      time(s"join-only  $i") {
+        broadcast(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")))
+          .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .count()
+      }
+      time(s"distinct-only-from-ckpt $i") {
+        val base = broadcast(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")))
+          .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .localCheckpoint()
+        time(s"  inner distinct $i") { base.distinct().count() }
+      }
     }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -100,7 +100,109 @@ object OpsQueries {
       .orderBy("id", "frame_idx")
   }
 
+  /** One-pass column profiler (the "describe this table" every
+    * pipeline runs before trusting a new source): per-column null
+    * count, exact distinct count, and typed min/max, computed in ONE
+    * aggregation over one scan — the single 1-row result then fans out
+    * to a row per column. The multiple COUNT(DISTINCT)s plan as a
+    * single Expand (row × #distinct-aggs) before partial aggregation:
+    * map-side combine still applies, so the shuffle carries partial
+    * states, not data rows. At very wide schemas swap the exact
+    * distincts for `approx_count_distinct` (HLL partials) — exact is
+    * used here because a serial oracle must replay it.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("value"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val numeric = Seq("event_id", "user_id", "value", "ts_us")
+    val strings = Seq("event_type")
+    val aggs: Seq[Column] =
+      (numeric ++ strings).flatMap(c => Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"))) ++
+      numeric.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))) ++
+      strings.flatMap(c => Seq(
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("_n")
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    val rows = numeric.map(c => struct(
+        lit(c).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_min").as("min_num"), col(s"${c}_max").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))) ++
+      strings.map(c => struct(
+        lit(c).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str")))
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  /** Z-order (Morton) index over two quantized event dimensions — the
+    * layout key a z-ordered writer range-partitions on (see
+    * [[graft.operators.Layout.zorderWrite]] and `LayoutSpec` for the
+    * file-tiling contract). Pure map-side bit arithmetic; the bucket
+    * quantization uses the same IEEE ops as the oracle.
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .select(col("event_id"),
+        (col("user_id") % 256).as("zx"),
+        least(floor(col("value") / lit(2.0)), lit(255.0)).cast("long").as("zy"))
+    ev.select(col("event_id"), col("zx"), col("zy"),
+        graft.functions.ZOrder.zindex(8, col("zx"), col("zy")).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Snapshot diff — the reconciliation op run after every backfill:
+    * FULL OUTER join two versions of a table on the primary key and
+    * classify added / removed / changed / unchanged, with the changed
+    * mass as an exact integer-cent delta (order-independent sum). One
+    * co-partitioned shuffle join; both snapshot scans prune to the
+    * compared columns.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    // two deterministic snapshot views of the same table: B drops
+    // every 7th key, A drops every 11th, B reprices every 5th. Prices
+    // are integer cents throughout — a diff must be EXACT, and float
+    // repricing/rounding is engine-dependent on ties.
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val a = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k"), cents.as("pa"))
+    val b = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, expr(
+          s"CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10"))
+          .otherwise(cents).as("pb"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(
+        when(col("pa").isNull, lit("added"))
+          .when(col("pb").isNull, lit("removed"))
+          .when(col("pa") =!= col("pb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("pa"), col("pb"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("pb") - col("pa")), lit(0L)).as("delta_cents"))
+      .orderBy("status")
+  }
+
   val defs: Map[String, Q] = Map(
+    "layout_zorder" -> (layoutZorder _),
+    "table_diff" -> (tableDiff _),
+    "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
     "dq_column_anomalies" -> (dqColumnAnomalies _),
     "dq_history_anomalies" -> (dqHistoryAnomalies _),
@@ -109,6 +211,57 @@ object OpsQueries {
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    // The bit-interleave is generated by the SAME code that builds the
+    // Spark expression (ZOrder.zindexSql), so the two cannot drift.
+    "layout_zorder" -> s"""
+      |WITH q AS (SELECT event_id, user_id % 256 AS zx,
+      |    CAST(least(floor(value / 2.0), 255.0) AS BIGINT) AS zy
+      |  FROM events)
+      |SELECT event_id, zx, zy,
+      |  ${graft.functions.ZOrder.zindexSql(8, Seq("zx", "zy"))} AS z
+      |FROM q ORDER BY event_id""".stripMargin,
+    "table_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS pa
+        |      FROM orders WHERE o_orderkey % 11 <> 0),
+        |b AS (SELECT o_orderkey AS k,
+        |        CASE WHEN o_orderkey % 5 = 0
+        |          THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+        |          ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pb
+        |      FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT CASE WHEN pa IS NULL THEN 'added'
+        |               WHEN pb IS NULL THEN 'removed'
+        |               WHEN pa <> pb THEN 'changed'
+        |               ELSE 'unchanged' END AS status, pa, pb
+        |      FROM a FULL JOIN b USING (k))
+        |SELECT status, count(*) AS n_rows,
+        |  CAST(coalesce(sum(pb - pa), 0) AS BIGINT) AS delta_cents
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    // Mirrors profileColumns: one aggregation, then a row per column.
+    "profile_columns" ->
+      """WITH e AS (SELECT event_id, user_id, value, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |a AS (SELECT count(*) AS n,
+        |  count(event_id) AS nn1, count(DISTINCT event_id) AS nd1,
+        |  CAST(min(event_id) AS DOUBLE) AS mn1, CAST(max(event_id) AS DOUBLE) AS mx1,
+        |  count(user_id) AS nn2, count(DISTINCT user_id) AS nd2,
+        |  CAST(min(user_id) AS DOUBLE) AS mn2, CAST(max(user_id) AS DOUBLE) AS mx2,
+        |  count(value) AS nn3, count(DISTINCT value) AS nd3,
+        |  CAST(min(value) AS DOUBLE) AS mn3, CAST(max(value) AS DOUBLE) AS mx3,
+        |  count(ts_us) AS nn4, count(DISTINCT ts_us) AS nd4,
+        |  CAST(min(ts_us) AS DOUBLE) AS mn4, CAST(max(ts_us) AS DOUBLE) AS mx4,
+        |  count(event_type) AS nn5, count(DISTINCT event_type) AS nd5,
+        |  min(event_type) AS mns5, max(event_type) AS mxs5
+        |  FROM e)
+        |SELECT 'event_id' AS col_name, n AS n_rows, n - nn1 AS n_null,
+        |  nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'user_id', n, n - nn2, nd2, mn2, mx2, NULL, NULL FROM a
+        |UNION ALL SELECT 'value', n, n - nn3, nd3, mn3, mx3, NULL, NULL FROM a
+        |UNION ALL SELECT 'ts_us', n, n - nn4, nd4, mn4, mx4, NULL, NULL FROM a
+        |UNION ALL SELECT 'event_type', n, n - nn5, nd5,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns5, mxs5 FROM a
+        |ORDER BY col_name""".stripMargin,
     // layered incremental run must equal the one-shot daily-mart SQL
     "pipeline_medallion" -> PipelineQueries.oracles("streaming_daily_metrics"),
     "dq_column_anomalies" ->

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.operators.Layout
+
+/** Z-order layout: index math and the file-tiling contract of the
+  * z-ordered writer (disjoint per-file z-intervals + tight per-file
+  * dimension envelopes — what parquet footer pruning skips on).
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("zindex interleaves bits (known values)") {
+    import spark.implicits._
+    // x=2 (0b10), y=1 (0b01): bit layout z = y1 x1 y0 x0 = 0b0110 = 6
+    val r = Seq((2L, 1L)).toDF("x", "y")
+      .select(ZOrder.zindex(2, col("x"), col("y"))).head().getLong(0)
+    assert(r === 6L)
+    // identity on a single dimension
+    val s = Seq(45L).toDF("x")
+      .select(ZOrder.zindex(8, col("x"))).head().getLong(0)
+    assert(s === 45L)
+  }
+
+  test("zindexSql generates the same index as zindex") {
+    import spark.implicits._
+    val df = Seq((3L, 200L), (255L, 0L), (128L, 127L), (99L, 250L))
+      .toDF("zx", "zy")
+    val both = df.select(
+      ZOrder.zindex(8, col("zx"), col("zy")).as("a"),
+      expr(ZOrder.zindexSql(8, Seq("zx", "zy"))).as("b"))
+    assert(both.filter(col("a") =!= col("b")).isEmpty)
+  }
+
+  test("zorderWrite tiles files into disjoint z-ranges with tight dim envelopes") {
+    val dirOut = Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"),
+        (col("user_id") % 256).as("zx"),
+        least(floor(col("value") / lit(2.0)), lit(255.0)).cast("long").as("zy"))
+    Layout.zorderWrite(ev, ZOrder.zindex(8, col("zx"), col("zy")), 8, dirOut)
+
+    val files = new java.io.File(dirOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1)
+    // row count preserved
+    val total = files.map(f => spark.read.parquet(f).count()).sum
+    assert(total === ev.count())
+    // per-file z-intervals are pairwise disjoint (range partitioning)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("_z")), max(col("_z"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+    // per-file envelopes on BOTH dims are tighter than the global
+    // extent on average — the property multi-dim file skipping rests on
+    def area(loX: Long, hiX: Long, loY: Long, hiY: Long): Double =
+      (hiX - loX + 1).toDouble * (hiY - loY + 1).toDouble
+    val g = spark.read.parquet(dirOut)
+      .agg(min("zx"), max("zx"), min("zy"), max("zy")).head()
+    val globalArea = area(g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    val avgFileArea = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("zx"), max("zx"), min("zy"), max("zy")).head()
+      area(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }.sum / files.length
+    assert(avgFileArea < globalArea / 2.0,
+      s"z-order gave no locality: avg file area $avgFileArea vs global $globalArea")
+  }
+}

@@ -101,4 +101,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"),
       p.take(600))
   }
+
+  test("repetition signals build all n-gram orders from ONE documents scan") {
+    val p = plan(TextQueries.textRepetition(spark, sf))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+  }
+
+  test("histogram broadcasts its 1-row bounds — no shuffle of the fact side") {
+    val p = plan(AnalyticsQueries.histogramValues(spark, sf))
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("column profiler is one scan + one Expand") {
+    val p = plan(OpsQueries.profileColumns(spark, sf))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+    assert("""\(\d+\) Expand""".r.findAllIn(p).length == 1, p.take(600))
+  }
+
+  test("table diff prunes both snapshot scans to the compared columns") {
+    val p = plan(OpsQueries.tableDiff(spark, sf))
+    assert(!p.contains("o_orderdate") && !p.contains("o_comment"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -498,7 +498,49 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Approximate quantiles from a 256-bucket histogram sketch — the
+    * one-pass, fixed-memory, MERGEABLE alternative to exact
+    * `percentile` (whose per-group gather is the non-scalable part):
+    * bucket counts merge by addition across partitions/executors/days,
+    * so this is the shape a 100 TB quantile computation takes. The
+    * estimate interpolates linearly inside the bucket holding the
+    * target rank; it is within one bucket width of the ceil(q·n)-th
+    * order statistic (spec-bounded). Unlike t-digest/KLL
+    * the sketch is deterministic, so a serial oracle replays it
+    * exactly.
+    */
+  def approxQuantileHist(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 256.0
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      count(lit(1)).as("n"))
+    val width = (col("mx") - col("mn")) / lit(nb)
+    val hist = ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        least(floor((col("value") - col("mn")) / width), lit(nb - 1))
+          .cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cum = sum(col("c")).over(Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0))
+    val sketch = hist
+      .select(col("event_type"), col("bucket"), col("c"), cum.as("cum"))
+      .withColumn("cumb", col("cum") - col("c"))
+      .join(broadcast(bounds), "event_type")
+    def est(q: Double): Column = {
+      val qn = lit(q) * col("n")
+      max(when(col("cumb") < qn && col("cum") >= qn,
+        col("mn") + (col("bucket") + (qn - col("cumb")) / col("c")) * width))
+    }
+    sketch.groupBy(col("event_type"))
+      .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"),
+        est(0.99).as("p99_est"), max(col("n")).as("n"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "approx_quantile_hist" -> (approxQuantileHist _),
     "histogram_values" -> (histogramValues _),
     "outlier_mad" -> (outlierMad _),
     "graph_pagerank" -> (graphPagerank _),
@@ -591,6 +633,33 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors approxQuantileHist: identical bucket arithmetic and
+    // in-bucket interpolation, replayed serially.
+    "approx_quantile_hist" ->
+      """WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |h AS (SELECT e.event_type,
+        |    CAST(least(floor((e.value - b.mn) / ((b.mx - b.mn) / 256.0)),
+        |      255.0) AS BIGINT) AS bucket, count(*) AS c
+        |  FROM events e JOIN b USING (event_type) GROUP BY 1, 2),
+        |s AS (SELECT event_type, bucket, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |sk AS (SELECT s.*, s.cum - s.c AS cumb, b.mn, b.mx, b.n
+        |  FROM s JOIN b USING (event_type))
+        |SELECT event_type,
+        |  max(CASE WHEN cumb < CAST(0.5 AS DOUBLE) * n AND cum >= CAST(0.5 AS DOUBLE) * n THEN
+        |    mn + (bucket + (CAST(0.5 AS DOUBLE) * n - cumb) / c) * ((mx - mn) / 256.0) END)
+        |    AS p50_est,
+        |  max(CASE WHEN cumb < CAST(0.9 AS DOUBLE) * n AND cum >= CAST(0.9 AS DOUBLE) * n THEN
+        |    mn + (bucket + (CAST(0.9 AS DOUBLE) * n - cumb) / c) * ((mx - mn) / 256.0) END)
+        |    AS p90_est,
+        |  max(CASE WHEN cumb < CAST(0.99 AS DOUBLE) * n AND cum >= CAST(0.99 AS DOUBLE) * n THEN
+        |    mn + (bucket + (CAST(0.99 AS DOUBLE) * n - cumb) / c) * ((mx - mn) / 256.0) END)
+        |    AS p99_est,
+        |  max(n) AS n
+        |FROM sk GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Bucket arithmetic written with the exact same IEEE double ops as
     // the Spark side so edge cases land in the same bucket.
     "histogram_values" ->

@@ -199,7 +199,32 @@ object OpsQueries {
       .orderBy("status")
   }
 
+  /** File-source format coverage: the same rows round-tripped through
+    * JSONL and headered CSV, read back with PINNED schemas (schema
+    * inference is a full extra pass at 100 TB and a drift hazard —
+    * production reads declare their schema), then aggregated together.
+    * Exact integer-cent sums prove the values survived both text
+    * encodings bit-for-bit (Spark writes shortest-round-trip doubles).
+    */
+  def sourceFormats(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-fmt").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").json(s"$tmp/jsonl")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    val j = spark.read.schema(schema).json(s"$tmp/jsonl")
+    val c = spark.read.schema(schema)
+      .option("header", "true").csv(s"$tmp/csv")
+    j.unionByName(c)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "source_formats" -> (sourceFormats _),
     "layout_zorder" -> (layoutZorder _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
@@ -211,6 +236,13 @@ object OpsQueries {
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    // both format copies carry the same rows, so every count/sum is
+    // exactly double the source table's
+    "source_formats" ->
+      """SELECT event_type, 2 * count(*) AS n_rows,
+        |  CAST(2 * sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The bit-interleave is generated by the SAME code that builds the
     // Spark expression (ZOrder.zindexSql), so the two cannot drift.
     "layout_zorder" -> s"""

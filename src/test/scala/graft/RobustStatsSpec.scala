@@ -49,6 +49,31 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram-sketch quantiles land within one bucket width of the target order statistic") {
+    // the sketch's guarantee: the estimate sits inside the bucket that
+    // contains the ceil(q*n)-th order statistic, so it is within one
+    // bucket width of THAT value. (Interpolated `percentile` can land
+    // between order stats that straddle many empty buckets in a sparse
+    // tail — it is not the right comparison point.)
+    val approx = AnalyticsQueries.approxQuantileHist(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet === byType.keySet)
+    byType.foreach { case (k, sorted) =>
+      val n = sorted.length
+      val w = (sorted.last - sorted.head) / 256.0
+      Seq(0.5, 0.9, 0.99).zip(approx(k)).foreach { case (q, est) =>
+        val target = sorted(math.ceil(q * n).toInt - 1)
+        assert(math.abs(est - target) <= w,
+          s"$k q=$q: est $est vs order-stat $target (w=$w)")
+      }
+    }
+  }
+
   test("repetition fractions are consistent mass ratios") {
     val rows = TextQueries.textRepetition(spark, sf).collect()
     assert(rows.nonEmpty)

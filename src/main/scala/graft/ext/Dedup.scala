@@ -239,11 +239,7 @@ object Dedup {
   def semantic(df: DataFrame, idCol: String, vecCol: String,
       initCol: String, iters: Int, minCosine: Double): DataFrame = {
     val assigned = KMeans.fit(df, idCol, vecCol, initCol, iters)
-    val unit = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .select(col(idCol),
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")).as("_uv"))
+    val unit = Vectors.unitized(df, vecCol, idCol -> idCol)
     val m = assigned.select(col(idCol), col("cluster")).join(unit, Seq(idCol))
     val a = m.select(col("cluster"), col(idCol).as("_ia"), col("_uv").as("_ua"))
     val b = m.select(col("cluster"), col(idCol).as("_ib"), col("_uv").as("_ub"))

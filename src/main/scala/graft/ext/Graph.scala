@@ -34,11 +34,13 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000L): DataFrame = {
     val spark = nodes.sparkSession
-    val n = nodes.count()
+    // materialize both caller plans ONCE — edges appears on both sides
+    // of the outdeg join, nodes in the dangling set, the initial ranks
+    // AND every round's merge; an expensive upstream plan must not run
+    // iters+3 times
+    val nd = nodes.localCheckpoint()
+    val n = nd.count()
     val base = 15L * scale / (100L * n)
-    // materialize the caller's edge plan ONCE — it appears on both
-    // sides of the outdeg join below, and an expensive upstream plan
-    // (e.g. a fact-table join) must not run twice
     val ed = edges.localCheckpoint()
     // out-degree is static: join it onto the edge list ONCE, so each
     // round's only edge-side work is the broadcast rank lookup
@@ -46,10 +48,10 @@ object Graph {
       .join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
     // the dangling set (no out-edges) is static too
-    val dangNodes = nodes.join(ed.select(col("src").as("node")).distinct(),
+    val dangNodes = nd.join(ed.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
       .localCheckpoint()
-    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+    var pr = nd.select(col("node"), lit(scale / n).as("pr"))
       .localCheckpoint()
     // each round is ONE shuffle (the inflow groupBy of (dst, contrib)
     // pairs); ranks broadcast to the edge scan — O(|nodes|) rows, the
@@ -72,7 +74,7 @@ object Graph {
         // inflow is O(|nodes|) — the same broadcast compromise as the
         // rank lookup above (at web-graph scale swap both for shuffle
         // joins on pre-bucketed node id)
-        pr = nodes.select("node")
+        pr = nd.select("node")
           .join(broadcast(inflow), Seq("node"), "left")
           .crossJoin(broadcast(dang))
           .select(col("node"),

@@ -25,9 +25,14 @@ object HeavyHitters {
   /** @return (item, freq) for items with freq * k > total count; exact. */
   def frequentItems(items: Dataset[String], k: Int): DataFrame = {
     import items.sparkSession.implicits._
-    val candidates = items.mapPartitions { it =>
+    // pass 1 emits each partition's MG candidates PLUS its row count —
+    // the total rides along with the sketch, so the input is scanned
+    // exactly twice (sketch + verify), never a third time just to count
+    val pass1 = items.mapPartitions { it =>
       val c = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { x =>
+        n += 1
         c.get(x) match {
           case Some(v) => c.update(x, v + 1)
           case None if c.size < k => c.update(x, 1L)
@@ -36,11 +41,13 @@ object HeavyHitters {
             c.filterInPlace((_, v) => v > 0)
         }
       }
-      c.keysIterator
-    }.distinct()
-    val total = items.toDF("item").agg(count(lit(1)).as("_n"))
+      c.keysIterator.map(x => (x, 0L, false)) ++ Iterator(("", n, true))
+    }.toDF("item", "cnt", "is_count")
+      .localCheckpoint() // ≤ k+1 rows per partition; pins pass 1's scan
+    val candidates = pass1.filter(!col("is_count")).select("item").distinct()
+    val total = pass1.filter(col("is_count")).agg(sum(col("cnt")).as("_n"))
     items.toDF("item")
-      .join(broadcast(candidates.toDF("item")), Seq("item"), "left_semi")
+      .join(broadcast(candidates), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))
       .filter(col("freq") * k > col("_n"))

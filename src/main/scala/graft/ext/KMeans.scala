@@ -31,11 +31,7 @@ object KMeans {
 
   /** Unit-normalized (id, uv) projection. */
   private def unitized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .select(col(idCol),
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")).as("_uv"))
+    Vectors.unitized(df, vecCol, idCol -> idCol)
 
   /** Rounded positional-mean centroids of `grouped` (cluster, _uv). */
   private def centroidsOf(grouped: DataFrame): DataFrame =

@@ -95,12 +95,14 @@ object Multimodal {
     * so the sample schedule is exactly reproducible by the oracle.
     */
   def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
-      maxFrames: Int = 8, batchSize: Int = 64): Dataset[FrameRow] = {
+      maxFrames: Int = 8): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // per-PARTITION resource (the digest), per-row work — unlike
+      // extractFeatures there is no per-batch codec call to amortize,
+      // so no batching layer
       val md5 = java.security.MessageDigest.getInstance("MD5")
-      it.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { row =>
+      it.flatMap { row =>
           // stub "decode": utf-8 blob → code points (real: demux frames)
           val cps = new String(row.blob, java.nio.charset.StandardCharsets.UTF_8)
             .codePoints().toArray
@@ -120,7 +122,6 @@ object Multimodal {
               FrameRow(row.id, row.modality, fc, idx, len.toLong, sig)
             }
           }
-        }
       }
     }
   }

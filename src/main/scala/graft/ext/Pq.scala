@@ -50,11 +50,7 @@ object Pq {
     try {
 
     def unitize(df: DataFrame, id: String, idAs: String): DataFrame =
-      df.select(col(id).as(idAs), Vectors.asDouble(col(vecCol)).as("_v"))
-        .withColumn("_n", Vectors.norm(col("_v")))
-        .select(col(idAs),
-          when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-            .otherwise(col("_v")).as("_uv"))
+      Vectors.unitized(df, vecCol, id -> idAs)
 
     // (id, sub, subvec) — one row per subspace slice
     def subs(df: DataFrame, id: String): DataFrame =
@@ -62,13 +58,8 @@ object Pq {
           posexplode(array((0 until m).map(s =>
             slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
 
-    val cu = corpus
-      .select(col(cId).as("c_id"), col(blockCol).as("_cell"),
-        Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .select(col("c_id"), col("_cell"),
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")).as("_uv"))
+    val cu = Vectors.unitized(corpus, vecCol,
+        cId -> "c_id", blockCol -> "_cell")
       .cache()
 
     // codebook: per (subspace, block) positional mean, rounded so the
@@ -85,6 +76,11 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("_pos"), col("_mv")))).as("_pm"))
       .select(col("sub"), col("cw"),
         transform(col("_pm"), s => s.getField("_mv")).as("_cw"))
+      // dense positional code per subspace: the LUT below is ordered by
+      // cw, so lookups must use the cw's POSITION, not its raw value —
+      // block ids are any orderable values, not necessarily 0..n-1
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("cw"))) - 1)
       .localCheckpoint()
 
     // encode: nearest codeword per (corpus row, subspace) by L2 on the
@@ -100,9 +96,9 @@ object Pq {
       .withColumn("_rn", row_number().over(encW))
       .filter(col("_rn") === 1)
       .groupBy(col("c_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cw")))).as("_sc"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
       .select(col("c_id"),
-        transform(col("_sc"), s => s.getField("cw")).as("_codes"))
+        transform(col("_sc"), s => s.getField("code")).as("_codes"))
       // materialized: this IS the PQ index — built once under the
       // right-sized shuffles, probed many times
       .localCheckpoint()

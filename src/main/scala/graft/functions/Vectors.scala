@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dense-vector column math over `array<float>` embedding columns,
@@ -26,6 +26,23 @@ object Vectors {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Project `keep` columns (renamed `from -> to`) plus the
+    * unit-normalized vector as `_uv` (zero vectors pass through
+    * unchanged). The ONE definition of this oracle-sensitive
+    * arithmetic — k-means, SemDeDup and PQ all normalize through it,
+    * so the engines' cosine spaces cannot drift apart.
+    */
+  def unitized(df: DataFrame, vecCol: String,
+      keep: (String, String)*): DataFrame = {
+    val kept = keep.map { case (from, to) => col(from).as(to) }
+    val outs = keep.map { case (_, to) => col(to) }
+    df.select(kept :+ asDouble(col(vecCol)).as("_v"): _*)
+      .withColumn("_n", norm(col("_v")))
+      .select(outs :+
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")).as("_uv"): _*)
+  }
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -518,8 +518,11 @@ object AnalyticsQueries {
     val width = (col("mx") - col("mn")) / lit(nb)
     val hist = ev.join(broadcast(bounds), "event_type")
       .select(col("event_type"),
-        least(floor((col("value") - col("mn")) / width), lit(nb - 1))
-          .cast("long").as("bucket"))
+        // a single-valued group (mn == mx) would divide by zero — pin
+        // to bucket 0 (estimate degenerates to the exact constant)
+        when(col("mn") === col("mx"), lit(0L))
+          .otherwise(least(floor((col("value") - col("mn")) / width), lit(nb - 1))
+            .cast("long")).as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     val cum = sum(col("c")).over(Window.partitionBy(col("event_type"))

@@ -73,10 +73,10 @@ class PipelineSpec extends SparkSpec {
     assert(f2.length === 1 && f2.head.frame_chars === 5L)
     // empty asset -> no frames
     assert(!frames.exists(_.id == 3L))
-    // identical frames hash identically; batch size doesn't matter
+    // identical frames hash identically; partitioning doesn't matter
     assert(f1.map(_.frame_sig).distinct.length === 1)
-    val rebatched = Multimodal.sampleFrames(media, batchSize = 1).collect()
-    assert(rebatched.sortBy(r => (r.id, r.frame_idx)).toSeq ===
+    val repartitioned = Multimodal.sampleFrames(media.repartition(3)).collect()
+    assert(repartitioned.sortBy(r => (r.id, r.frame_idx)).toSeq ===
       frames.sortBy(r => (r.id, r.frame_idx)).toSeq)
   }
 

@@ -61,6 +61,19 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("PQ-ADC invariant under block-id relabeling (codes are positional, not raw ids)") {
+    import graft.ext.Pq
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Pq.adcTopK(q, emb, "vec_id", "vec_id", "embedding", "label", 16, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    // shift labels to 100..109 (non-zero-based, non-dense-from-0): the
+    // codebooks are identical sets, so ADC results must not change
+    val shifted = emb.withColumn("label", col("label") + 100)
+    val b = Pq.adcTopK(q, shifted, "vec_id", "vec_id", "embedding", "label", 16, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("fast-hash minhash LSH also catches the planted duplicate") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -542,7 +542,73 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Ordered funnel analysis (view → click → purchase, strictly
+    * increasing event times per user): three chained running-min
+    * windows over ONE (user, ts) sort/shuffle — each step's
+    * first-reach time feeds the next step's predicate, so sequence
+    * matching never materializes per-user event arrays or self-joins
+    * the event log. Output is the corpus-level funnel with exact
+    * conversion fractions.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val stepped = ev
+      .withColumn("s1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("s2", min(when(
+        col("event_type") === "click" && col("ts") > col("s1"),
+        col("ts"))).over(w))
+      .withColumn("s3", min(when(
+        col("event_type") === "purchase" && col("ts") > col("s2"),
+        col("ts"))).over(w))
+    stepped.groupBy(col("user_id"))
+      .agg(min(col("s1")).as("t1"), min(col("s2")).as("t2"),
+        min(col("s3")).as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked"),
+        count(col("t3")).as("n_purchased"))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked"),
+        col("n_purchased"),
+        (col("n_clicked").cast("double") / col("n_viewed")).as("view_to_click"),
+        (col("n_purchased").cast("double") / col("n_clicked")).as("click_to_purchase"))
+  }
+
+  /** Sweep-line concurrency: each event opens an interval of `value`
+    * minutes; +1/−1 boundary deltas sorted per start-day give the
+    * running number of open intervals, and the per-day peak. ONE
+    * union + ONE (day, t) sort/shuffle — the standard event-time
+    * sharding of a sweep line (intervals are assigned to their start
+    * day; at 100 TB you shard exactly like this, by time range).
+    * Boundary convention: closes sort before opens at the same
+    * instant, so touching intervals don't double-count.
+    */
+  def concurrencySweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("t"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 60000000L).cast("long")).as("tEnd"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val deltas = ev.select(col("day"), col("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("day"), col("tEnd").as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open", sum(col("d")).over(w))
+      .groupBy(col("day"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_events"),
+        max(col("open")).as("peak_concurrency"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "funnel_steps" -> (funnelSteps _),
+    "concurrency_sweep" -> (concurrencySweep _),
     "approx_quantile_hist" -> (approxQuantileHist _),
     "histogram_values" -> (histogramValues _),
     "outlier_mad" -> (outlierMad _),
@@ -636,6 +702,47 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors funnelSteps: the same three chained running-min windows.
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER w AS s1 FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1
+        |    THEN ts END) OVER w AS s2 FROM a
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2
+        |    THEN ts END) OVER w AS s3 FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |u AS (SELECT user_id, min(s1) AS t1, min(s2) AS t2, min(s3) AS t3
+        |      FROM c GROUP BY 1)
+        |SELECT count(*) AS n_users, count(t1) AS n_viewed,
+        |  count(t2) AS n_clicked, count(t3) AS n_purchased,
+        |  CAST(count(t2) AS DOUBLE) / count(t1) AS view_to_click,
+        |  CAST(count(t3) AS DOUBLE) / count(t2) AS click_to_purchase
+        |FROM u""".stripMargin,
+    // Mirrors concurrencySweep: same delta stream, same (t, d) order
+    // (closes before opens at equal t).
+    "concurrency_sweep" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events),
+        |d AS (SELECT day, t, CAST(1 AS BIGINT) AS d FROM e
+        |      UNION ALL
+        |      SELECT day, tEnd AS t, CAST(-1 AS BIGINT) AS d FROM e),
+        |o AS (SELECT day, d, sum(d) OVER (PARTITION BY day ORDER BY t, d
+        |        ROWS UNBOUNDED PRECEDING) AS open
+        |      FROM d)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |  CAST(max(open) AS BIGINT) AS peak_concurrency
+        |FROM o GROUP BY day ORDER BY day""".stripMargin,
     // Mirrors approxQuantileHist: identical bucket arithmetic and
     // in-bucket interpolation, replayed serially.
     "approx_quantile_hist" ->

@@ -223,7 +223,39 @@ object OpsQueries {
       .orderBy("event_type")
   }
 
+  /** CDC changelog application — MERGE with deletes: the event log is
+    * read as a change stream (purchase ⇒ DELETE the key, anything else
+    * ⇒ UPSERT the event value; event_id is the change sequence), the
+    * last change per key wins via partial-aggregating `max_by` (no
+    * sort, no window), and the net change set joins the base snapshot
+    * FULL OUTER — one co-partitioned shuffle join against a changelog
+    * already reduced to one row per touched key. This is the
+    * `merge_upsert` family extended with the delete semantic.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val net = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("event_id"),
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        round(col("value") * 100).cast("long").as("val_cents"))
+      .groupBy(col("k"))
+      .agg(expr("max_by(op, event_id)").as("op"),
+        expr("max_by(val_cents, event_id)").as("val_cents"))
+    base.join(net, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "D")
+      .select(col("k"),
+        coalesce(col("val_cents"), col("bal_cents")).as("bal_cents"),
+        when(col("op").isNull, lit("unchanged"))
+          .when(col("bal_cents").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("change"))
+      .orderBy("k")
+  }
+
   val defs: Map[String, Q] = Map(
+    "cdc_apply" -> (cdcApply _),
     "source_formats" -> (sourceFormats _),
     "layout_zorder" -> (layoutZorder _),
     "table_diff" -> (tableDiff _),
@@ -236,6 +268,23 @@ object OpsQueries {
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    // Mirrors cdcApply: arg_max net change per key, full-outer apply.
+    "cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |net AS (SELECT user_id AS k,
+        |    arg_max(CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END,
+        |      event_id) AS op,
+        |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS val_cents
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT coalesce(base.k, net.k) AS k, bal_cents, op, val_cents
+        |      FROM base FULL JOIN net ON base.k = net.k)
+        |SELECT k, coalesce(val_cents, bal_cents) AS bal_cents,
+        |  CASE WHEN op IS NULL THEN 'unchanged'
+        |       WHEN bal_cents IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS change
+        |FROM j WHERE coalesce(op, 'keep') <> 'D' ORDER BY k""".stripMargin,
     // both format copies carry the same rows, so every count/sum is
     // exactly double the source table's
     "source_formats" ->

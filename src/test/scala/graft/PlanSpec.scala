@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Expand""".r.findAllIn(p).length == 1, p.take(600))
   }
 
+  test("funnel's three chained windows share ONE (user, ts) sort/shuffle") {
+    val p = plan(AnalyticsQueries.funnelSteps(spark, sf))
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 3, p.take(600))
+    // one data exchange for the windows + the final 1-row aggregate's
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 2, p.take(600))
+    assert("""\(\d+\) Sort""".r.findAllIn(p).length == 1, p.take(600))
+  }
+
+  test("sweep-line concurrency is one union + one (day, t) shuffle") {
+    val p = plan(AnalyticsQueries.concurrencySweep(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // windows + final day-aggregate; never a per-interval join
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 1, p.take(600))
+  }
+
   test("table diff prunes both snapshot scans to the compared columns") {
     val p = plan(OpsQueries.tableDiff(spark, sf))
     assert(!p.contains("o_orderdate") && !p.contains("o_comment"), p.take(600))

@@ -254,7 +254,32 @@ object OpsQueries {
       .orderBy("k")
   }
 
+  /** Shuffle-skew diagnostic — the report you run BEFORE deciding a
+    * join needs salting (`operators/Skew`): per-key cardinality
+    * distribution (max / median / p99 key counts), the skew ratio
+    * (hottest key vs mean), and the hottest key itself via
+    * `TakeOrderedAndProject` (never a global sort). Two aggregations;
+    * the per-key counts partially aggregate map-side.
+    */
+  def dataSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("key").asc).limit(1)
+      .select(col("key").as("top_key"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_count"),
+        round(expr("percentile(c, 0.5)"), 4).as("p50_count"),
+        round(expr("percentile(c, 0.99)"), 4).as("p99_count"))
+      .withColumn("skew_ratio",
+        col("max_count").cast("double") * col("n_keys") / col("n_rows"))
+      .crossJoin(broadcast(top))
+  }
+
   val defs: Map[String, Q] = Map(
+    "data_skew_report" -> (dataSkewReport _),
     "cdc_apply" -> (cdcApply _),
     "source_formats" -> (sourceFormats _),
     "layout_zorder" -> (layoutZorder _),
@@ -268,6 +293,17 @@ object OpsQueries {
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    "data_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS c
+        |           FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_count,
+        |  round(quantile_cont(c, 0.5), 4) AS p50_count,
+        |  round(quantile_cont(c, 0.99), 4) AS p99_count,
+        |  CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS BIGINT)
+        |    AS skew_ratio,
+        |  (SELECT key FROM c ORDER BY c DESC, key ASC LIMIT 1) AS top_key
+        |FROM c""".stripMargin,
     // Mirrors cdcApply: arg_max net change per key, full-outer apply.
     "cdc_apply" ->
       """WITH base AS (SELECT c_custkey AS k,

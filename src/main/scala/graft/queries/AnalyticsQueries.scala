@@ -580,28 +580,43 @@ object AnalyticsQueries {
   }
 
   /** Sweep-line concurrency: each event opens an interval of `value`
-    * minutes; +1/−1 boundary deltas sorted per start-day give the
-    * running number of open intervals, and the per-day peak. ONE
-    * union + ONE (day, t) sort/shuffle — the standard event-time
-    * sharding of a sweep line (intervals are assigned to their start
-    * day; at 100 TB you shard exactly like this, by time range).
-    * Boundary convention: closes sort before opens at the same
-    * instant, so touching intervals don't double-count.
+    * minutes; +1/−1 boundary deltas sorted within each day give the
+    * running number of open intervals and the per-day TRUE peak.
+    * Sharding is by day with intervals SPLIT at day boundaries (an
+    * interval spanning midnight contributes a clipped slice to each
+    * day it touches), so an interval carried over from yesterday still
+    * counts from today's first instant — this is how a sweep line
+    * shards correctly by time range: clip at shard boundaries, never
+    * just assign to the start shard. One map-side explode (fan-out =
+    * days touched, bounded by interval length) + ONE (day, t)
+    * sort/shuffle. Boundary convention: closes sort before opens at
+    * the same instant, so touching intervals don't double-count.
     */
   def concurrencySweep(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
     val ev = Tables.events(spark, dir)
       .select(unix_micros(col("ts")).as("t"),
         (unix_micros(col("ts")) +
-          round(col("value") * 60000000L).cast("long")).as("tEnd"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    val deltas = ev.select(col("day"), col("t"), lit(1L).as("d"))
-      .unionAll(ev.select(col("day"), col("tEnd").as("t"), lit(-1L).as("d")))
+          round(col("value") * 60000000L).cast("long")).as("tEnd"))
+    val slices = ev
+      .select(col("t"), col("tEnd"),
+        explode(sequence(
+          to_date(timestamp_micros(col("t"))),
+          to_date(timestamp_micros(col("tEnd"))))).as("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        greatest(col("t"), unix_micros(col("day").cast("timestamp")))
+          .as("open_t"),
+        least(col("tEnd"),
+          unix_micros(col("day").cast("timestamp")) + lit(dayUs))
+          .as("close_t"))
+    val deltas = slices.select(col("day"), col("open_t").as("t"), lit(1L).as("d"))
+      .unionAll(slices.select(col("day"), col("close_t").as("t"), lit(-1L).as("d")))
     val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas
       .withColumn("open", sum(col("d")).over(w))
       .groupBy(col("day"))
-      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_events"),
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_active"),
         max(col("open")).as("peak_concurrency"))
       .orderBy("day")
   }
@@ -725,24 +740,34 @@ object AnalyticsQueries {
         |  CAST(count(t2) AS DOUBLE) / count(t1) AS view_to_click,
         |  CAST(count(t3) AS DOUBLE) / count(t2) AS click_to_purchase
         |FROM u""".stripMargin,
-    // Mirrors concurrencySweep: same delta stream, same (t, d) order
-    // (closes before opens at equal t).
+    // Mirrors concurrencySweep: day-clipped interval slices, same
+    // (t, d) order (closes before opens at equal t).
     "concurrency_sweep" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t,
         |    epoch_us(CAST(ts AS TIMESTAMP))
-        |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd,
-        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd
         |  FROM events),
-        |d AS (SELECT day, t, CAST(1 AS BIGINT) AS d FROM e
+        |s AS (SELECT t, tEnd, unnest(generate_series(
+        |        CAST(make_timestamp(t) AS DATE),
+        |        CAST(make_timestamp(tEnd) AS DATE),
+        |        INTERVAL 1 DAY)) AS day
+        |      FROM e),
+        |c AS (SELECT CAST(day AS DATE) AS day,
+        |        greatest(t, epoch_us(CAST(CAST(day AS DATE) AS TIMESTAMP)))
+        |          AS open_t,
+        |        least(tEnd, epoch_us(CAST(CAST(day AS DATE) AS TIMESTAMP))
+        |          + 86400000000) AS close_t
+        |      FROM s),
+        |d AS (SELECT day, open_t AS t, CAST(1 AS BIGINT) AS d FROM c
         |      UNION ALL
-        |      SELECT day, tEnd AS t, CAST(-1 AS BIGINT) AS d FROM e),
+        |      SELECT day, close_t AS t, CAST(-1 AS BIGINT) AS d FROM c),
         |o AS (SELECT day, d, sum(d) OVER (PARTITION BY day ORDER BY t, d
         |        ROWS UNBOUNDED PRECEDING) AS open
         |      FROM d)
-        |SELECT day,
-        |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
         |  CAST(max(open) AS BIGINT) AS peak_concurrency
-        |FROM o GROUP BY day ORDER BY day""".stripMargin,
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mirrors approxQuantileHist: identical bucket arithmetic and
     // in-bucket interpolation, replayed serially.
     "approx_quantile_hist" ->

@@ -134,6 +134,17 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Window""".r.findAllIn(p).length == 1, p.take(600))
   }
 
+  test("CDC apply reduces the changelog with partial max_by — no sort, no window") {
+    val p = plan(OpsQueries.cdcApply(spark, sf))
+    assert(p.contains("partial_max_by"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("skew report takes its hottest key via TakeOrderedAndProject, not a global sort") {
+    val p = plan(OpsQueries.dataSkewReport(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("table diff prunes both snapshot scans to the compared columns") {
     val p = plan(OpsQueries.tableDiff(spark, sf))
     assert(!p.contains("o_orderdate") && !p.contains("o_comment"), p.take(600))

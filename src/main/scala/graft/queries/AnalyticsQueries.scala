@@ -621,7 +621,39 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Cohort retention matrix: users cohorted by first-seen week, then
+    * for each (cohort, week offset) the distinct-active count and the
+    * retention fraction vs the cohort's size. Two key-partitioned
+    * shuffles (first-seen per user; distinct cohort cells) — the
+    * per-user join is co-partitioned on user_id, cohort sizes come
+    * back via a broadcast of the offset-0 row per cohort. No per-user
+    * arrays, no cross joins; the cohort matrix is tiny regardless of
+    * input size.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    val cells = ev.join(first, "user_id")
+      .select(
+        date_format(date_trunc("week", col("first_d")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        expr("CAST(datediff(d, first_d) div 7 AS BIGINT)").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val defs: Map[String, Q] = Map(
+    "retention_cohorts" -> (retentionCohorts _),
     "funnel_steps" -> (funnelSteps _),
     "concurrency_sweep" -> (concurrencySweep _),
     "approx_quantile_hist" -> (approxQuantileHist _),
@@ -717,6 +749,23 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors retentionCohorts: ISO-Monday week cohorts, integer week
+    // offsets, offset-0 row as the cohort size.
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |           FROM events),
+        |f AS (SELECT user_id, min(d) AS first_d FROM e GROUP BY 1),
+        |cells AS (SELECT strftime(date_trunc('week', first_d), '%Y-%m-%d')
+        |      AS cohort_week,
+        |    CAST(date_diff('day', first_d, d) // 7 AS BIGINT) AS week_offset,
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_active AS cohort_size FROM cells
+        |       WHERE week_offset = 0)
+        |SELECT c.cohort_week, c.week_offset, c.n_active, sz.cohort_size,
+        |  CAST(c.n_active AS DOUBLE) / sz.cohort_size AS retention
+        |FROM cells c JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // Mirrors funnelSteps: the same three chained running-min windows.
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

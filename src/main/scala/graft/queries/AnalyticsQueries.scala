@@ -652,7 +652,70 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** A/B experiment analysis: Welch's t between two event groups,
+    * computed entirely from exact integer-cent power sums (one
+    * aggregation, order-independent partials — the same determinism
+    * discipline as [[statsNumeric]]) with the t statistic and
+    * Welch–Satterthwaite df as the only floating-point step.
+    */
+  def abWelch(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(col("value") * 100).cast(dec)
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), x.as("_x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum(col("_x")).as("_s"),
+        sum(col("_x") * col("_x")).as("_ss"))
+      .select(col("event_type"), col("_n").cast("double").as("n"),
+        col("_s").cast("double").as("s"), col("_ss").cast("double").as("ss"))
+    val t = g.filter(col("event_type") === "click")
+      .select(col("n").as("n1"), col("s").as("s1"), col("ss").as("ss1"))
+    val c = g.filter(col("event_type") === "view")
+      .select(col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
+    // sample variance over cents: (ss - s^2/n) / (n-1); se^2 = v/n
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se1 = v1 / col("n1")
+    val se2 = v2 / col("n2")
+    t.crossJoin(c).select(
+        col("n1").cast("long").as("n_treat"),
+        col("n2").cast("long").as("n_ctrl"),
+        round(col("s1") / col("n1") / 100.0, 4).as("mean_treat"),
+        round(col("s2") / col("n2") / 100.0, 4).as("mean_ctrl"),
+        round((col("s1") / col("n1") - col("s2") / col("n2")) /
+          sqrt(se1 + se2), 4).as("t_stat"),
+        round((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2)
+          .as("welch_df"))
+  }
+
+  /** Gaps-and-islands: contiguous calendar-day activity streaks per
+    * user (the calendar twin of timestamp-gap sessionization). The
+    * island anchor `d − row_number` is constant within a run of
+    * consecutive days, so streaks fall out of ONE (user, day)
+    * sort/shuffle + a groupBy — no self-joins, no per-user arrays.
+    */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val anchored = days.withColumn("anchor",
+      date_sub(col("d"), row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("d")))))
+    val islands = anchored.groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("streak_start"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest"),
+        expr("min_by(streak_start, struct(-len, streak_start))")
+          .as("longest_start"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ab_welch" -> (abWelch _),
+    "gaps_islands" -> (gapsIslands _),
     "retention_cohorts" -> (retentionCohorts _),
     "funnel_steps" -> (funnelSteps _),
     "concurrency_sweep" -> (concurrencySweep _),
@@ -749,6 +812,48 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors abWelch: identical op-order closed form over exact sums.
+    "ab_welch" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0))
+        |      * CAST(round(value * 100) AS DECIMAL(38,0))) AS DOUBLE) AS ss
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |t AS (SELECT n AS n1, s AS s1, ss AS ss1 FROM g
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM g
+        |      WHERE event_type = 'view'),
+        |w AS (SELECT n1, n2, s1, s2,
+        |    ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS se1,
+        |    ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2 AS se2
+        |  FROM t, c)
+        |SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_ctrl,
+        |  round(s1 / n1 / 100.0, 4) AS mean_treat,
+        |  round(s2 / n2 / 100.0, 4) AS mean_ctrl,
+        |  round((s1 / n1 - s2 / n2) / sqrt(se1 + se2), 4) AS t_stat,
+        |  round((se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) AS welch_df
+        |FROM w""".stripMargin,
+    // Mirrors gapsIslands: anchor = day − row_number is constant per
+    // consecutive run.
+    "gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |a AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INTEGER) AS anchor
+        |  FROM days),
+        |i AS (SELECT user_id, anchor, count(*) AS len, min(d) AS streak_start
+        |      FROM a GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY len DESC, streak_start ASC) AS rn FROM i),
+        |g AS (SELECT user_id, count(*) AS n_streaks, max(len) AS longest
+        |      FROM i GROUP BY 1)
+        |SELECT g.user_id, g.n_streaks, g.longest,
+        |  r.streak_start AS longest_start
+        |FROM g JOIN r ON g.user_id = r.user_id AND r.rn = 1
+        |ORDER BY g.user_id""".stripMargin,
     // Mirrors retentionCohorts: ISO-Monday week cohorts, integer week
     // offsets, offset-0 row as the cohort size.
     "retention_cohorts" ->

@@ -113,6 +113,23 @@ object MergeWriter {
     spark.catalog.refreshByPath(dir)
   }
 
+  /** Small-file compaction: rewrite the parquet table at `dir` into
+    * ~`targetFileBytes`-sized files (same crash-recoverable swap as
+    * every merge). Streaming merge sinks and frequent small upserts
+    * accumulate files far below the scan-efficient size; at 100 TB the
+    * resulting per-file open/footer overhead and tiny row groups
+    * dominate scan cost, so compaction is a first-class maintenance
+    * op, run off the write path. File count derives from the CURRENT
+    * on-disk byte size, so repeated compactions are stable.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dst = new Path(dir)
+    val bytes = fs(spark, dst).getContentSummary(dst).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    swapWrite(spark, dir, spark.read.parquet(dir).repartition(n))
+  }
+
   /** Materialize `df` then replace `dir` with it. */
   private def swapWrite(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))

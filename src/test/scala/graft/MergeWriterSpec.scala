@@ -111,4 +111,26 @@ class MergeWriterSpec extends SparkSpec {
       .map(_.getName).filter(n => n.contains(".merge.tmp") || n.endsWith(".old"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
+
+  test("compact shrinks a fragmented table without changing its contents") {
+    import spark.implicits._
+    val dir = tmp()
+    // 32 tiny files
+    (1 to 320).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(32).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() === 32)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    MergeWriter.compact(spark, dir) // 128 MB target -> 1 file here
+    assert(files() === 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+    // stable under repetition
+    MergeWriter.compact(spark, dir)
+    assert(files() === 1)
+    // no leftover swap dirs
+    val leftovers = new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp") || n.endsWith(".old"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

@@ -278,7 +278,31 @@ object OpsQueries {
       .crossJoin(broadcast(top))
   }
 
+  /** Time-travel read over the versioned table writer: two snapshots
+    * of a daily orders mart are committed (v1 = first half of the
+    * month, v2 = the full month), then BOTH are read back — v1 pinned,
+    * v2 via the live pointer — and tagged. Proves snapshot isolation
+    * end-to-end: the pinned read is unaffected by the later commit.
+    */
+  def versionTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-versioned").resolve("t").toString
+    val daily = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+    graft.operators.Versioned.write(spark, tmp, daily.filter(col("day") < "1995-01-01"))
+    graft.operators.Versioned.write(spark, tmp, daily)
+    val v1 = graft.operators.Versioned.read(spark, tmp, Some(1L))
+      .withColumn("version", lit(1L))
+    val v2 = graft.operators.Versioned.read(spark, tmp)
+      .withColumn("version", lit(2L))
+    v1.unionByName(v2).orderBy("version", "day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "version_travel" -> (versionTravel _),
     "data_skew_report" -> (dataSkewReport _),
     "cdc_apply" -> (cdcApply _),
     "source_formats" -> (sourceFormats _),
@@ -293,6 +317,19 @@ object OpsQueries {
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    // v1 = the pinned early snapshot, v2 = the full recomputation; the
+    // oracle replays both straight from the table.
+    "version_travel" ->
+      """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS price_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, n_orders, price_cents, CAST(1 AS BIGINT) AS version
+        |FROM d WHERE day < '1995-01-01'
+        |UNION ALL
+        |SELECT day, n_orders, price_cents, CAST(2 AS BIGINT) AS version FROM d
+        |ORDER BY version, day""".stripMargin,
     "data_skew_report" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS c
         |           FROM lineitem GROUP BY 1)

@@ -713,7 +713,58 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Running distinct count — the first-occurrence-flag trick: a
+    * cumulative COUNT(DISTINCT) window is not directly computable, but
+    * flagging each (user, event_type)'s first row (row_number = 1) and
+    * running-summing the flags is — two keyed shuffles, no state
+    * explosion, exact at any scale.
+    */
+  def windowFirstOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("_first",
+        when(row_number().over(byType) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("_first")).over(byUser))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_distinct_types"))
+      .orderBy("event_id")
+  }
+
+  /** Overlapping-interval coverage: merge each user's event intervals
+    * (ts .. ts + value minutes) and report covered time and island
+    * count. Islands form where an interval starts past the running max
+    * of previous ends — ONE (user, t) sort/shuffle, exact integer
+    * microsecond arithmetic, no interval self-joins.
+    */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 60000000L).cast("long")).as("tEnd"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("tEnd"))
+    val prevMax = max(col("tEnd"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ev
+      .withColumn("_new",
+        when(prevMax.isNull || col("t") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("t")).as("_s"), max(col("tEnd")).as("_e"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "window_first_occurrence" -> (windowFirstOccurrence _),
+    "interval_coverage" -> (intervalCoverage _),
     "ab_welch" -> (abWelch _),
     "gaps_islands" -> (gapsIslands _),
     "retention_cohorts" -> (retentionCohorts _),
@@ -812,6 +863,34 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors windowFirstOccurrence: first-occurrence flags + running sum.
+    "window_first_occurrence" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT *, CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |    THEN 1 ELSE 0 END AS fst FROM e)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+        |FROM f ORDER BY event_id""".stripMargin,
+    // Mirrors intervalCoverage: running-max-end island detection.
+    "interval_coverage" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd
+        |  FROM events),
+        |m AS (SELECT *, max(tEnd) OVER (PARTITION BY user_id ORDER BY t, tEnd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e),
+        |n AS (SELECT *, CASE WHEN pm IS NULL OR t > pm THEN 1 ELSE 0 END
+        |      AS nw FROM m),
+        |i AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY t, tEnd
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM n),
+        |g AS (SELECT user_id, island, min(t) AS s, max(tEnd) AS e
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mirrors abWelch: identical op-order closed form over exact sums.
     "ab_welch" ->
       """WITH g AS (SELECT event_type,

@@ -542,6 +542,23 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Shared ts → [t, t + value minutes) interval mapping for the
+    * interval operators — ONE definition on each side of the oracle
+    * parity contract (see [[intervalOracleCte]] for the DuckDB twin).
+    */
+  private def eventIntervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 60000000L).cast("long")).as("tEnd"))
+
+  /** DuckDB twin of [[eventIntervals]], shared by the interval oracles. */
+  private val intervalOracleCte: String =
+    """e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd
+      |  FROM events)""".stripMargin
+
   /** Ordered funnel analysis (view → click → purchase, strictly
     * increasing event times per user): three chained running-min
     * windows over ONE (user, ts) sort/shuffle — each step's
@@ -594,10 +611,7 @@ object AnalyticsQueries {
     */
   def concurrencySweep(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
-    val ev = Tables.events(spark, dir)
-      .select(unix_micros(col("ts")).as("t"),
-        (unix_micros(col("ts")) +
-          round(col("value") * 60000000L).cast("long")).as("tEnd"))
+    val ev = eventIntervals(spark, dir).select("t", "tEnd")
     val slices = ev
       .select(col("t"), col("tEnd"),
         explode(sequence(
@@ -742,10 +756,7 @@ object AnalyticsQueries {
     * microsecond arithmetic, no interval self-joins.
     */
   def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("t"),
-        (unix_micros(col("ts")) +
-          round(col("value") * 60000000L).cast("long")).as("tEnd"))
+    val ev = eventIntervals(spark, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("tEnd"))
     val prevMax = max(col("tEnd"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -875,11 +886,7 @@ object AnalyticsQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
         |FROM f ORDER BY event_id""".stripMargin,
     // Mirrors intervalCoverage: running-max-end island detection.
-    "interval_coverage" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
-        |    epoch_us(CAST(ts AS TIMESTAMP))
-        |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd
-        |  FROM events),
+    "interval_coverage" -> s"""WITH $intervalOracleCte,
         |m AS (SELECT *, max(tEnd) OVER (PARTITION BY user_id ORDER BY t, tEnd
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e),
         |n AS (SELECT *, CASE WHEN pm IS NULL OR t > pm THEN 1 ELSE 0 END
@@ -975,11 +982,7 @@ object AnalyticsQueries {
         |FROM u""".stripMargin,
     // Mirrors concurrencySweep: day-clipped interval slices, same
     // (t, d) order (closes before opens at equal t).
-    "concurrency_sweep" ->
-      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t,
-        |    epoch_us(CAST(ts AS TIMESTAMP))
-        |      + CAST(round(value * 60000000) AS BIGINT) AS tEnd
-        |  FROM events),
+    "concurrency_sweep" -> s"""WITH $intervalOracleCte,
         |s AS (SELECT t, tEnd, unnest(generate_series(
         |        CAST(make_timestamp(t) AS DATE),
         |        CAST(make_timestamp(tEnd) AS DATE),

@@ -341,23 +341,9 @@ object OpsQueries {
         |    AS skew_ratio,
         |  (SELECT key FROM c ORDER BY c DESC, key ASC LIMIT 1) AS top_key
         |FROM c""".stripMargin,
-    // Mirrors cdcApply: arg_max net change per key, full-outer apply.
-    "cdc_apply" ->
-      """WITH base AS (SELECT c_custkey AS k,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |  FROM customer),
-        |net AS (SELECT user_id AS k,
-        |    arg_max(CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END,
-        |      event_id) AS op,
-        |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS val_cents
-        |  FROM events GROUP BY 1),
-        |j AS (SELECT coalesce(base.k, net.k) AS k, bal_cents, op, val_cents
-        |      FROM base FULL JOIN net ON base.k = net.k)
-        |SELECT k, coalesce(val_cents, bal_cents) AS bal_cents,
-        |  CASE WHEN op IS NULL THEN 'unchanged'
-        |       WHEN bal_cents IS NULL THEN 'inserted'
-        |       ELSE 'updated' END AS change
-        |FROM j WHERE coalesce(op, 'keep') <> 'D' ORDER BY k""".stripMargin,
+    // Mirrors cdcApply — the SAME oracle gates streaming_cdc (see
+    // PipelineQueries.cdcOracleSql for why it lives there).
+    "cdc_apply" -> PipelineQueries.cdcOracleSql,
     // both format copies carry the same rows, so every count/sum is
     // exactly double the source table's
     "source_formats" ->

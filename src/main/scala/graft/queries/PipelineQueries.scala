@@ -94,7 +94,14 @@ object PipelineQueries {
   def streamingEnrich(spark: SparkSession, dir: String): DataFrame =
     Streams.enrichWithDim(spark, dir)
 
+  /** Streaming CDC apply (merge with deletes as a stream) — must equal
+    * the batch `cdc_apply` (same oracle gates both).
+    */
+  def streamingCdc(spark: SparkSession, dir: String): DataFrame =
+    Streams.cdcToMergeSink(spark, dir)
+
   val defs: Map[String, Q] = Map(
+    "streaming_cdc" -> (streamingCdc _),
     "streaming_enrich" -> (streamingEnrich _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_sessionize" -> (streamingSessionize _),
@@ -103,7 +110,32 @@ object PipelineQueries {
     "streaming_latest_per_key" -> (streamingLatest _),
     "streaming_interval_join" -> (streamingIntervalJoin _))
 
+  /** One oracle, two engines paths: gates `cdc_apply` (batch, in
+    * OpsQueries) AND `streaming_cdc` (per-batch merge). Lives here so
+    * object initialization keeps its single OpsQueries →
+    * PipelineQueries direction.
+    */
+  private[queries] val cdcOracleSql: String =
+    """WITH base AS (SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |net AS (SELECT user_id AS k,
+      |    arg_max(CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END,
+      |      event_id) AS op,
+      |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS val_cents
+      |  FROM events GROUP BY 1),
+      |j AS (SELECT coalesce(base.k, net.k) AS k, bal_cents, op, val_cents
+      |      FROM base FULL JOIN net ON base.k = net.k)
+      |SELECT k, coalesce(val_cents, bal_cents) AS bal_cents,
+      |  CASE WHEN op IS NULL THEN 'unchanged'
+      |       WHEN bal_cents IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS change
+      |FROM j WHERE coalesce(op, 'keep') <> 'D' ORDER BY k""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the streaming CDC apply must converge to the batch answer —
+    // literally the same oracle as cdc_apply
+    "streaming_cdc" -> cdcOracleSql,
     "streaming_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

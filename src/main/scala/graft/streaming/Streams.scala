@@ -299,6 +299,40 @@ object Streams {
     spark.read.parquet(targetDir)
   }
 
+  /** Streaming CDC apply — MERGE with deletes as a stream: the event
+    * log arrives as a change stream (purchase ⇒ tombstone, anything
+    * else ⇒ upsert; event_id is the change sequence), each micro-batch
+    * merges into a keyed net-change table where tombstones are ROWS,
+    * not removals — keep-latest-by-sequence over rows (including D
+    * rows) is commutative across batches and replays, which physical
+    * deletion is not — and the read side applies deletes + labels
+    * against the base snapshot. Must produce the batch
+    * [[graft.queries.OpsQueries.cdcApply]] answer exactly (the same
+    * DuckDB oracle gates both).
+    */
+  def cdcToMergeSink(spark: SparkSession, dir: String): DataFrame = {
+    val log = Files.createTempDirectory("graft-cdc").resolve("t").toString
+    val changes = eventsStream(spark, dir, batches = 3)
+      .select(col("user_id").as("k"), col("event_id"),
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        round(col("value") * 100).cast("long").as("val_cents"))
+    runToMergeSink(changes, "append", log,
+      keys = Seq("k"), versionCols = Seq("event_id"))
+    val net = spark.read.parquet(log).select("k", "op", "val_cents")
+    val base = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    base.join(net, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "D")
+      .select(col("k"),
+        coalesce(col("val_cents"), col("bal_cents")).as("bal_cents"),
+        when(col("op").isNull, lit("unchanged"))
+          .when(col("bal_cents").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("change"))
+      .orderBy("k")
+  }
+
   /** Watermarked stream-stream inner join: purchases joined to the
     * same user's signups within the preceding hour. Both sides carry
     * watermarks so the join state is bounded (old rows age out) — the

@@ -121,13 +121,31 @@ object MergeWriter {
     * dominate scan cost, so compaction is a first-class maintenance
     * op, run off the write path. File count derives from the CURRENT
     * on-disk byte size, so repeated compactions are stable.
+    *
+    * Hive-partitioned layouts ([[upsertPartitioned]] targets) are
+    * detected via `col=value` subdirectories and compacted
+    * per-partition, preserving the layout — a flat rewrite of such a
+    * dir would leave full-table files next to partition dirs and a
+    * later partition swap would duplicate rows.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val dst = new Path(dir)
+    val f = fs(spark, dst)
+    val partDirs = f.listStatus(dst).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (partDirs.nonEmpty)
+      partDirs.foreach(s => compactFlat(spark, s.getPath, targetFileBytes))
+    else compactFlat(spark, dst, targetFileBytes)
+  }
+
+  private def compactFlat(spark: SparkSession, dst: Path,
+      targetFileBytes: Long): Unit = {
     val bytes = fs(spark, dst).getContentSummary(dst).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    swapWrite(spark, dir, spark.read.parquet(dir).repartition(n))
+    swapWrite(spark, dst.toString, spark.read.parquet(dst.toString).repartition(n))
   }
 
   /** Materialize `df` then replace `dir` with it. */

@@ -19,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pointer (old version stays live) or no pointer (readers fall back
   * to the newest COMPLETE snapshot). At 100 TB this layout also makes
   * rollback and audit O(1): point the pointer, nothing rewrites.
+  *
+  * Concurrency contract: SINGLE WRITER, single maintainer. `write`
+  * is read-increment-write on the version counter (two concurrent
+  * writers could claim the same version), and `vacuum` must not race
+  * an in-flight commit — vacuum therefore keeps incomplete snapshot
+  * dirs younger than a grace threshold (they may be mid-write), and
+  * only reclaims old ones. Readers are safe under this contract at
+  * any concurrency: they touch only immutable snapshots.
   */
 object Versioned {
 
@@ -40,18 +48,24 @@ object Versioned {
       .sorted
   }
 
-  /** Latest committed version: the pointer if present, else the newest
-    * complete snapshot (pointer-swap crash fallback).
+  /** Latest committed version: the pointer if present AND its target
+    * snapshot is complete, else the newest complete snapshot (covers
+    * both a pointer-swap crash and a pointer dangling after manual
+    * deletion / partial restore of the target dir).
     */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
     val p = pointer(dir)
     val f = fs(spark, p)
-    if (f.exists(p)) {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    } else versions(spark, dir).lastOption
+    val pointed: Option[Long] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    pointed.filter(v => f.exists(new Path(vdir(dir, v), "_SUCCESS")))
+      .orElse(versions(spark, dir).lastOption)
   }
 
   /** Commit `df` as the next version; returns the version number. */
@@ -82,23 +96,29 @@ object Versioned {
     spark.read.parquet(path.toString)
   }
 
-  /** Drop all but the newest `keep` committed versions (plus any
-    * incomplete snapshot dirs). The live pointer target is never
-    * dropped: keep is clamped to include it.
+  /** Drop all but the newest `keep` committed versions, plus any
+    * incomplete snapshot dirs OLDER than `graceMs` — a young
+    * incomplete dir may be a commit in flight (see the concurrency
+    * contract above), so it is left alone. The live pointer target is
+    * never dropped: keep is clamped to include it.
     */
-  def vacuum(spark: SparkSession, dir: String, keep: Int): Unit = {
+  def vacuum(spark: SparkSession, dir: String, keep: Int,
+      graceMs: Long = 10L * 60 * 1000): Unit = {
     require(keep >= 1, "vacuum must keep at least the live version")
     val committed = versions(spark, dir)
     val root = new Path(s"$dir/_versions")
     val f = fs(spark, root)
     val keepSet = committed.takeRight(keep).toSet ++
       latestVersion(spark, dir).toSet
+    val now = System.currentTimeMillis()
     if (f.exists(root)) f.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .foreach { s =>
         val v = s.getPath.getName.stripPrefix("v=").toLong
         val incomplete = !f.exists(new Path(s.getPath, "_SUCCESS"))
-        if (incomplete || !keepSet.contains(v)) f.delete(s.getPath, true)
+        val expired = now - s.getModificationTime > graceMs
+        if ((incomplete && expired) ||
+            (!incomplete && !keepSet.contains(v))) f.delete(s.getPath, true)
       }
   }
 }

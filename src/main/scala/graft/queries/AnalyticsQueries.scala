@@ -607,7 +607,11 @@ object AnalyticsQueries {
     * just assign to the start shard. One map-side explode (fan-out =
     * days touched, bounded by interval length) + ONE (day, t)
     * sort/shuffle. Boundary convention: closes sort before opens at
-    * the same instant, so touching intervals don't double-count.
+    * the same instant, so touching intervals don't double-count;
+    * zero-length slices (an interval ending exactly at midnight
+    * produces an empty next-day slice) are dropped on both engines —
+    * they could never raise the peak (their −1 sorts first) and
+    * counting them in n_active would be a phantom activation.
     */
   def concurrencySweep(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
@@ -623,6 +627,7 @@ object AnalyticsQueries {
         least(col("tEnd"),
           unix_micros(col("day").cast("timestamp")) + lit(dayUs))
           .as("close_t"))
+      .filter(col("open_t") < col("close_t"))
     val deltas = slices.select(col("day"), col("open_t").as("t"), lit(1L).as("d"))
       .unionAll(slices.select(col("day"), col("close_t").as("t"), lit(-1L).as("d")))
     val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
@@ -981,7 +986,8 @@ object AnalyticsQueries {
         |  CAST(count(t3) AS DOUBLE) / count(t2) AS click_to_purchase
         |FROM u""".stripMargin,
     // Mirrors concurrencySweep: day-clipped interval slices, same
-    // (t, d) order (closes before opens at equal t).
+    // (t, d) order (closes before opens at equal t), zero-length
+    // slices dropped.
     "concurrency_sweep" -> s"""WITH $intervalOracleCte,
         |s AS (SELECT t, tEnd, unnest(generate_series(
         |        CAST(make_timestamp(t) AS DATE),
@@ -995,8 +1001,10 @@ object AnalyticsQueries {
         |          + 86400000000) AS close_t
         |      FROM s),
         |d AS (SELECT day, open_t AS t, CAST(1 AS BIGINT) AS d FROM c
+        |        WHERE open_t < close_t
         |      UNION ALL
-        |      SELECT day, close_t AS t, CAST(-1 AS BIGINT) AS d FROM c),
+        |      SELECT day, close_t AS t, CAST(-1 AS BIGINT) AS d FROM c
+        |        WHERE open_t < close_t),
         |o AS (SELECT day, d, sum(d) OVER (PARTITION BY day ORDER BY t, d
         |        ROWS UNBOUNDED PRECEDING) AS open
         |      FROM d)

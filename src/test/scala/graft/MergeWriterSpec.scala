@@ -133,4 +133,34 @@ class MergeWriterSpec extends SparkSpec {
       .map(_.getName).filter(n => n.contains(".tmp") || n.endsWith(".old"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
+
+  test("compact preserves a hive-partitioned layout (per-partition rewrite)") {
+    import spark.implicits._
+    val dir = tmp()
+    // fragmented partitioned table: 8 files per day= dir
+    (1 to 160).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}", i.toLong))
+      .toDF("id", "day", "v")
+      .repartition(8).write.partitionBy("day").parquet(dir)
+    val root = new java.io.File(dir)
+    def dayDirs() = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs().forall(_.listFiles()
+      .count(_.getName.endsWith(".parquet")) === 8))
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    MergeWriter.compact(spark, dir)
+    // layout preserved: still two day= dirs, one file each, nothing flat
+    assert(dayDirs().map(_.getName).sorted.toSeq ===
+      Seq("day=2024-01-01", "day=2024-01-02"))
+    assert(dayDirs().forall(_.listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1))
+    assert(root.listFiles().count(_.getName.endsWith(".parquet")) === 0)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+    // a later partition swap still works against the compacted layout
+    MergeWriter.upsertPartitioned(spark, dir,
+      Seq((1L, "2024-01-02", 999L)).toDF("id", "day", "v"),
+      Seq("id"), Seq("v"), "day")
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 160)
+    assert(got.filter(col("id") === 1).select("v").head().getLong(0) === 999L)
+  }
 }

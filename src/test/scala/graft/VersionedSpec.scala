@@ -47,12 +47,37 @@ class VersionedSpec extends SparkSpec {
     (1 to 4).foreach(i => Versioned.write(spark, dir, Seq(i).toDF("x")))
     val junk = new java.io.File(dir, "_versions/v=99") // crashed write
     assert(junk.mkdirs())
-    Versioned.vacuum(spark, dir, keep = 2)
+    Versioned.vacuum(spark, dir, keep = 2, graceMs = 0L)
     assert(Versioned.versions(spark, dir) === Seq(3L, 4L))
     assert(!junk.exists())
     assert(Versioned.read(spark, dir).head().getInt(0) === 4)
     intercept[java.util.NoSuchElementException] {
       Versioned.read(spark, dir, Some(1L))
     }
+  }
+
+  test("vacuum leaves a young incomplete dir alone (commit may be in flight)") {
+    import spark.implicits._
+    val dir = tmp()
+    Versioned.write(spark, dir, Seq(1).toDF("x"))
+    val inflight = new java.io.File(dir, "_versions/v=2") // being written NOW
+    assert(inflight.mkdirs())
+    Versioned.vacuum(spark, dir, keep = 1) // default 10-min grace
+    assert(inflight.exists())
+    assert(Versioned.versions(spark, dir) === Seq(1L))
+  }
+
+  test("dangling pointer falls back to newest complete snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    Versioned.write(spark, dir, Seq(1, 2).toDF("x"))
+    Versioned.write(spark, dir, Seq(3).toDF("x"))
+    // manual deletion of the pointer's target: pointer now dangles at 2
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir, "_versions/v=2"))
+    assert(Versioned.latestVersion(spark, dir) === Some(1L))
+    assert(Versioned.read(spark, dir).count() === 2)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout optimization: write a table z-ordered on a set
@@ -24,4 +24,54 @@ object Layout {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .write.mode("overwrite").parquet(path)
+
+  /** Build the per-file min/max stats index of `cols` for the parquet
+    * table at `path` — the skipping metadata a lakehouse keeps in its
+    * manifest. One scan pruned to the indexed columns, partial min/max
+    * per file before the (#files)-row shuffle; the index is file-count
+    * sized, not data sized. Persist it with [[writeStatsIndex]] and
+    * maintenance re-runs only when files change.
+    */
+  def statsIndex(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist the stats index next to the table (sibling `<path>_stats`
+    * dir — parquet dirs cannot hold a second dataset).
+    */
+  def writeStatsIndex(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+    statsIndex(spark, path, cols).repartition(1)
+      .write.mode("overwrite").parquet(path + "_stats")
+
+  /** Read `path` scanning ONLY files whose [min,max] envelope overlaps
+    * every `(col, lo, hi)` bound, using the persisted stats index; the
+    * residual predicate still applies (file stats admit false
+    * positives, never false negatives). The driver-side file list is
+    * index-sized metadata — the same listing a format like Delta/Iceberg
+    * resolves before planning. Combined with [[zorderWrite]], a k-dim
+    * range predicate prunes to the few files tiling the matching curve
+    * segment ([[LayoutSpec]] asserts the actual skip counts).
+    */
+  def prunedRead(spark: SparkSession, path: String,
+      bounds: Seq[(String, Long, Long)]): DataFrame = {
+    val idx = spark.read.parquet(path + "_stats")
+    val overlap = bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val files = idx.filter(overlap).select("file")
+      .collect().map(_.getString(0))
+    val residual = bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(residual)
+  }
 }

@@ -165,6 +165,34 @@ object OpsQueries {
       .orderBy("event_id")
   }
 
+  /** File-skipping scan over a z-ordered table: the same two quantized
+    * dimensions as [[layoutZorder]], written z-ordered into 64 files,
+    * indexed per-file min/max ([[graft.operators.Layout.statsIndex]]),
+    * then a 2-D range predicate reads ONLY the files whose envelope
+    * overlaps the box ([[graft.operators.Layout.prunedRead]]) — the
+    * manifest-pruning read path of a lakehouse format, here as explicit
+    * operators. Correctness gate: the pruned scan must aggregate to
+    * exactly the full-scan answer (file stats may admit false
+    * positives, never drop a matching row); `LayoutSpec` separately
+    * asserts the skip actually happens (~85% of files untouched).
+    */
+  def indexFileskip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-skip").toString + "/t"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        (col("user_id") % 256).as("zx"),
+        least(floor(col("value") / lit(2.0)), lit(255.0)).cast("long").as("zy"))
+    graft.operators.Layout.zorderWrite(ev,
+      graft.functions.ZOrder.zindex(8, col("zx"), col("zy")), 64, tmp)
+    graft.operators.Layout.writeStatsIndex(spark, tmp, Seq("zx", "zy"))
+    graft.operators.Layout
+      .prunedRead(spark, tmp, Seq(("zx", 16L, 47L), ("zy", 32L, 95L)))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+  }
+
   /** Snapshot diff — the reconciliation op run after every backfill:
     * FULL OUTER join two versions of a table on the primary key and
     * classify added / removed / changed / unchanged, with the changed
@@ -307,6 +335,7 @@ object OpsQueries {
     "cdc_apply" -> (cdcApply _),
     "source_formats" -> (sourceFormats _),
     "layout_zorder" -> (layoutZorder _),
+    "index_fileskip" -> (indexFileskip _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
@@ -360,6 +389,18 @@ object OpsQueries {
       |SELECT event_id, zx, zy,
       |  ${graft.functions.ZOrder.zindexSql(8, Seq("zx", "zy"))} AS z
       |FROM q ORDER BY event_id""".stripMargin,
+    // Mirrors indexFileskip: a pruned file-skipping scan must equal
+    // the straight filtered aggregate over the base table.
+    "index_fileskip" ->
+      """WITH q AS (SELECT event_id, value, user_id % 256 AS zx,
+        |    CAST(least(floor(value / 2.0), 255.0) AS BIGINT) AS zy
+        |  FROM events)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM q
+        |WHERE zx BETWEEN 16 AND 47 AND zy BETWEEN 32 AND 95""".stripMargin,
     "table_diff" ->
       """WITH a AS (SELECT o_orderkey AS k,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS pa

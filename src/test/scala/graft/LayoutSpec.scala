@@ -74,4 +74,41 @@ class LayoutSpec extends SparkSpec {
     assert(avgFileArea < globalArea / 2.0,
       s"z-order gave no locality: avg file area $avgFileArea vs global $globalArea")
   }
+
+  test("stats index prunes most files on a z-ordered table, losing no rows") {
+    val dirOut = Files.createTempDirectory("graft-skipidx").toString + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("value"),
+        (col("user_id") % 256).as("zx"),
+        least(floor(col("value") / lit(2.0)), lit(255.0)).cast("long").as("zy"))
+    Layout.zorderWrite(ev, ZOrder.zindex(8, col("zx"), col("zy")), 32, dirOut)
+    Layout.writeStatsIndex(spark, dirOut, Seq("zx", "zy"))
+
+    val idx = spark.read.parquet(dirOut + "_stats")
+    val totalFiles = idx.count()
+    assert(totalFiles > 16) // the writer produced a real spread of files
+    // index row count agrees with the table
+    assert(idx.agg(sum("n_rows")).head().getLong(0) === ev.count())
+
+    val bounds = Seq(("zx", 16L, 47L), ("zy", 32L, 95L))
+    val selected = idx.filter(
+      col("max_zx") >= 16 && col("min_zx") <= 47 &&
+      col("max_zy") >= 32 && col("min_zy") <= 95).count()
+    // the box is 1/8 x 1/4 of the space; z-order must confine it to a
+    // small minority of files
+    assert(selected.toDouble / totalFiles < 0.5,
+      s"no pruning: $selected of $totalFiles files selected")
+
+    // pruned read == full-scan filter, exactly
+    val pruned = Layout.prunedRead(spark, dirOut, bounds)
+      .select("event_id").orderBy("event_id").collect().toSeq
+    val full = spark.read.parquet(dirOut)
+      .filter(col("zx").between(16, 47) && col("zy").between(32, 95))
+      .select("event_id").orderBy("event_id").collect().toSeq
+    assert(pruned === full)
+
+    // an empty box reads nothing and returns an empty frame
+    assert(Layout.prunedRead(spark, dirOut,
+      Seq(("zx", 999L, 1000L))).count() === 0)
+  }
 }

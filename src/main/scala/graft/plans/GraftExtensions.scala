@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shinglesFunction)
     e.injectFunction(GraftExtensions.collapseFunction)
     e.injectFunction(GraftExtensions.textstatsFunction)
+    e.injectFunction(GraftExtensions.bloomPosFunction)
+    e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -95,6 +97,43 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TextStats].getName, "graft_textstats"),
     buildTextStats _)
 
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an int literal, got $other")
+  }
+
+  /** `graft_bloom_pos(key, mBits, numHashes)` — sizes are literals. */
+  private def buildBloomPos(children: Seq[Expression]): Expression =
+    BloomPositions(children(0),
+      intLit(children(1), "graft_bloom_pos", "mBits"),
+      intLit(children(2), "graft_bloom_pos", "numHashes"))
+
+  /** `graft_bloom_might(key, bits, numHashes)` — bits is the binary
+    * literal carrying the built filter (held as a plan reference, not
+    * inlined into generated source).
+    */
+  private def buildBloomMight(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bits = children(1) match {
+      case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_might: bits must be a binary literal, got $other")
+    }
+    BloomMightContain(children(0), bits,
+      intLit(children(2), "graft_bloom_might", "numHashes"))
+  }
+
+  private val bloomPosFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_pos"),
+    new ExpressionInfo(classOf[BloomPositions].getName, "graft_bloom_pos"),
+    buildBloomPos _)
+
+  private val bloomMightFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_might"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might"),
+    buildBloomMight _)
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -107,6 +146,10 @@ object GraftExtensions {
       "graft_collapse", exprs => CollapseRepeats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_textstats", buildTextStats _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_pos", buildBloomPos _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might", buildBloomMight _, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

@@ -146,14 +146,110 @@ object RelationalQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  /** Bloom-pruned fact-dim join: the filtered dim's keys become a
+    * bitset ([[graft.operators.BloomPrune]], built distributed via the
+    * codegen'd `graft_bloom_pos` + one word-level `bit_or`
+    * aggregation), the fact side is pre-filtered by the broadcast
+    * bitset (`graft_bloom_might`, false positives only), and the exact
+    * join finishes. Result is IDENTICAL to the plain join — the oracle
+    * is the plain-join SQL — while the fact rows entering the join
+    * shuffle drop to ~the dim's selectivity (here ~1/5). At 100 TB
+    * this is the difference between shuffling the whole fact table and
+    * shuffling only the slice that can match; `BloomSpec` covers fpp,
+    * determinism and codegen/interpreted agreement.
+    */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+    val bits = graft.operators.BloomPrune.build(dim, "o_orderkey",
+      graft.operators.BloomPrune.sizeBits(dim.count()))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .filter(graft.operators.BloomPrune.mightContain(col("l_orderkey"), bits))
+    li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("price_cents"))
+      .orderBy("order_year")
+  }
+
+  /** Entity resolution / record linkage: a "dirty" catalog (part names
+    * deterministically corrupted — 'a' dropped — with the structured
+    * attributes intact) is matched back against the master part table.
+    * Candidate generation is BLOCKED on the clean structured attribute
+    * (brand) — the join fans out per block, never all-pairs (the same
+    * discipline as the dedup operators: at 100 TB a linkage without
+    * blocking is a cartesian product). Scoring is multi-attribute and
+    * integer-exact (`levenshtein` on the name + absolute size delta),
+    * and the best match per dirty record is an `rn = 1` window over
+    * one (d_id)-partitioned shuffle. The `correct` column audits
+    * linkage precision against the known ground truth.
+    */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(spark, dir)
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+    val dirty = parts.select(col("p_partkey").as("d_id"),
+      expr("replace(p_name, 'a', '')").as("d_name"),
+      col("p_brand").as("d_brand"), col("p_size").as("d_size"))
+    val cand = dirty.join(parts, col("d_brand") === col("p_brand"))
+      .withColumn("dist",
+        levenshtein(col("d_name"), col("p_name")).cast("long") +
+        abs(col("d_size") - col("p_size")).cast("long"))
+    val w = Window.partitionBy(col("d_id"))
+      .orderBy(col("dist"), col("p_partkey"))
+    cand
+      .withColumn("n_candidates", count(lit(1)).over(
+        Window.partitionBy(col("d_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("d_id"), col("p_partkey").as("best_match"),
+        col("dist").as("best_dist"), col("n_candidates"),
+        (col("p_partkey") === col("d_id")).as("correct"))
+      .orderBy("d_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
+    "join_bloom" -> (joinBloom _),
+    "record_linkage" -> (recordLinkage _),
     "join_salted" -> (joinSalted _),
     "join_bucketed" -> (joinBucketed _),
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_regional_revenue" -> (regionalRevenue _))
 
   val oracles: Map[String, String] = Map(
+    // The bloom prefilter admits false positives only, so the pruned
+    // plan must aggregate to exactly the plain join.
+    "join_bloom" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY order_year""".stripMargin,
+    // Mirrors recordLinkage: same corruption, blocking, multi-attribute
+    // score and (dist, partkey) tie-break.
+    "record_linkage" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS d_id, replace(p_name, 'a', '') AS d_name,
+        |    p_brand AS d_brand, p_size AS d_size
+        |  FROM part
+        |), cand AS (
+        |  SELECT d_id, p_partkey,
+        |    CAST(levenshtein(d_name, p_name) AS BIGINT)
+        |      + CAST(abs(d_size - p_size) AS BIGINT) AS dist
+        |  FROM dirty JOIN part ON d_brand = p_brand
+        |), r AS (
+        |  SELECT *, count(*) OVER (PARTITION BY d_id) AS n_candidates,
+        |    row_number() OVER (PARTITION BY d_id
+        |      ORDER BY dist, p_partkey) AS rn
+        |  FROM cand)
+        |SELECT d_id, p_partkey AS best_match, dist AS best_dist,
+        |  n_candidates, p_partkey = d_id AS correct
+        |FROM r WHERE rn = 1 ORDER BY d_id""".stripMargin,
     "join_bucketed" ->
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -193,6 +193,32 @@ object OpsQueries {
         max(col("event_id")).as("max_event"))
   }
 
+  /** Incremental view maintenance: a materialized daily aggregate is
+    * brought up to date by a signed changelog (late inserts + exact
+    * retractions) through [[graft.operators.Ivm.applyDelta]] — counts
+    * as Σsign, sums as Σ(sign·cents), untouched groups never
+    * re-aggregated, groups cancelled to zero vanish. The gate is the
+    * IVM invariant itself: the maintained view must EQUAL the oracle's
+    * from-scratch recomputation over the post-change fact set.
+    */
+  def ivmIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    // the materialized view: everything except the not-yet-arrived tail
+    val base = ev.filter(col("event_id") % 10 =!= 0)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+    // the changelog: the tail arrives (+1), a known-bad slice retracts (−1)
+    val delta = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("_sign", lit(1L))
+      .unionByName(ev.filter(col("event_id") % 100 === 7)
+        .withColumn("_sign", lit(-1L)))
+    graft.operators.Ivm.applyDelta(base, delta, Seq("day", "event_type"),
+        "n_events", Seq("cents" -> "value_cents"))
+      .orderBy("day", "event_type")
+  }
+
   /** Snapshot diff — the reconciliation op run after every backfill:
     * FULL OUTER join two versions of a table on the primary key and
     * classify added / removed / changed / unchanged, with the changed
@@ -336,6 +362,7 @@ object OpsQueries {
     "source_formats" -> (sourceFormats _),
     "layout_zorder" -> (layoutZorder _),
     "index_fileskip" -> (indexFileskip _),
+    "ivm_incremental_agg" -> (ivmIncrementalAgg _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
@@ -401,6 +428,17 @@ object OpsQueries {
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM q
         |WHERE zx BETWEEN 16 AND 47 AND zy BETWEEN 32 AND 95""".stripMargin,
+    // The IVM invariant: maintained view == from-scratch recomputation
+    // over the post-changelog fact set (base minus retracted slice
+    // plus arrived tail = everything except event_id % 100 = 7).
+    "ivm_incremental_agg" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events
+        |WHERE event_id % 100 <> 7
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "table_diff" ->
       """WITH a AS (SELECT o_orderkey AS k,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS pa

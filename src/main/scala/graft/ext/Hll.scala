@@ -48,20 +48,28 @@ object Hll {
       .otherwise(lit(4) * zeroNibbles + inNibble + lit(1))
   }
 
-  /** Per-`groupCols` approximate distinct count of `valueCol`, emitted
-    * as `outName` (BIGINT). Nulls are ignored, matching COUNT(DISTINCT).
+  /** The (group, bucket) → max-rho register table — the sketch's
+    * mergeable state: registers of ANY two sketches over the same
+    * bucketing union by `max` per bucket (set union), which is what
+    * makes the sketch mergeable across partitions, runs and tables
+    * (see the `sketch_hll_setops` query for the algebra in action).
     */
-  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      outName: String): DataFrame = {
+  def registers(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val g = groupCols.map(col)
     val hex = md5(col(valueCol).cast("string"))
-    val registers = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(g :+ conv(substring(hex, 1, 2), 16, 10).cast("int").as("_b")
         :+ rho(hex).as("_r"): _*)
       .groupBy(g :+ col("_b"): _*)
       .agg(max(col("_r")).as("_m"))
-    val folded = registers
+  }
+
+  /** Fold a register table (as produced by [[registers]], or any
+    * max-merge of such tables) into the per-group estimate.
+    */
+  def estimate(regs: DataFrame, groupCols: Seq[String], outName: String): DataFrame = {
+    val g = groupCols.map(col)
+    val folded = regs
       .groupBy(g: _*)
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 41 - _m)")).as("_s"),
         count(lit(1)).as("_nb"))
@@ -78,4 +86,11 @@ object Hll {
       lit(256.0) * log(lit(256.0) / v)).otherwise(eRaw)
     folded.select(g :+ floor(est).cast("long").as(outName): _*)
   }
+
+  /** Per-`groupCols` approximate distinct count of `valueCol`, emitted
+    * as `outName` (BIGINT). Nulls are ignored, matching COUNT(DISTINCT).
+    */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outName: String): DataFrame =
+    estimate(registers(df, groupCols, valueCol), groupCols, outName)
 }

@@ -44,4 +44,29 @@ object Ivm {
       })
     merged.select(outs: _*).filter(col(countCol) =!= 0)
   }
+
+  /** Persisted form: maintain the materialized view at `viewDir` under
+    * a delta batch — the `foreachBatch` body of a streaming IVM sink.
+    * Read-merge-swap is O(|view|) per batch (the view is aggregate-
+    * sized, not fact-sized); with a date group key the partitioned
+    * variant of the same swap touches only partitions holding changed
+    * groups.
+    */
+  def applyDeltaToTable(viewDir: String, delta: DataFrame, keys: Seq[String],
+      countCol: String, sumCols: Seq[(String, String)],
+      signCol: String = "_sign"): Unit = {
+    val spark = delta.sparkSession
+    spark.catalog.refreshByPath(viewDir)
+    val base =
+      if (MergeWriter.exists(spark, viewDir)) spark.read.parquet(viewDir)
+      else {
+        // empty base in the view's shape: first delta bootstraps the view
+        val zero = delta.filter(lit(false))
+        val aggs = sum(col(signCol).cast("long")).as(countCol) +:
+          sumCols.map { case (src, out) => sum(col(src)).cast("long").as(out) }
+        zero.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    MergeWriter.replace(spark, viewDir,
+      applyDelta(base, delta, keys, countCol, sumCols, signCol))
+  }
 }

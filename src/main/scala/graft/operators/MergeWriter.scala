@@ -148,6 +148,13 @@ object MergeWriter {
     swapWrite(spark, dst.toString, spark.read.parquet(dst.toString).repartition(n))
   }
 
+  /** Atomically replace the table at `dir` with `df` (crash-recoverable
+    * swap; see [[swapDir]]) — the persistence primitive behind upsert
+    * and the view-maintenance sinks ([[Ivm]]).
+    */
+  def replace(spark: SparkSession, dir: String, df: DataFrame): Unit =
+    swapWrite(spark, dir, df)
+
   /** Materialize `df` then replace `dir` with it. */
   private def swapWrite(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))

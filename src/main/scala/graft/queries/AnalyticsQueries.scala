@@ -395,6 +395,80 @@ object AnalyticsQueries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Point-in-time (temporal) join: each purchase is enriched with the
+    * SCD2 state the user was in WHEN the purchase happened — the
+    * warehouse op behind "price as of order date" / "segment as of
+    * event". The dimension is the [[scd2History]] interval form built
+    * from non-purchase events; probes join on the equi key (user) and
+    * the interval containment `valid_from <= ts < valid_to` resolves
+    * within each user's handful of intervals — an equi-shuffle plus a
+    * per-key filter, never an unkeyed interval cross join. Intervals
+    * partition each user's timeline, so exactly one version matches
+    * per probe (the as-of guarantee, here with explicit validity).
+    */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dimEvents = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val scd = dimEvents
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id").as("d_user"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+    val probes = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    probes.join(scd, col("user_id") === col("d_user") &&
+        col("p_ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("p_ts") < col("valid_to")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("purchase_cents"))
+      .orderBy("state")
+  }
+
+  /** Sketch set algebra: the HLL register tables of two user sets
+    * (clickers, viewers) merged by per-bucket `max` give the UNION
+    * sketch — the mergeability that lets 100 TB distinct counts
+    * combine across partitions, days and tables without rescanning —
+    * and inclusion–exclusion on the three estimates yields the
+    * intersection. Registers are built once (one shuffle of ≤ m rows
+    * per set), estimates are exact-integer folds ([[graft.ext.Hll]]),
+    * and the oracle replays every register and the IEEE estimate chain
+    * bit-for-bit; exact distinct counts ride along to show the error.
+    */
+  def sketchHllSetops(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("s"), col("user_id"))
+    val regs = graft.ext.Hll.registers(ev, Seq("s"), "user_id").cache()
+    val perSet = graft.ext.Hll.estimate(regs, Seq("s"), "est")
+    val union = graft.ext.Hll.estimate(
+      regs.groupBy(col("_b")).agg(max(col("_m")).as("_m"))
+        .withColumn("u", lit(1)),
+      Seq("u"), "est_union").drop("u")
+    val exact = ev.agg(
+      count_distinct(when(col("s") === "click", col("user_id")))
+        .as("exact_click"),
+      count_distinct(when(col("s") === "view", col("user_id")))
+        .as("exact_view"),
+      count_distinct(col("user_id")).as("exact_union"))
+    val a = perSet.filter(col("s") === "click")
+      .select(col("est").as("est_click"))
+    val b = perSet.filter(col("s") === "view")
+      .select(col("est").as("est_view"))
+    a.crossJoin(b).crossJoin(union).crossJoin(exact)
+      .select(col("est_click"), col("est_view"), col("est_union"),
+        (col("est_click") + col("est_view") - col("est_union"))
+          .as("est_intersect"),
+        col("exact_click"), col("exact_view"), col("exact_union"))
+  }
+
   /** Per-group top-k (k > 1): each customer's 3 largest orders. The
     * optimizer plans this as `WindowGroupLimit` — per-partition heaps
     * prune to k rows per group BEFORE the shuffle/sort, so the full
@@ -811,6 +885,8 @@ object AnalyticsQueries {
     "topk_orders" -> (topkOrders _),
     "distinct_agg" -> (distinctAgg _),
     "approx_distinct" -> (approxDistinct _),
+    "temporal_join" -> (temporalJoin _),
+    "sketch_hll_setops" -> (sketchHllSetops _),
     "sketch_countmin" -> (sketchCountMin _))
 
   /** Shared by `asof_signup` (composed) and `asof_native` (custom
@@ -1160,6 +1236,100 @@ object AnalyticsQueries {
     // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
     // BIGINT harmonic sum, same literal association in the estimate so
     // the double arithmetic is bit-equal.
+    // Mirrors temporalJoin: same change-detection SCD2 intervals over
+    // non-purchase events, same containment predicate.
+    "temporal_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type <> 'purchase'),
+        |m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM e),
+        |c AS (SELECT user_id, event_id, event_type, ts FROM m
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |s AS (SELECT user_id AS d_user, event_type AS state,
+        |    ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM c),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT state, count(*) AS n_purchases,
+        |  count(DISTINCT p.user_id) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS purchase_cents
+        |FROM p JOIN s ON p.user_id = s.d_user
+        |  AND p.p_ts >= s.valid_from
+        |  AND (s.valid_to IS NULL OR p.p_ts < s.valid_to)
+        |GROUP BY state ORDER BY state""".stripMargin,
+    // Mirrors sketchHllSetops: the same register build as
+    // approx_distinct, a per-bucket max merge for the union sketch,
+    // and the identical IEEE estimate chain for all three.
+    "sketch_hll_setops" ->
+      """WITH raw AS (
+        |  SELECT event_type AS s, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), pre AS (
+        |  SELECT s, h, regexp_replace(substr(h, 3, 10), '^0+', '') AS st
+        |  FROM raw
+        |), reg AS (
+        |  SELECT s,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b,
+        |    CASE WHEN length(st) = 0 THEN 41
+        |         ELSE 4 * (10 - length(st))
+        |           + CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |                  WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+        |                  WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                  ELSE 0 END + 1 END AS r
+        |  FROM pre
+        |), regs AS (
+        |  SELECT s, b, max(r) AS m FROM reg GROUP BY 1, 2
+        |), regu AS (
+        |  SELECT b, max(m) AS m FROM regs GROUP BY 1
+        |), f1 AS (
+        |  SELECT s, sum(CAST(1 AS BIGINT) << (41 - m)) AS sh,
+        |    count(*) AS nb
+        |  FROM regs GROUP BY 1
+        |), e1 AS (
+        |  SELECT s, CAST(floor(CASE WHEN e <= 640.0 AND v > 0.0
+        |      THEN 256.0 * ln(256.0 / v) ELSE e END) AS BIGINT) AS estl
+        |  FROM (SELECT s,
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE)
+        |        * CAST(2199023255552.0 AS DOUBLE)
+        |        / (sh + (CAST(256 AS BIGINT) - nb) * CAST(2199023255552 AS BIGINT)) AS e,
+        |      CAST(256 - nb AS DOUBLE) AS v
+        |    FROM f1)
+        |), fu AS (
+        |  SELECT sum(CAST(1 AS BIGINT) << (41 - m)) AS sh, count(*) AS nb
+        |  FROM regu
+        |), eu AS (
+        |  SELECT CAST(floor(CASE WHEN e <= 640.0 AND v > 0.0
+        |      THEN 256.0 * ln(256.0 / v) ELSE e END) AS BIGINT) AS est_union
+        |  FROM (SELECT
+        |      CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE)
+        |        * CAST(2199023255552.0 AS DOUBLE)
+        |        / (sh + (CAST(256 AS BIGINT) - nb) * CAST(2199023255552 AS BIGINT)) AS e,
+        |      CAST(256 - nb AS DOUBLE) AS v
+        |    FROM fu)
+        |), ex AS (
+        |  SELECT
+        |    count(DISTINCT CASE WHEN s = 'click' THEN user_id END)
+        |      AS exact_click,
+        |    count(DISTINCT CASE WHEN s = 'view' THEN user_id END)
+        |      AS exact_view,
+        |    count(DISTINCT user_id) AS exact_union
+        |  FROM (SELECT event_type AS s, user_id FROM events
+        |        WHERE event_type IN ('click', 'view'))
+        |), ec AS (SELECT estl AS est_click FROM e1 WHERE s = 'click'),
+        |ev2 AS (SELECT estl AS est_view FROM e1 WHERE s = 'view')
+        |SELECT est_click, est_view, est_union,
+        |  est_click + est_view - est_union AS est_intersect,
+        |  exact_click, exact_view, exact_union
+        |FROM ec, ev2, eu, ex""".stripMargin,
     "approx_distinct" ->
       """WITH raw AS (
         |  SELECT l_returnflag, 0 AS ci, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem

@@ -428,17 +428,9 @@ object OpsQueries {
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM q
         |WHERE zx BETWEEN 16 AND 47 AND zy BETWEEN 32 AND 95""".stripMargin,
-    // The IVM invariant: maintained view == from-scratch recomputation
-    // over the post-changelog fact set (base minus retracted slice
-    // plus arrived tail = everything except event_id % 100 = 7).
-    "ivm_incremental_agg" ->
-      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |    AS value_cents
-        |FROM events
-        |WHERE event_id % 100 <> 7
-        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // the IVM invariant oracle, shared with streaming_ivm (see
+    // PipelineQueries.ivmOracleSql)
+    "ivm_incremental_agg" -> PipelineQueries.ivmOracleSql,
     "table_diff" ->
       """WITH a AS (SELECT o_orderkey AS k,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS pa

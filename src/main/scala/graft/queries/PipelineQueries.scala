@@ -100,8 +100,16 @@ object PipelineQueries {
   def streamingCdc(spark: SparkSession, dir: String): DataFrame =
     Streams.cdcToMergeSink(spark, dir)
 
+  /** Streaming IVM — the signed-changelog view maintenance run as a
+    * stream; must equal the batch `ivm_incremental_agg` (same oracle
+    * gates both).
+    */
+  def streamingIvm(spark: SparkSession, dir: String): DataFrame =
+    Streams.ivmToViewSink(spark, dir)
+
   val defs: Map[String, Q] = Map(
     "streaming_cdc" -> (streamingCdc _),
+    "streaming_ivm" -> (streamingIvm _),
     "streaming_enrich" -> (streamingEnrich _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_sessionize" -> (streamingSessionize _),
@@ -132,10 +140,26 @@ object PipelineQueries {
       |       ELSE 'updated' END AS change
       |FROM j WHERE coalesce(op, 'keep') <> 'D' ORDER BY k""".stripMargin
 
+  /** One oracle, two engine paths: gates `ivm_incremental_agg` (batch,
+    * in OpsQueries) AND `streaming_ivm` (per-micro-batch maintenance).
+    * The IVM invariant: maintained view == from-scratch recomputation
+    * over the post-changelog fact set (base minus retracted slice plus
+    * arrived tail = everything except event_id % 100 = 7).
+    */
+  private[queries] val ivmOracleSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events
+      |WHERE event_id % 100 <> 7
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the streaming CDC apply must converge to the batch answer —
     // literally the same oracle as cdc_apply
     "streaming_cdc" -> cdcOracleSql,
+    "streaming_ivm" -> ivmOracleSql,
     "streaming_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

@@ -362,6 +362,53 @@ object Streams {
       .orderBy("p_id", "s_id")
   }
 
+  /** Streaming incremental view maintenance: a signed changelog
+    * consumed as a stream, each micro-batch folded into the
+    * materialized daily aggregate via
+    * [[graft.operators.Ivm.applyDeltaToTable]] (counts as Σsign, sums
+    * as Σ(sign·x)). Because the delta merge is commutative and
+    * associative, micro-batch boundaries cannot perturb the view —
+    * after the stream drains it must EQUAL the one-shot batch
+    * maintenance (`streaming_ivm` is gated by the SAME oracle as
+    * `ivm_incremental_agg`). State lives in the view table, not the
+    * stream: the aggregation state store stays empty (stateless
+    * foreachBatch), the view is aggregate-sized, and checkpoint +
+    * swap-write give at-least-once replay a consistent target.
+    */
+  def ivmToViewSink(spark: SparkSession, dir: String): DataFrame = {
+    val view = Files.createTempDirectory("graft-ivm").resolve("v").toString
+    def shape(df: DataFrame): DataFrame =
+      df.select(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    // bootstrap: the materialized view as of before the stream
+    val evB = shape(graft.Tables.events(spark, dir))
+    graft.operators.MergeWriter.replace(spark, view,
+      evB.filter(col("event_id") % 10 =!= 0)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents")))
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = eventsStream(spark, dir, batches = 3).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = shape(batch)
+          val delta = b.filter(col("event_id") % 10 === 0)
+            .withColumn("_sign", lit(1L))
+            .unionByName(b.filter(col("event_id") % 100 === 7)
+              .withColumn("_sign", lit(-1L)))
+          graft.operators.Ivm.applyDeltaToTable(view, delta,
+            Seq("day", "event_type"), "n_events", Seq("cents" -> "value_cents"))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.read.parquet(view).orderBy("day", "event_type")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the event
     * stream left-joins the static customer dimension — the canonical
     * "enrich at ingest" shape. The dimension is explicitly broadcast:

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.textstatsFunction)
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
+    e.injectFunction(GraftExtensions.hllAggFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -134,6 +135,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might"),
     buildBloomMight _)
 
+  /** `graft_hll(value_string)` — the analyzer wraps the returned
+    * AggregateFunction in its AggregateExpression.
+    */
+  private val hllAggFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll"),
+    new ExpressionInfo(classOf[HllAgg].getName, "graft_hll"),
+    (children: Seq[Expression]) => HllAgg(children.head))
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -150,6 +159,8 @@ object GraftExtensions {
       "graft_bloom_pos", buildBloomPos _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might", buildBloomMight _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll", exprs => HllAgg(exprs.head), "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

@@ -182,6 +182,24 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** The same two distinct counts through the custom
+    * `TypedImperativeAggregate` ([[graft.plans.HllAgg]], `graft_hll`):
+    * ONE hash aggregation, the exchange carrying a 256-byte register
+    * buffer per group per partition instead of register ROWS — the
+    * single-shuffle sketch shape. Bit-compatible with the declarative
+    * [[graft.ext.Hll]], so the `approx_distinct` oracle gates both
+    * (identical estimates, different physical plan).
+    */
+  def approxHllAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        call_function("graft_hll", col("l_partkey").cast("string"))
+          .as("approx_parts"),
+        call_function("graft_hll", col("l_orderkey").cast("string"))
+          .as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** Per-user event frequency estimated from a Count-Min sketch
     * ([[graft.ext.CountMin]]) next to the exact count — the estimate is
     * itself deterministic and oracle-checked, and the exact column
@@ -885,6 +903,7 @@ object AnalyticsQueries {
     "topk_orders" -> (topkOrders _),
     "distinct_agg" -> (distinctAgg _),
     "approx_distinct" -> (approxDistinct _),
+    "approx_hll_agg" -> (approxHllAgg _),
     "temporal_join" -> (temporalJoin _),
     "sketch_hll_setops" -> (sketchHllSetops _),
     "sketch_countmin" -> (sketchCountMin _))
@@ -954,7 +973,7 @@ object AnalyticsQueries {
        |ORDER BY n.node""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // Mirrors windowFirstOccurrence: first-occurrence flags + running sum.
     "window_first_occurrence" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
@@ -1489,4 +1508,11 @@ object AnalyticsQueries {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** `approx_hll_agg` (custom TypedImperativeAggregate) is gated by
+    * the SAME oracle as `approx_distinct` (declarative registers): the
+    * two plans must produce bit-identical estimates.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("approx_hll_agg" -> oraclesBase("approx_distinct"))
 }

@@ -219,6 +219,45 @@ object OpsQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Order-independent table checksums — replication/backfill
+    * integrity WITHOUT sorting or moving the data: per-row content
+    * hash (md5 → 60-bit integer), folded per shard by XOR plus a
+    * modular sum (two independent commutative folds, so duplicate-pair
+    * cancellation in one is caught by the other). Checksum cost is one
+    * map-side pass and a shard-count-sized shuffle; two 100 TB
+    * replicas compare by exchanging kilobytes of per-shard digests —
+    * unlike [[tableDiff]], which answers WHAT changed but must
+    * co-shuffle both tables. A deterministic corruption (one cent on
+    * every 97th key) shows exactly the affected shards flagging.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("nation"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    def rowHash(cents: Column): Column =
+      conv(substring(md5(concat_ws("|",
+        col("c_custkey"), col("c_name"), cents)), 1, 15), 16, 10)
+        .cast("long")
+    def digests(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("nation"))
+        .agg(expr("bit_xor(_h)").as(s"xor_$tag"),
+          sum(col("_h") % 1048576).as(s"sum_$tag"),
+          count(lit(1)).as(s"n_$tag"))
+    val master = digests(cust.withColumn("_h", rowHash(col("cents"))), "master")
+    val replica = digests(cust
+      .withColumn("_c", when(col("c_custkey") % 97 === 0, col("cents") + 1)
+        .otherwise(col("cents")))
+      .withColumn("_h", rowHash(col("_c"))), "replica")
+    master.join(replica, "nation")
+      .select(col("nation"), col("n_master").as("n_rows"),
+        col("xor_master"), col("xor_replica"),
+        col("sum_master"), col("sum_replica"),
+        (col("xor_master") === col("xor_replica") &&
+          col("sum_master") === col("sum_replica")).as("consistent"))
+      .orderBy("nation")
+  }
+
   /** Snapshot diff — the reconciliation op run after every backfill:
     * FULL OUTER join two versions of a table on the primary key and
     * classify added / removed / changed / unchanged, with the changed
@@ -363,6 +402,7 @@ object OpsQueries {
     "layout_zorder" -> (layoutZorder _),
     "index_fileskip" -> (indexFileskip _),
     "ivm_incremental_agg" -> (ivmIncrementalAgg _),
+    "table_checksum" -> (tableChecksum _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
@@ -431,6 +471,38 @@ object OpsQueries {
     // the IVM invariant oracle, shared with streaming_ivm (see
     // PipelineQueries.ivmOracleSql)
     "ivm_incremental_agg" -> PipelineQueries.ivmOracleSql,
+    // Mirrors tableChecksum: same row serialization, same 60-bit
+    // hex fold (left fold a*16+digit == conv base 16), same XOR +
+    // modular-sum shard digests.
+    "table_checksum" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |hs AS (SELECT nation,
+        |    substr(md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+        |      CAST(cents AS VARCHAR))), 1, 15) AS hm,
+        |    substr(md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+        |      CAST(CASE WHEN c_custkey % 97 = 0 THEN cents + 1 ELSE cents
+        |        END AS VARCHAR))), 1, 15) AS hr
+        |  FROM c),
+        |rh AS (SELECT nation,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 15), i ->
+        |        CAST(strpos('0123456789abcdef', substr(hm, i, 1)) - 1
+        |          AS BIGINT))), (a, x) -> a * 16 + x) AS m,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 15), i ->
+        |        CAST(strpos('0123456789abcdef', substr(hr, i, 1)) - 1
+        |          AS BIGINT))), (a, x) -> a * 16 + x) AS r
+        |  FROM hs)
+        |SELECT nation, count(*) AS n_rows,
+        |  bit_xor(m) AS xor_master, bit_xor(r) AS xor_replica,
+        |  CAST(sum(m % 1048576) AS BIGINT) AS sum_master,
+        |  CAST(sum(r % 1048576) AS BIGINT) AS sum_replica,
+        |  bit_xor(m) = bit_xor(r) AND sum(m % 1048576) = sum(r % 1048576)
+        |    AS consistent
+        |FROM rh GROUP BY nation ORDER BY nation""".stripMargin,
     "table_diff" ->
       """WITH a AS (SELECT o_orderkey AS k,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS pa

@@ -177,10 +177,13 @@ object RelationalQueries {
   /** Entity resolution / record linkage: a "dirty" catalog (part names
     * deterministically corrupted — 'a' dropped — with the structured
     * attributes intact) is matched back against the master part table.
-    * Candidate generation is BLOCKED on the clean structured attribute
-    * (brand) — the join fans out per block, never all-pairs (the same
-    * discipline as the dedup operators: at 100 TB a linkage without
-    * blocking is a cartesian product). Scoring is multi-attribute and
+    * Candidate generation is BLOCKED on the clean structured
+    * attributes — (brand, size band), a compound key sized to keep
+    * blocks ~100 records wide as the catalog grows — and the join fans
+    * out per block, never all-pairs (the same discipline as the dedup
+    * operators: at 100 TB a linkage without blocking is a cartesian
+    * product, and block WIDTH, not table size, is what the scorer
+    * pays). Scoring is multi-attribute and
     * integer-exact (`levenshtein` on the name + absolute size delta),
     * and the best match per dirty record is an `rn = 1` window over
     * one (d_id)-partitioned shuffle. The `correct` column audits
@@ -193,7 +196,8 @@ object RelationalQueries {
     val dirty = parts.select(col("p_partkey").as("d_id"),
       expr("replace(p_name, 'a', '')").as("d_name"),
       col("p_brand").as("d_brand"), col("p_size").as("d_size"))
-    val cand = dirty.join(parts, col("d_brand") === col("p_brand"))
+    val cand = dirty.join(parts, col("d_brand") === col("p_brand") &&
+        expr("d_size div 8") === expr("p_size div 8"))
       .withColumn("dist",
         levenshtein(col("d_name"), col("p_name")).cast("long") +
         abs(col("d_size") - col("p_size")).cast("long"))
@@ -242,6 +246,7 @@ object RelationalQueries {
         |    CAST(levenshtein(d_name, p_name) AS BIGINT)
         |      + CAST(abs(d_size - p_size) AS BIGINT) AS dist
         |  FROM dirty JOIN part ON d_brand = p_brand
+        |    AND d_size // 8 = p_size // 8
         |), r AS (
         |  SELECT *, count(*) OVER (PARTITION BY d_id) AS n_candidates,
         |    row_number() OVER (PARTITION BY d_id

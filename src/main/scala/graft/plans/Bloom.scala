@@ -89,6 +89,8 @@ case class BloomPositions(child: Expression, mBits: Int, numHashes: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.BloomHash.positions($c, $mBits, $numHashes);")
 
+  override def prettyName: String = "graft_bloom_pos"
+
   override protected def withNewChildInternal(newChild: Expression): BloomPositions =
     copy(child = newChild)
 }
@@ -116,6 +118,8 @@ case class BloomMightContain(child: Expression, bits: Array[Byte], numHashes: In
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.BloomHash.mightContain($ref, $numHashes, $c);")
   }
+
+  override def prettyName: String = "graft_bloom_might"
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)

@@ -487,6 +487,27 @@ object AnalyticsQueries {
         col("exact_click"), col("exact_view"), col("exact_union"))
   }
 
+  /** Equi-depth (quantile) binning: each group's values split into 4
+    * equal-population bins via `percent_rank` — the feature-bucketing
+    * / histogram-equalization op. One (group, value) sort/shuffle; the
+    * bin id is exact rational arithmetic ((rank−1)/(n−1), identical
+    * IEEE ops both engines), outputs are count + min/max + exact
+    * integer-cent mass per bin (no order-dependent float sums).
+    */
+  def binningEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bin",
+        least(floor(percent_rank().over(w) * 4), lit(3.0)).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        sum(col("cents")).as("bin_cents"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Per-group top-k (k > 1): each customer's 3 largest orders. The
     * optimizer plans this as `WindowGroupLimit` — per-partition heaps
     * prune to k rows per group BEFORE the shuffle/sort, so the full
@@ -906,6 +927,7 @@ object AnalyticsQueries {
     "approx_hll_agg" -> (approxHllAgg _),
     "temporal_join" -> (temporalJoin _),
     "sketch_hll_setops" -> (sketchHllSetops _),
+    "binning_equidepth" -> (binningEquidepth _),
     "sketch_countmin" -> (sketchCountMin _))
 
   /** Shared by `asof_signup` (composed) and `asof_native` (custom
@@ -1255,6 +1277,17 @@ object AnalyticsQueries {
     // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
     // BIGINT harmonic sum, same literal association in the estimate so
     // the double arithmetic is bit-equal.
+    // Mirrors binningEquidepth: same percent_rank bin arithmetic.
+    "binning_equidepth" ->
+      """WITH b AS (SELECT event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(least(floor(percent_rank() OVER (PARTITION BY event_type
+        |      ORDER BY value) * 4), 3.0) AS BIGINT) AS bin
+        |  FROM events)
+        |SELECT event_type, bin, count(*) AS n_rows,
+        |  min(value) AS lo, max(value) AS hi,
+        |  CAST(sum(cents) AS BIGINT) AS bin_cents
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
     // Mirrors temporalJoin: same change-detection SCD2 intervals over
     // non-purchase events, same containment predicate.
     "temporal_join" ->

@@ -219,6 +219,32 @@ object OpsQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Candidate-key / uniqueness profiling — the discovery pass behind
+    * choosing merge keys and partition layouts: for each candidate
+    * column set, exact distinct count, violation count (rows sharing a
+    * key) and a key verdict, all from ONE aggregation over one scan
+    * (multi-column `count_distinct`; Spark plans one Expand the way
+    * [[profileColumns]] does — no per-candidate rescans).
+    */
+  def profileKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val one = o.agg(count(lit(1)).as("n"),
+      count_distinct(col("o_orderkey")).as("d1"),
+      count_distinct(col("o_custkey")).as("d2"),
+      count_distinct(col("o_custkey"), col("o_orderdate")).as("d3"),
+      count_distinct(col("o_orderstatus")).as("d4"))
+    val rows = Seq(("o_orderkey", "d1"), ("o_custkey", "d2"),
+      ("o_custkey,o_orderdate", "d3"), ("o_orderstatus", "d4")).map {
+      case (name, d) => struct(lit(name).as("candidate"),
+        col("n").as("n_rows"), col(d).as("n_distinct"),
+        (col("n") - col(d)).as("n_violations"),
+        (col(d) === col("n")).as("is_key"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("candidate")
+  }
+
   /** Order-independent table checksums — replication/backfill
     * integrity WITHOUT sorting or moving the data: per-row content
     * hash (md5 → 60-bit integer), folded per shard by XOR plus a
@@ -403,6 +429,7 @@ object OpsQueries {
     "index_fileskip" -> (indexFileskip _),
     "ivm_incremental_agg" -> (ivmIncrementalAgg _),
     "table_checksum" -> (tableChecksum _),
+    "profile_keys" -> (profileKeys _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
@@ -471,6 +498,20 @@ object OpsQueries {
     // the IVM invariant oracle, shared with streaming_ivm (see
     // PipelineQueries.ivmOracleSql)
     "ivm_incremental_agg" -> PipelineQueries.ivmOracleSql,
+    // Mirrors profileKeys: one aggregation, a row per candidate.
+    "profile_keys" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS d1,
+        |    count(DISTINCT o_custkey) AS d2,
+        |    count(DISTINCT (o_custkey, o_orderdate)) AS d3,
+        |    count(DISTINCT o_orderstatus) AS d4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS candidate, n AS n_rows, d1 AS n_distinct,
+        |  n - d1 AS n_violations, d1 = n AS is_key FROM a
+        |UNION ALL SELECT 'o_custkey', n, d2, n - d2, d2 = n FROM a
+        |UNION ALL SELECT 'o_custkey,o_orderdate', n, d3, n - d3, d3 = n FROM a
+        |UNION ALL SELECT 'o_orderstatus', n, d4, n - d4, d4 = n FROM a
+        |ORDER BY candidate""".stripMargin,
     // Mirrors tableChecksum: same row serialization, same 60-bit
     // hex fold (left fold a*16+digit == conv base 16), same XOR +
     // modular-sum shard digests.

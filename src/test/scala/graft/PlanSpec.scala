@@ -150,4 +150,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("o_orderdate") && !p.contains("o_comment"), p.take(600))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bloom join prefilters the fact side BEFORE the join") {
+    val p = plan(RelationalQueries.joinBloom(spark, sf))
+    // formatted plans number nodes leaf-first: the Filter carrying the
+    // bloom probe must be a LOWER node than the join it feeds
+    val joinNum = """\((\d+)\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    val bloomIdx = p.indexOf("graft_bloom_might")
+    assert(bloomIdx >= 0, p.take(600))
+    val filterNum = """\((\d+)\) Filter""".r.findAllMatchIn(p)
+      .filter(_.start < bloomIdx).toSeq.lastOption.map(_.group(1).toInt)
+    assert(joinNum.nonEmpty && filterNum.nonEmpty, p.take(600))
+    assert(filterNum.get < joinNum.get,
+      s"bloom filter (node ${filterNum.get}) not below the join (node ${joinNum.get})")
+  }
+
+  test("record linkage joins blocks, never all pairs") {
+    val p = plan(RelationalQueries.recordLinkage(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("temporal join resolves intervals behind an equi-join on the key") {
+    val p = plan(AnalyticsQueries.temporalJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("IVM aggregates the delta before the merge join (delta-sized shuffle)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq(("a", 1L, 1L)).toDF("k", "n", "sx")
+    val delta = Seq(("a", 5L, 1L)).toDF("k", "x", "_sign")
+    val p = plan(graft.operators.Ivm.applyDelta(base, delta, Seq("k"), "n",
+      Seq("x" -> "sx")))
+    // partial aggregation of the delta precedes the full-outer join
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(800))
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p.take(800))
+  }
+
+  test("hll TypedImperativeAggregate partially aggregates before the exchange") {
+    val p = plan(AnalyticsQueries.approxHllAgg(spark, sf))
+    val partialIdx = p.indexOf("partial_graft_hll")
+    assert(partialIdx >= 0, p.take(800))
+  }
 }

@@ -107,9 +107,17 @@ object PipelineQueries {
   def streamingIvm(spark: SparkSession, dir: String): DataFrame =
     Streams.ivmToViewSink(spark, dir)
 
+  /** T5 through Spark 4's `transformWithState` (StatefulProcessor +
+    * RocksDB store) — must equal the `mapGroupsWithState` runner (same
+    * oracle as `streaming_latest_per_key`).
+    */
+  def streamingLatestTws(spark: SparkSession, dir: String): DataFrame =
+    Streams.latestPerKeyTws(spark, dir)
+
   val defs: Map[String, Q] = Map(
     "streaming_cdc" -> (streamingCdc _),
     "streaming_ivm" -> (streamingIvm _),
+    "streaming_latest_tws" -> (streamingLatestTws _),
     "streaming_enrich" -> (streamingEnrich _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_sessionize" -> (streamingSessionize _),
@@ -216,6 +224,13 @@ object PipelineQueries {
         |FROM p JOIN s ON p.user_id = s.s_user
         |  AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
         |ORDER BY p_id, s_id""".stripMargin,
+    "streaming_latest_tws" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "streaming_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -441,15 +441,23 @@ object Streams {
     * State is one row per key — proportional to the result, the minimum
     * any latest-snapshot needs — and nothing accumulates on the driver.
     */
+  /** Tie-break shared by both stateful latest-per-key runners — its
+    * own Serializable holder so executor closures capture IT, not the
+    * (non-serializable) enclosing module.
+    */
+  object EvOrder extends Serializable {
+    def newer(a: Ev, b: Ev): Ev = {
+      val c = a.ts.compareTo(b.ts)
+      if (c > 0 || (c == 0 && a.event_id > b.event_id)) a else b
+    }
+  }
+
   def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs: Dataset[Ev] = eventsStream(spark, dir, batches = 3)
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
 
-    def newer(a: Ev, b: Ev): Ev = {
-      val c = a.ts.compareTo(b.ts)
-      if (c > 0 || (c == 0 && a.event_id > b.event_id)) a else b
-    }
+    val newer: (Ev, Ev) => Ev = EvOrder.newer
     val updates = evs
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -462,5 +470,65 @@ object Streams {
         keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
       .select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
+  }
+
+  /** T5 again through Spark 4's arbitrary-state API:
+    * `transformWithState` + [[LatestEvProcessor]] (typed `ValueState`
+    * per key) on the RocksDB state store — the successor to
+    * `mapGroupsWithState` with composable named state, timers and TTL.
+    * Must produce exactly the snapshot the `mapGroupsWithState` runner
+    * produces (`streaming_latest_tws` shares the
+    * `streaming_latest_per_key` oracle). RocksDB matters at scale:
+    * state is disk-backed per executor with changelog checkpointing,
+    * so per-key state survives far past executor memory.
+    */
+  def latestPerKeyTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs: Dataset[Ev] = eventsStream(spark, dir, batches = 3)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = evs
+        .groupByKey(_.user_id)
+        .transformWithState(new LatestEvProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      runToCompactedChangelog(updates.toDF(), "update",
+          keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    } finally savedProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+}
+
+/** Keyed latest-event state for [[Streams.latestPerKeyTws]]: one typed
+  * `ValueState[Ev]` per user, updated by the shared tie-break and
+  * re-emitted per micro-batch for keys the batch touched.
+  */
+class LatestEvProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Streams.Ev, Streams.Ev] {
+
+  @transient private var latest:
+    org.apache.spark.sql.streaming.ValueState[Streams.Ev] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    latest = getHandle.getValueState[Streams.Ev]("latest",
+      org.apache.spark.sql.Encoders.product[Streams.Ev],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Streams.Ev],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Streams.Ev] = {
+    val prior = if (latest.exists()) Iterator.single(latest.get()) else Iterator.empty
+    val best = (prior ++ rows).reduce(Streams.EvOrder.newer)
+    latest.update(best)
+    Iterator.single(best)
   }
 }

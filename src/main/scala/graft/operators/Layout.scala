@@ -49,6 +49,50 @@ object Layout {
     statsIndex(spark, path, cols).repartition(1)
       .write.mode("overwrite").parquet(path + "_stats")
 
+  /** Incrementally refresh the persisted index after appends/compaction:
+    * stats are computed ONLY for files not yet indexed (scan cost is
+    * proportional to new data, the append-heavy maintenance shape),
+    * entries for vanished files drop, untouched entries carry over
+    * byte-for-byte. A crash mid-refresh leaves the old index (swap via
+    * [[MergeWriter.replace]]), which is safe: the index admits false
+    * positives but a STALE-MISSING file would be a false negative, so
+    * readers must refresh after writes they depend on.
+    */
+  def refreshStatsIndex(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val idxPath = path + "_stats"
+    if (!MergeWriter.exists(spark, idxPath)) { writeStatsIndex(spark, path, cols); return }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scheme renderings differ between the listing (file:/x) and
+    // Spark's _metadata.file_path (file:///x): compare on the
+    // scheme-free path component
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val current = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString)
+    val currentNorm = current.map(norm).toSet
+    spark.catalog.refreshByPath(idxPath)
+    val allOld = spark.read.parquet(idxPath)
+    val keep = allOld.select("file").collect().map(_.getString(0))
+      .filter(f => currentNorm.contains(norm(f)))
+    val old = allOld.filter(col("file").isInCollection(keep.toSeq))
+      .localCheckpoint()
+    val knownNorm = keep.map(norm).toSet
+    val fresh = current.filterNot(f => knownNorm.contains(norm(f))).toSeq.sorted
+    val merged =
+      if (fresh.isEmpty) old
+      else {
+        val df = spark.read.parquet(fresh: _*)
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+          count(lit(1)).as("n_rows")
+        old.unionByName(df
+          .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+          .groupBy(col("file"))
+          .agg(aggs.head, aggs.tail: _*))
+      }
+    MergeWriter.replace(spark, idxPath, merged.repartition(1))
+  }
+
   /** Read `path` scanning ONLY files whose [min,max] envelope overlaps
     * every `(col, lo, hi)` bound, using the persisted stats index; the
     * residual predicate still applies (file stats admit false

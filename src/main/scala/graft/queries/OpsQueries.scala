@@ -245,6 +245,75 @@ object OpsQueries {
       .orderBy("candidate")
   }
 
+  /** Inclusion-dependency (foreign-key) discovery — the companion of
+    * [[profileKeys]]: for each candidate reference, orphan rows and
+    * orphan keys counted in ONE pass per pair (left join against the
+    * broadcast distinct key set of the referenced side — the probe
+    * side never shuffles). The deliberately-bad candidate
+    * (events.user_id → supplier) shows real violation counts, not just
+    * all-green.
+    */
+  def profileInclusion(spark: SparkSession, dir: String): DataFrame = {
+    def inclusion(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val keys = right.select(col(rk).as("_rk")).distinct()
+      left.select(col(lk).as("_lk"))
+        .join(broadcast(keys), col("_lk") === col("_rk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("_lk")).as("n_keys"),
+          sum(when(col("_rk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+          count_distinct(when(col("_rk").isNull, col("_lk")))
+            .as("n_orphan_keys"))
+        .select(lit(name).as("dependency"), col("n_rows"), col("n_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          (col("n_orphan_rows") === 0).as("is_fk"))
+    }
+    inclusion("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(inclusion("orders.o_custkey->customer.c_custkey",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(inclusion("lineitem.l_partkey->part.p_partkey",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(inclusion("events.user_id->supplier.s_suppkey",
+        Tables.events(spark, dir), "user_id",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .orderBy("dependency")
+  }
+
+  /** Chunked backfill — the rebuild-history orchestration shape: the
+    * daily mart is reconstructed month-by-month, each chunk aggregated
+    * independently and merged through the partition-pruned
+    * [[graft.operators.MergeWriter.upsertPartitioned]] (only that
+    * chunk's day partitions rewrite). The chunk list is a
+    * driver-side, metadata-sized plan; chunk independence is what
+    * makes a 100 TB backfill restartable and parallelizable across
+    * clusters. Gate: the chunked rebuild must EQUAL the one-shot
+    * aggregate.
+    */
+  def backfillChunked(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = Files.createTempDirectory("graft-backfill").toString + "/mart"
+    val ev = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val months = ev.select("month").distinct()
+      .collect().map(_.getString(0)).sorted
+    months.foreach { m =>
+      val chunk = ev.filter(col("month") === m)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      graft.operators.MergeWriter.upsertPartitioned(spark, tgt, chunk,
+        keys = Seq("day", "event_type"), versionCols = Seq("n_events"),
+        partCol = "day")
+    }
+    spark.read.parquet(tgt)
+      .select("day", "event_type", "n_events", "value_cents")
+      .orderBy("day", "event_type")
+  }
+
   /** Order-independent table checksums — replication/backfill
     * integrity WITHOUT sorting or moving the data: per-row content
     * hash (md5 → 60-bit integer), folded per shard by XOR plus a
@@ -430,6 +499,8 @@ object OpsQueries {
     "ivm_incremental_agg" -> (ivmIncrementalAgg _),
     "table_checksum" -> (tableChecksum _),
     "profile_keys" -> (profileKeys _),
+    "profile_inclusion" -> (profileInclusion _),
+    "backfill_chunked" -> (backfillChunked _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
@@ -512,6 +583,40 @@ object OpsQueries {
         |UNION ALL SELECT 'o_custkey,o_orderdate', n, d3, n - d3, d3 = n FROM a
         |UNION ALL SELECT 'o_orderstatus', n, d4, n - d4, d4 = n FROM a
         |ORDER BY candidate""".stripMargin,
+    // Mirrors profileInclusion: one left join per candidate against
+    // the distinct referenced keys.
+    "profile_inclusion" -> {
+      def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+        s"""SELECT '$name' AS dependency,
+           |  count(*) AS n_rows, count(DISTINCT _lk) AS n_keys,
+           |  CAST(sum(CASE WHEN _rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphan_rows,
+           |  count(DISTINCT CASE WHEN _rk IS NULL THEN _lk END)
+           |    AS n_orphan_keys,
+           |  sum(CASE WHEN _rk IS NULL THEN 1 ELSE 0 END) = 0 AS is_fk
+           |FROM (SELECT $lk AS _lk FROM $lt) l
+           |LEFT JOIN (SELECT DISTINCT $rk AS _rk FROM $rt) r
+           |  ON l._lk = r._rk""".stripMargin
+      Seq(
+        one("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        one("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        one("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        one("events.user_id->supplier.s_suppkey",
+          "events", "user_id", "supplier", "s_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+    },
+    // The chunked backfill must converge to the one-shot daily mart.
+    "backfill_chunked" ->
+      """SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+        |    AS day,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // Mirrors tableChecksum: same row serialization, same 60-bit
     // hex fold (left fold a*16+digit == conv base 16), same XOR +
     // modular-sum shard digests.

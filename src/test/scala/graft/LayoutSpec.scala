@@ -111,4 +111,33 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.prunedRead(spark, dirOut,
       Seq(("zx", 999L, 1000L))).count() === 0)
   }
+
+  test("refreshStatsIndex: new files indexed, vanished dropped, old entries untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-refresh").toString + "/t"
+    (0L until 100L).map(i => (i, i % 10)).toDF("id", "zx")
+      .repartition(2).write.parquet(dir)
+    Layout.writeStatsIndex(spark, dir, Seq("zx"))
+    val before = spark.read.parquet(dir + "_stats")
+      .orderBy("file").collect().toSeq
+    // append new files, then refresh
+    (100L until 160L).map(i => (i, 10L + i % 5)).toDF("id", "zx")
+      .repartition(3).write.mode("append").parquet(dir)
+    Layout.refreshStatsIndex(spark, dir, Seq("zx"))
+    val after = spark.read.parquet(dir + "_stats").collect()
+    assert(after.length === 5)
+    // totals agree with the table; old entries carried over verbatim
+    assert(after.map(_.getAs[Long]("n_rows")).sum === 160L)
+    val afterByFile = after.map(r => r.getAs[String]("file") -> r).toMap
+    before.foreach(b =>
+      assert(afterByFile(b.getAs[String]("file")) === b))
+    // refresh equals a from-scratch rebuild
+    val rebuilt = Layout.statsIndex(spark, dir, Seq("zx"))
+      .orderBy("file").collect().toSeq
+    assert(spark.read.parquet(dir + "_stats").orderBy("file")
+      .collect().toSeq === rebuilt)
+    // pruning keeps working through the refreshed index
+    assert(Layout.prunedRead(spark, dir, Seq(("zx", 12L, 14L)))
+      .count() === (100L until 160L).count(i => (10 + i % 5) >= 12 && (10 + i % 5) <= 14))
+  }
 }

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strategy-adaptive dimension join — the sizing decision a user
+  * shouldn't hand-tune per query:
+  *
+  *  - dim fits the broadcast budget → `broadcast()` hash join, fact
+  *    side never shuffles;
+  *  - dim too large to broadcast as rows → bloom-prefiltered shuffle
+  *    join ([[BloomPrune]]): the dim's keys broadcast as a bitset
+  *    (~16 bits/key), the fact side shrinks to the dim's selectivity
+  *    BEFORE the exchange, and the exact join finishes.
+  *
+  * Both paths return identical results (the bloom path admits false
+  * positives only, removed by the join) — `JoinsSpec` pins the plan
+  * shape per regime and the cross-regime equality. The one dim pass
+  * for `count()` is the price of the decision; at 100 TB feed it from
+  * table statistics instead.
+  */
+object Joins {
+
+  def dimJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, broadcastRowLimit: Long = 1L << 20): DataFrame = {
+    val n = dim.count()
+    if (n <= broadcastRowLimit)
+      fact.join(broadcast(dim), col(factKey) === col(dimKey))
+    else {
+      val bits = BloomPrune.build(dim, dimKey, BloomPrune.sizeBits(n))
+      fact.filter(BloomPrune.mightContain(col(factKey), bits))
+        .join(dim, col(factKey) === col(dimKey))
+    }
+  }
+}

@@ -508,6 +508,39 @@ object AnalyticsQueries {
       .orderBy("event_type", "bin")
   }
 
+  /** Deterministic time-series decomposition (trend / weekly seasonal
+    * / irregular) of the daily revenue series: trend is a centered
+    * 7-day moving TOTAL kept as an exact (sum, count) pair and divided
+    * integrally (positives only — no float summation anywhere),
+    * residuals stay exact integer cents, and the per-weekday seasonal
+    * index is one exact sum + a single IEEE floor-division. The series
+    * windows run over DAY-level aggregates — calendar-sized regardless
+    * of fact volume, so the unpartitioned time window costs nothing at
+    * 100 TB (the heavy lifting happened in the keyed daily rollup).
+    */
+  def timeseriesDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("_s7", sum(col("cents")).over(w))
+      .withColumn("_n7", count(lit(1)).over(w))
+      .withColumn("trend_cents", expr("_s7 div _n7"))
+      .withColumn("resid_cents", col("cents") - col("trend_cents"))
+      .withColumn("wd", weekday(col("day")).cast("long"))
+    val seasonal = trended.groupBy(col("wd"))
+      .agg(sum(col("resid_cents")).as("_sr"), count(lit(1)).as("_cr"))
+      .select(col("wd"),
+        floor(col("_sr").cast("double") / col("_cr")).cast("long")
+          .as("seasonal_cents"))
+    trended.join(broadcast(seasonal), "wd")
+      .select(col("day"), col("cents"), col("trend_cents"),
+        col("resid_cents"), col("seasonal_cents"),
+        (col("resid_cents") - col("seasonal_cents")).as("irregular_cents"))
+      .orderBy("day")
+  }
+
   /** Per-group top-k (k > 1): each customer's 3 largest orders. The
     * optimizer plans this as `WindowGroupLimit` — per-partition heaps
     * prune to k rows per group BEFORE the shuffle/sort, so the full
@@ -928,6 +961,7 @@ object AnalyticsQueries {
     "temporal_join" -> (temporalJoin _),
     "sketch_hll_setops" -> (sketchHllSetops _),
     "binning_equidepth" -> (binningEquidepth _),
+    "timeseries_decompose" -> (timeseriesDecompose _),
     "sketch_countmin" -> (sketchCountMin _))
 
   /** Shared by `asof_signup` (composed) and `asof_native` (custom
@@ -1277,6 +1311,29 @@ object AnalyticsQueries {
     // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
     // BIGINT harmonic sum, same literal association in the estimate so
     // the double arithmetic is bit-equal.
+    // Mirrors timeseriesDecompose: same exact integer trend/residual
+    // arithmetic, same weekday convention (0 = Monday), same single
+    // IEEE floor-division for the seasonal index.
+    "timeseries_decompose" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT day, cents,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS s7,
+        |    count(*) OVER w AS n7,
+        |    isodow(day) - 1 AS wd
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |r AS (SELECT day, cents, s7 // n7 AS trend_cents,
+        |    cents - s7 // n7 AS resid_cents, wd
+        |  FROM t),
+        |s AS (SELECT wd, CAST(floor(CAST(sum(resid_cents) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS seasonal_cents
+        |  FROM r GROUP BY 1)
+        |SELECT day, cents, trend_cents, resid_cents, seasonal_cents,
+        |  resid_cents - seasonal_cents AS irregular_cents
+        |FROM r JOIN s USING (wd) ORDER BY day""".stripMargin,
     // Mirrors binningEquidepth: same percent_rank bin arithmetic.
     "binning_equidepth" ->
       """WITH b AS (SELECT event_type, value,

@@ -41,9 +41,14 @@ object BloomPrune {
       .select(shiftright(col("p"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), p % 64)").as("m"))
       .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
-      .collect()
     val bytes = new Array[Byte](mBits / 8)
-    words.foreach { r =>
+    // stream word rows partition-by-partition: the driver holds the
+    // bitmap plus ONE partition of (w, bits) rows, never the full
+    // row-object materialization a collect() would make of a large
+    // filter (16.7M rows for the 128 MiB clamp)
+    val it = words.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
       val w = r.getInt(0); val bits = r.getLong(1)
       var b = 0
       while (b < 8) {

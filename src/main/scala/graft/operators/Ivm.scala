@@ -51,14 +51,24 @@ object Ivm {
     * sized, not fact-sized); with a date group key the partitioned
     * variant of the same swap touches only partitions holding changed
     * groups.
+    *
+    * Unlike the keyed merge sinks (idempotent by construction), a
+    * signed-delta fold is NOT naturally idempotent — an at-least-once
+    * replayed batch would double-apply. `batchId` closes that: the
+    * applied id commits in a `_ivm_batch` marker INSIDE the same
+    * atomic swap as the data, and a batch at or below the recorded id
+    * is skipped on replay.
     */
   def applyDeltaToTable(viewDir: String, delta: DataFrame, keys: Seq[String],
       countCol: String, sumCols: Seq[(String, String)],
-      signCol: String = "_sign"): Unit = {
+      signCol: String = "_sign", batchId: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     spark.catalog.refreshByPath(viewDir)
+    val exists = MergeWriter.exists(spark, viewDir)
+    if (exists && batchId.isDefined &&
+        appliedBatch(spark, viewDir).exists(_ >= batchId.get)) return
     val base =
-      if (MergeWriter.exists(spark, viewDir)) spark.read.parquet(viewDir)
+      if (exists) spark.read.parquet(viewDir)
       else {
         // empty base in the view's shape: first delta bootstraps the view
         val zero = delta.filter(lit(false))
@@ -67,6 +77,21 @@ object Ivm {
         zero.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       }
     MergeWriter.replace(spark, viewDir,
-      applyDelta(base, delta, keys, countCol, sumCols, signCol))
+      applyDelta(base, delta, keys, countCol, sumCols, signCol),
+      marker = batchId.map(id => ("_ivm_batch", id.toString)))
+  }
+
+  /** The batch id recorded by the last marker-carrying swap, if any. */
+  def appliedBatch(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(viewDir, "_ivm_batch")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
   }
 }

@@ -24,12 +24,25 @@ object Joins {
   def dimJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, broadcastRowLimit: Long = 1L << 20): DataFrame = {
     val n = dim.count()
-    if (n <= broadcastRowLimit)
-      fact.join(broadcast(dim), col(factKey) === col(dimKey))
-    else {
-      val bits = BloomPrune.build(dim, dimKey, BloomPrune.sizeBits(n))
-      fact.filter(BloomPrune.mightContain(col(factKey), bits))
-        .join(dim, col(factKey) === col(dimKey))
+    val small = n <= broadcastRowLimit
+    val integralKey = dim.schema(dimKey).dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
     }
+    // bloom hashes bigint keys only — casting a non-integral key would
+    // null out and turn into false NEGATIVES, so such dims skip the
+    // prefilter and take the plain shuffle join
+    val probe =
+      if (small || !integralKey) fact
+      else fact.filter(BloomPrune.mightContain(fact(factKey),
+        BloomPrune.build(dim, dimKey, BloomPrune.sizeBits(n))))
+    val d = if (small) broadcast(dim) else dim
+    // same-named keys would be ambiguous after the join: USING form
+    // (which also dedups the key column)
+    if (factKey == dimKey) probe.join(d, Seq(factKey))
+    else probe.join(d, probe(factKey) === d(dimKey))
   }
 }

@@ -32,8 +32,14 @@ object Layout {
     * sized, not data sized. Persist it with [[writeStatsIndex]] and
     * maintenance re-runs only when files change.
     */
-  def statsIndex(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(path)
+  def statsIndex(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    fileStats(spark.read.parquet(path), cols)
+
+  /** Per-file stats of an already-opened scan — the one definition of
+    * the index schema (statsIndex and refreshStatsIndex both fold
+    * through here, so they cannot drift).
+    */
+  private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
@@ -80,16 +86,7 @@ object Layout {
     val fresh = current.filterNot(f => knownNorm.contains(norm(f))).toSeq.sorted
     val merged =
       if (fresh.isEmpty) old
-      else {
-        val df = spark.read.parquet(fresh: _*)
-        val aggs = cols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-          count(lit(1)).as("n_rows")
-        old.unionByName(df
-          .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
-          .groupBy(col("file"))
-          .agg(aggs.head, aggs.tail: _*))
-      }
+      else old.unionByName(fileStats(spark.read.parquet(fresh: _*), cols))
     MergeWriter.replace(spark, idxPath, merged.repartition(1))
   }
 

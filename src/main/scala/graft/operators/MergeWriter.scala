@@ -137,43 +137,73 @@ object MergeWriter {
       s.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
     }
     if (partDirs.nonEmpty)
-      partDirs.foreach(s => compactFlat(spark, s.getPath, targetFileBytes))
-    else compactFlat(spark, dst, targetFileBytes)
+      partDirs.foreach(s => compactFlat(spark, s.getPath, targetFileBytes,
+        hiddenStaging = true))
+    else compactFlat(spark, dst, targetFileBytes, hiddenStaging = false)
   }
 
+  /** `hiddenStaging` stages the rewrite under a dot-prefixed sibling
+    * (ignored by partition discovery) — REQUIRED when `dst` is a
+    * partition dir inside a table root, where a visible `<name>.tmp-*`
+    * sibling would be listed as a bogus partition and double rows for
+    * concurrent readers.
+    */
   private def compactFlat(spark: SparkSession, dst: Path,
-      targetFileBytes: Long): Unit = {
+      targetFileBytes: Long, hiddenStaging: Boolean): Unit = {
     val bytes = fs(spark, dst).getContentSummary(dst).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    swapWrite(spark, dst.toString, spark.read.parquet(dst.toString).repartition(n))
+    val df = spark.read.parquet(dst.toString).repartition(n)
+    if (!hiddenStaging) swapWrite(spark, dst.toString, df)
+    else {
+      val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val f = fs(spark, dst)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      swapDir(f, tmp, dst)
+      spark.catalog.refreshByPath(dst.toString)
+    }
   }
 
   /** Atomically replace the table at `dir` with `df` (crash-recoverable
     * swap; see [[swapDir]]) — the persistence primitive behind upsert
-    * and the view-maintenance sinks ([[Ivm]]).
+    * and the view-maintenance sinks ([[Ivm]]). An optional
+    * `(fileName, content)` marker is written INTO the staged dir
+    * before the swap, so marker and data commit in the same rename —
+    * the hook replay-idempotent sinks use to record the batch they
+    * applied (name it `_`/`.`-prefixed so scans ignore it).
     */
-  def replace(spark: SparkSession, dir: String, df: DataFrame): Unit =
-    swapWrite(spark, dir, df)
-
-  /** Materialize `df` then replace `dir` with it. */
-  private def swapWrite(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+  def replace(spark: SparkSession, dir: String, df: DataFrame,
+      marker: Option[(String, String)] = None): Unit = {
     val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val dst = new Path(dir)
     val f = fs(spark, dst)
     df.write.mode("overwrite").parquet(tmp.toString)
+    marker.foreach { case (name, content) =>
+      val out = f.create(new Path(tmp, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     swapDir(f, tmp, dst)
     spark.catalog.refreshByPath(dir)
   }
 
+  /** Materialize `df` then replace `dir` with it. */
+  private def swapWrite(spark: SparkSession, dir: String, df: DataFrame): Unit =
+    replace(spark, dir, df)
+
   /** Crash-recoverable directory replace: the previous content is
-    * renamed to `<dst>.old` before the new content renames in, so a
+    * renamed to `.<dst>.old` before the new content renames in, so a
     * crash between the two renames leaves a recoverable copy at a
-    * well-known name (never a silently lost table); `.old` is dropped
-    * only after the new content is in place.
+    * well-known name (never a silently lost table); the old copy is
+    * dropped only after the new content is in place. The dot prefix
+    * keeps a crash leftover INVISIBLE to partition discovery when the
+    * swapped dir is a `col=value` partition inside a table root — a
+    * visible `<name>.old` sibling would read as a bogus extra
+    * partition and duplicate that partition's rows on every scan.
     */
-  private def swapDir(f: org.apache.hadoop.fs.FileSystem,
+  private[operators] def swapDir(f: org.apache.hadoop.fs.FileSystem,
       src: Path, dst: Path): Unit = {
-    val old = dst.suffix(".old")
+    val old = new Path(dst.getParent, "." + dst.getName + ".old")
     f.delete(old, true) // leftover from a previous crashed swap
     if (f.exists(dst) && !f.rename(dst, old))
       throw new java.io.IOException(s"merge swap failed: $dst -> $old")

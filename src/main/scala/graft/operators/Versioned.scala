@@ -96,11 +96,26 @@ object Versioned {
     spark.read.parquet(path.toString)
   }
 
+  /** Latest write activity under `p`: a snapshot dir's own mtime is
+    * stamped at CREATION and never advances while task files land
+    * under `_temporary`, so in-flight-ness must be judged from the
+    * newest mtime in the subtree (bounded depth — task-attempt dirs
+    * sit 2-3 levels down).
+    */
+  private def lastActivity(f: org.apache.hadoop.fs.FileSystem,
+      p: Path, depth: Int = 3): Long = {
+    val st = f.getFileStatus(p)
+    if (!st.isDirectory || depth == 0) st.getModificationTime
+    else (st.getModificationTime +: f.listStatus(p).toSeq
+      .map(c => lastActivity(f, c.getPath, depth - 1))).max
+  }
+
   /** Drop all but the newest `keep` committed versions, plus any
-    * incomplete snapshot dirs OLDER than `graceMs` — a young
-    * incomplete dir may be a commit in flight (see the concurrency
-    * contract above), so it is left alone. The live pointer target is
-    * never dropped: keep is clamped to include it.
+    * incomplete snapshot dirs whose latest write activity is OLDER
+    * than `graceMs` — a recently-active incomplete dir is a commit in
+    * flight (see the concurrency contract above), so it is left
+    * alone regardless of how long ago it STARTED. The live pointer
+    * target is never dropped: keep is clamped to include it.
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int,
       graceMs: Long = 10L * 60 * 1000): Unit = {
@@ -116,7 +131,7 @@ object Versioned {
       .foreach { s =>
         val v = s.getPath.getName.stripPrefix("v=").toLong
         val incomplete = !f.exists(new Path(s.getPath, "_SUCCESS"))
-        val expired = now - s.getModificationTime > graceMs
+        lazy val expired = now - lastActivity(f, s.getPath) > graceMs
         if ((incomplete && expired) ||
             (!incomplete && !keepSet.contains(v))) f.delete(s.getPath, true)
       }

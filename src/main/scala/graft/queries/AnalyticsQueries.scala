@@ -464,7 +464,9 @@ object AnalyticsQueries {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type").as("s"), col("user_id"))
-    val regs = graft.ext.Hll.registers(ev, Seq("s"), "user_id").cache()
+    // registers are ≤ 2×256 rows — recomputing them for the union
+    // branch is cheaper than leaking a cache entry into the session
+    val regs = graft.ext.Hll.registers(ev, Seq("s"), "user_id")
     val perSet = graft.ext.Hll.estimate(regs, Seq("s"), "est")
     val union = graft.ext.Hll.estimate(
       regs.groupBy(col("_b")).agg(max(col("_m")).as("_m"))

@@ -393,14 +393,17 @@ object Streams {
       val q = eventsStream(spark, dir, batches = 3).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           val b = shape(batch)
           val delta = b.filter(col("event_id") % 10 === 0)
             .withColumn("_sign", lit(1L))
             .unionByName(b.filter(col("event_id") % 100 === 7)
               .withColumn("_sign", lit(-1L)))
+          // batchId makes the non-idempotent signed fold replay-safe:
+          // a re-delivered micro-batch is skipped via the view's marker
           graft.operators.Ivm.applyDeltaToTable(view, delta,
-            Seq("day", "event_type"), "n_events", Seq("cents" -> "value_cents"))
+            Seq("day", "event_type"), "n_events", Seq("cents" -> "value_cents"),
+            batchId = Some(id))
         }
         .trigger(Trigger.AvailableNow())
         .start()

@@ -49,4 +49,27 @@ class IvmSpec extends SparkSpec {
     assert(once === twice)
     assert(once === swapped)
   }
+
+  test("persisted view skips a replayed batch id (at-least-once safety)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-spec")
+      .resolve("v").toString
+    val d1 = Seq(("a", 10L, 1L), ("b", 5L, 1L)).toDF("k", "x", "_sign")
+    Ivm.applyDeltaToTable(dir, d1, Seq("k"), "n", Seq("x" -> "sx"),
+      batchId = Some(0L))
+    val after1 = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    // the same batch delivered again must be a no-op
+    Ivm.applyDeltaToTable(dir, d1, Seq("k"), "n", Seq("x" -> "sx"),
+      batchId = Some(0L))
+    assert(spark.read.parquet(dir).orderBy("k").collect().toSeq === after1)
+    assert(Ivm.appliedBatch(spark, dir) === Some(0L))
+    // the next batch applies and advances the marker
+    Ivm.applyDeltaToTable(dir,
+      Seq(("a", 10L, -1L)).toDF("k", "x", "_sign"),
+      Seq("k"), "n", Seq("x" -> "sx"), batchId = Some(1L))
+    assert(Ivm.appliedBatch(spark, dir) === Some(1L))
+    val rows = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("b", 1L, 5L)))
+  }
 }

@@ -35,4 +35,30 @@ class JoinsSpec extends SparkSpec {
     assert(rows(small) === rows(large))
     assert(small.count() === fact.filter(col("fk") % 5 === 0).count())
   }
+
+  test("same-named keys join via USING — no ambiguous references") {
+    val fact = spark.range(0, 100)
+      .select((col("id") % 10).as("k"), col("id").as("v"))
+    val dim = spark.range(0, 5).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val a = Joins.dimJoin(fact, dim, "k", "k")
+    val b = Joins.dimJoin(fact, dim, "k", "k", broadcastRowLimit = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "name").orderBy("k", "v").collect().toSeq
+    assert(rows(a) === rows(b))
+    assert(a.count() === 50)
+  }
+
+  test("non-integral keys skip the bloom prefilter instead of corrupting results") {
+    val fact = spark.range(0, 100)
+      .select(concat(lit("k"), col("id") % 10).as("fk"), col("id").as("v"))
+    val dim = spark.range(0, 5)
+      .select(concat(lit("k"), col("id")).as("dk"),
+        concat(lit("d"), col("id")).as("name"))
+    // broadcastRowLimit = 0 forces the large-dim path; string keys must
+    // fall back to the plain join, NOT an always-empty bloom filter
+    val out = Joins.dimJoin(fact, dim, "fk", "dk", broadcastRowLimit = 0)
+    assert(out.count() === 50)
+    assert(!plan(out).contains("graft_bloom_might"))
+  }
 }

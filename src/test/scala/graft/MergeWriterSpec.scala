@@ -162,5 +162,25 @@ class MergeWriterSpec extends SparkSpec {
     val got = spark.read.parquet(dir)
     assert(got.count() === 160)
     assert(got.filter(col("id") === 1).select("v").head().getLong(0) === 999L)
+    // no staging/old leftovers inside the root — and the ones that do
+    // exist transiently are dot-prefixed, invisible to discovery
+    val inside = root.listFiles().map(_.getName)
+      .filter(n => n.contains(".tmp") || n.contains(".old"))
+    assert(inside.isEmpty, inside.mkString(","))
+  }
+
+  test("partition swap staging is never visible to partition discovery") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 40).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}", i.toLong))
+      .toDF("id", "day", "v")
+      .repartition(4).write.partitionBy("day").parquet(dir)
+    MergeWriter.compact(spark, dir)
+    // everything non-hidden under the root must be a real partition dir
+    val visible = new java.io.File(dir).listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(visible.forall(f => f.isDirectory && f.getName.matches("day=[^.]+")),
+      visible.map(_.getName).mkString(","))
+    assert(spark.read.parquet(dir).count() === 40)
   }
 }

@@ -314,6 +314,78 @@ object OpsQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Population-stability drift (PSI) between two time slices of the
+    * value distribution, per event type — the monitoring op behind
+    * "did the feature distribution move". Bins are fixed equal-width,
+    * counts exact, and the PSI sum is folded in EXPLICIT bin order
+    * (a0 + a1 + ... + a9) so no shuffle order can perturb the
+    * floating-point result — the same determinism discipline as
+    * [[abWelch]]. Laplace smoothing (+0.5/bin) keeps empty bins
+    * finite on both engines.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (to_date(col("ts")) <= "2024-01-15").as("is_a"),
+        least(floor(col("value") / lit(52.0)), lit(9.0)).cast("int").as("bin"))
+    val binned = ev.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    val totals = binned.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val terms = binned.join(broadcast(totals), "event_type")
+      .withColumn("p", (col("na").cast("double") + lit(0.5)) /
+        (col("ta").cast("double") + lit(5.0)))
+      .withColumn("q", (col("nb").cast("double") + lit(0.5)) /
+        (col("tb").cast("double") + lit(5.0)))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+    val psi = (0 until 10)
+      .map(i => coalesce(max(when(col("bin") === i, col("term"))), lit(0.0)))
+      .reduce(_ + _)
+    terms.groupBy(col("event_type"))
+      .agg(round(psi, 6).as("psi"),
+        max(col("ta")).as("n_ref"), max(col("tb")).as("n_cur"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy("event_type")
+  }
+
+  /** K-anonymity audit over quasi-identifiers — the privacy gate a
+    * training-data export runs before release: every (event_type,
+    * weekday) equivalence class is measured by row count and DISTINCT
+    * user count, and classes below k flag for suppression. One keyed
+    * aggregation; class cardinality, not data volume, bounds the
+    * output.
+    */
+  def privacyKanon(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), weekday(col("ts")).cast("long").as("wd"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("class_rows"),
+        count_distinct(col("user_id")).as("class_users"))
+      .withColumn("k_ok", col("class_users") >= 25)
+      .orderBy("event_type", "wd")
+
+  /** Deterministic pseudonymization: user ids replaced by a one-way
+    * token (md5 prefix) that is STABLE across tables and runs, so
+    * keyed joins and per-user aggregation still work on the
+    * pseudonymized corpus — re-identification requires the (absent)
+    * mapping, utility requires nothing. Map-only over the fact table;
+    * token-grouped aggregates must match the user-grouped ones
+    * (injectivity at this cardinality is spec'd by the distinct
+    * counts agreeing).
+    */
+  def privacyTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(substring(md5(concat(lit("u|"), col("user_id"))), 1, 16)
+          .as("token"),
+        col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+    ev.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"),
+        count_distinct(col("user_id")).as("n_source_ids"))
+      .orderBy("token")
+  }
+
   /** Order-independent table checksums — replication/backfill
     * integrity WITHOUT sorting or moving the data: per-row content
     * hash (md5 → 60-bit integer), folded per shard by XOR plus a
@@ -501,6 +573,9 @@ object OpsQueries {
     "profile_keys" -> (profileKeys _),
     "profile_inclusion" -> (profileInclusion _),
     "backfill_chunked" -> (backfillChunked _),
+    "drift_psi" -> (driftPsi _),
+    "privacy_kanon" -> (privacyKanon _),
+    "privacy_tokenize" -> (privacyTokenize _),
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
@@ -608,6 +683,52 @@ object OpsQueries {
           "events", "user_id", "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
     },
+    // Mirrors driftPsi: same bins, smoothing, and EXPLICIT
+    // fixed-order 10-term PSI fold.
+    "drift_psi" -> {
+      val fold = (0 until 10)
+        .map(i => s"coalesce(max(CASE WHEN bin = $i THEN term END), 0.0)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type, value,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15'
+         |      AS is_a,
+         |    CAST(least(floor(value / 52.0), 9.0) AS INTEGER) AS bin
+         |  FROM events),
+         |b AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+         |    CAST(sum(nb) AS BIGINT) AS tb
+         |  FROM b GROUP BY 1),
+         |m AS (SELECT b.event_type, bin, ta, tb,
+         |    (CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0) AS p,
+         |    (CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0) AS q
+         |  FROM b JOIN t USING (event_type)),
+         |w AS (SELECT event_type, bin, (p - q) * ln(p / q) AS term,
+         |    ta, tb FROM m),
+         |f AS (SELECT event_type, round($fold, 6) AS psi,
+         |    max(ta) AS n_ref, max(tb) AS n_cur
+         |  FROM w GROUP BY 1)
+         |SELECT event_type, psi, n_ref, n_cur, psi > 0.1 AS drifted
+         |FROM f ORDER BY event_type""".stripMargin
+    },
+    // Mirrors privacyKanon (weekday: 0 = Monday on both engines).
+    "privacy_kanon" ->
+      """SELECT event_type,
+        |  CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS wd,
+        |  count(*) AS class_rows, count(DISTINCT user_id) AS class_users,
+        |  count(DISTINCT user_id) >= 25 AS k_ok
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, wd""".stripMargin,
+    // Mirrors privacyTokenize: same one-way token derivation.
+    "privacy_tokenize" ->
+      """SELECT substr(md5(concat('u|', CAST(user_id AS VARCHAR))), 1, 16)
+        |    AS token,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  count(DISTINCT user_id) AS n_source_ids
+        |FROM events GROUP BY 1 ORDER BY token""".stripMargin,
     // The chunked backfill must converge to the one-shot daily mart.
     "backfill_chunked" ->
       """SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')

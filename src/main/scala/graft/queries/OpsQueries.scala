@@ -314,6 +314,23 @@ object OpsQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Semi-structured ingestion through Spark 4's VARIANT type:
+    * `parse_json` once into the binary variant encoding, then typed
+    * `variant_get` path extraction — the schema-on-read path that
+    * replaces per-query JSON string re-parsing (the variant parse
+    * happens once per row, extraction is a binary-encoded path walk,
+    * and the whole pipeline stays in WholeStageCodegen). Equivalent
+    * relational answer gated against DuckDB's JSON extraction.
+    */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Population-stability drift (PSI) between two time slices of the
     * value distribution, per event type — the monitoring op behind
     * "did the feature distribution move". Bins are fixed equal-width,
@@ -574,6 +591,7 @@ object OpsQueries {
     "profile_inclusion" -> (profileInclusion _),
     "backfill_chunked" -> (backfillChunked _),
     "drift_psi" -> (driftPsi _),
+    "json_variant" -> (jsonVariant _),
     "privacy_kanon" -> (privacyKanon _),
     "privacy_tokenize" -> (privacyTokenize _),
     "table_diff" -> (tableDiff _),
@@ -683,6 +701,17 @@ object OpsQueries {
           "events", "user_id", "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
     },
+    // Mirrors jsonVariant: DuckDB JSON path extraction of the same
+    // field the variant path walk returns.
+    "json_variant" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Mirrors driftPsi: same bins, smoothing, and EXPLICIT
     // fixed-order 10-term PSI fold.
     "drift_psi" -> {

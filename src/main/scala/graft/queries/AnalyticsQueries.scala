@@ -543,6 +543,58 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    * derandomized: the per-row uniform comes from a cryptographic hash
+    * of the row id instead of an RNG, so the "random" sample is exactly
+    * reproducible on any engine and any partitioning — the property a
+    * distributed training-data sampler actually needs (repeatable
+    * splits, no seed-per-partition coupling). Rank key ln(u)/w is
+    * order-isomorphic to the classical u^(1/w); top-10 per stratum via
+    * one window over one (stratum, key) shuffle.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("s|"), col("event_id"))), 1, 15),
+      16, 10).cast("double")
+    val u = (h + 1.0) / lit(1.152921504606847e18) // (0, 1], 2^60 scale
+    val w = col("value") + lit(1.0)
+    val keyed = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("weight_value"),
+        (log(u) / w).as("_key"))
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("_key").desc, col("event_id"))
+    keyed.withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("event_type"), col("rn"), col("event_id"),
+        col("weight_value"))
+      .orderBy("event_type", "rn")
+  }
+
+  /** Dense global id assignment WITHOUT a global sort: ids ordered by
+    * (day, event_id) are built from per-day row_numbers plus
+    * broadcast cumulative day offsets — the two-phase pattern that
+    * replaces the single-partition `row_number() OVER (ORDER BY ...)`
+    * (a non-starter at 100 TB: all rows through one task). The
+    * ordering key's leading component becomes the partition key, the
+    * offset table is calendar-sized, and the result is bit-identical
+    * to the serial numbering (the oracle IS the global window).
+    */
+  def assignDenseIds(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_id"))
+    val perDay = Window.partitionBy(col("day")).orderBy(col("event_id"))
+    val numbered = ev.withColumn("_rn", row_number().over(perDay).cast("long"))
+    val offsets = numbered.groupBy(col("day")).agg(max(col("_rn")).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("day")).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "_offset")
+    numbered.join(broadcast(offsets), "day")
+      .select(col("event_id"), (col("_offset") + col("_rn")).as("global_id"))
+      .orderBy("global_id")
+  }
+
   /** Per-group top-k (k > 1): each customer's 3 largest orders. The
     * optimizer plans this as `WindowGroupLimit` — per-partition heaps
     * prune to k rows per group BEFORE the shuffle/sort, so the full
@@ -964,6 +1016,8 @@ object AnalyticsQueries {
     "sketch_hll_setops" -> (sketchHllSetops _),
     "binning_equidepth" -> (binningEquidepth _),
     "timeseries_decompose" -> (timeseriesDecompose _),
+    "sample_weighted" -> (sampleWeighted _),
+    "assign_dense_ids" -> (assignDenseIds _),
     "sketch_countmin" -> (sketchCountMin _))
 
   /** Shared by `asof_signup` (composed) and `asof_native` (custom
@@ -1313,6 +1367,34 @@ object AnalyticsQueries {
     // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
     // BIGINT harmonic sum, same literal association in the estimate so
     // the double arithmetic is bit-equal.
+    // Mirrors sampleWeighted: the same hash-derived uniform and
+    // ln(u)/w rank key, replayed with the 15-hex left fold.
+    "sample_weighted" ->
+      """WITH h AS (SELECT event_type, event_id, round(value, 2)
+        |      AS weight_value, value,
+        |    substr(md5(concat('s|', CAST(event_id AS VARCHAR))), 1, 15)
+        |      AS hs
+        |  FROM events),
+        |k AS (SELECT event_type, event_id, weight_value,
+        |    ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, 15), i ->
+        |          CAST(strpos('0123456789abcdef', substr(hs, i, 1)) - 1
+        |            AS BIGINT))), (a, x) -> a * 16 + x) AS DOUBLE) + 1.0)
+        |      / 1.152921504606847e18) / (value + 1.0) AS key
+        |  FROM h),
+        |r AS (SELECT event_type, event_id, weight_value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY key DESC, event_id) AS rn
+        |  FROM k)
+        |SELECT event_type, rn, event_id, weight_value
+        |FROM r WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
+    // The two-phase id assignment must be bit-identical to the serial
+    // global numbering.
+    "assign_dense_ids" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE),
+        |    event_id) AS global_id
+        |FROM events ORDER BY global_id""".stripMargin,
     // Mirrors timeseriesDecompose: same exact integer trend/residual
     // arithmetic, same weekday convention (0 = Monday), same single
     // IEEE floor-division for the seasonal index.

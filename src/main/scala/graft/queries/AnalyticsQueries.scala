@@ -595,6 +595,98 @@ object AnalyticsQueries {
       .orderBy("global_id")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic, exact: D =
+    * max |F_a − F_b| is computed as max |cum_a·n_b − cum_b·n_a| over
+    * the merged value sequence — pure BIGINT until one final division,
+    * so the supremum is immune to float summation order (the
+    * complement of [[graft.queries.OpsQueries.driftPsi]]'s binned
+    * view: KS needs no binning and catches shape shifts PSI's 10 bins
+    * smear). One (type, value) sort/shuffle for the running counts.
+    */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate per DISTINCT value: the running sums then walk a
+    // tie-free total order, so the supremum is evaluated exactly at
+    // the CDF step points (and never depends on row order inside a tie)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (to_date(col("ts")) <= "2024-01-15").as("is_a"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = ev
+      .withColumn("ca", sum(col("a")).over(win))
+      .withColumn("cb", sum(col("b")).over(win))
+    val sizes = counted.groupBy(col("event_type"))
+      .agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    counted.join(broadcast(sizes), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("_num"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(col("_num").cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("ks_d"))
+      .orderBy("event_type")
+  }
+
+  /** Ordinary-least-squares trend of daily revenue: slope, intercept
+    * and r² from EXACT integer power sums over (day index, cents) —
+    * one aggregation with map-side partials, floats only in the final
+    * closed form (the [[abWelch]] determinism discipline applied to
+    * regression). The fit is over day-level aggregates: calendar-sized
+    * input no matter the fact volume.
+    */
+  def regressionTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val indexed = daily
+      .withColumn("x", (datediff(col("day"), to_date(lit("2024-01-01"))) + 1)
+        .cast(dec))
+      .withColumn("y", col("cents").cast(dec))
+    val s = indexed.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("double").as("n"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("sxy").cast("double").as("sxy"),
+        col("syy").cast("double").as("syy"))
+    val cov = s("n") * s("sxy") - s("sx") * s("sy")
+    val varx = s("n") * s("sxx") - s("sx") * s("sx")
+    val vary = s("n") * s("syy") - s("sy") * s("sy")
+    s.select(col("n").cast("long").as("n_days"),
+      round(cov / varx, 4).as("slope_cents_per_day"),
+      round((col("sy") - cov / varx * col("sx")) / col("n"), 4)
+        .as("intercept_cents"),
+      round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  /** Market-basket co-purchase pairs: parts bought together in one
+    * order, counted across orders. The self-join fans out per ORDER
+    * (a handful of lines each), never across the table — pair
+    * generation is O(Σ lines²_per_order), the bounded-blocking shape —
+    * and the canonical a < b ordering halves the pairs and dedups
+    * mirror images. Top-20 by support via TakeOrderedAndProject.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Per-group top-k (k > 1): each customer's 3 largest orders. The
     * optimizer plans this as `WindowGroupLimit` — per-partition heaps
     * prune to k rows per group BEFORE the shuffle/sort, so the full
@@ -1018,6 +1110,9 @@ object AnalyticsQueries {
     "timeseries_decompose" -> (timeseriesDecompose _),
     "sample_weighted" -> (sampleWeighted _),
     "assign_dense_ids" -> (assignDenseIds _),
+    "drift_ks" -> (driftKs _),
+    "regression_trend" -> (regressionTrend _),
+    "copurchase_pairs" -> (copurchasePairs _),
     "sketch_countmin" -> (sketchCountMin _))
 
   /** Shared by `asof_signup` (composed) and `asof_native` (custom
@@ -1367,6 +1462,61 @@ object AnalyticsQueries {
     // Mirrors graft.ext.Hll exactly: same md5-hex bucketing, exact
     // BIGINT harmonic sum, same literal association in the estimate so
     // the double arithmetic is bit-equal.
+    // Mirrors driftKs: distinct-value step points, BIGINT numerator.
+    "drift_ks" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15'
+        |      AS is_a
+        |  FROM events),
+        |g AS (SELECT event_type, value,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    sum(a) OVER w AS ca, sum(b) OVER w AS cb
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT event_type, max(ca) AS na, max(cb) AS nb FROM c
+        |      GROUP BY 1)
+        |SELECT c.event_type, CAST(max(na) AS BIGINT) AS na,
+        |  CAST(max(nb) AS BIGINT) AS nb,
+        |  round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+        |    / CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_d
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Mirrors regressionTrend: identical exact power sums and closed
+    // form (same literal association).
+    "regression_trend" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT CAST(day - DATE '2024-01-01' AS BIGINT) + 1 AS x,
+        |    cents AS y FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM i)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |    AS slope_cents_per_day,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept_cents,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+    // Mirrors copurchasePairs: same canonical pair ordering and
+    // deterministic top-20 tie-break.
+    "copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     // Mirrors sampleWeighted: the same hash-derived uniform and
     // ln(u)/w rank key, replayed with the 15-hex left fold.
     "sample_weighted" ->

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
+    e.injectFunction(GraftExtensions.shingleExplodeFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -143,6 +144,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HllAgg].getName, "graft_hll"),
     (children: Seq[Expression]) => HllAgg(children.head))
 
+  /** `graft_shingle_explode(tokens, n)` — generator; n is a literal. */
+  private def buildShingleExplode(children: Seq[Expression]): Expression =
+    ShingleExplode(children(0),
+      intLit(children(1), "graft_shingle_explode", "n"))
+
+  private val shingleExplodeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_explode"),
+    new ExpressionInfo(classOf[ShingleExplode].getName, "graft_shingle_explode"),
+    buildShingleExplode _)
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -161,6 +172,8 @@ object GraftExtensions {
       "graft_bloom_might", buildBloomMight _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll", exprs => HllAgg(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_explode", buildShingleExplode _, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

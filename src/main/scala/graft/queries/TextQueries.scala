@@ -510,7 +510,26 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Shingling through the custom Generator
+    * ([[graft.plans.ShingleExplode]], `graft_shingle_explode`) — one
+    * row per shingle straight out of the generate loop, no
+    * intermediate per-document array materialized the way
+    * `explode(graft_shingles(...))` does it. Per-source shingle mass
+    * and vocabulary; the oracle replays the identical shingle
+    * derivation (3-gram, whole-text fallback) in SQL.
+    */
+  def shingleExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        call_function("graft_shingle_explode",
+          graft.functions.Text.tokens(col("text")), lit(3)).as("shingle"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_shingles"),
+        count_distinct(col("shingle")).as("distinct_shingles"))
+      .orderBy("source")
+
   val defs: Map[String, Q] = Map(
+    "shingle_explode" -> (shingleExplode _),
     "text_repetition" -> (textRepetition _),
     "text_collocations" -> (textCollocations _),
     "text_perplexity" -> (textPerplexity _),
@@ -549,6 +568,19 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors shingleExplode: identical 3-gram derivation with the
+    // whole-text fallback, counted per source.
+    "shingle_explode" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT source, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |      i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM t)
+        |SELECT source, count(*) AS total_shingles,
+        |  count(DISTINCT shingle) AS distinct_shingles
+        |FROM s GROUP BY 1 ORDER BY source""".stripMargin,
     // Mirrors textRepetition: one n-gram stream for n ∈ {1,2,3}, count
     // per (doc, n, gram), then top/total/duplicate mass fractions.
     "text_repetition" ->

@@ -107,7 +107,54 @@ object SimilarityQueries {
     */
   private val pqM = 16
 
+  /** Embedding-space quality diagnostics per label — the health check
+    * a training-data pipeline runs on its vector corpus: class sizes,
+    * mean vector norm, centroid norm and mean cosine-to-centroid
+    * (cluster cohesion). All summations are EXACT: components quantize
+    * to integer micro-units once, centroids are exact integer
+    * component sums, and every per-row double (norm, cosine) is
+    * re-quantized before the class average — so no float sum ever
+    * depends on shuffle order. Shape: one dim-bounded (label, pos)
+    * explode shuffle for centroids, a co-partitioned join back, and a
+    * label-sized broadcast — vectors never pair with each other.
+    */
+  def embeddingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("mv"))
+    val ex = emb.select(col("vec_id"), col("label"),
+      posexplode(col("mv")).as(Seq("pos", "v")))
+    val cent = ex.groupBy(col("label"), col("pos")).agg(sum(col("v")).as("s"))
+    val cn = cent.groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s"))
+        .cast("double").as("ssd"))
+    val perVec = ex.join(cent, Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("s")).as("dot"),
+        sum(col("v") * col("v")).as("n2v"))
+    val rows = perVec.join(broadcast(cn), "label")
+      .select(col("label"), col("ssd"),
+        round(sqrt(col("n2v").cast("double"))).cast("long").as("norm_micro"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2v").cast("double")) * sqrt(col("ssd"))) * 1e6)
+          .cast("long").as("cos_micro"))
+    rows.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("norm_micro")).as("_sn"), sum(col("cos_micro")).as("_sc"),
+        max(col("ssd")).as("_ssd"))
+      .select(col("label"), col("n_vectors"),
+        round(col("_sn").cast("double") / col("n_vectors") / 1e6, 6)
+          .as("avg_norm"),
+        round(sqrt(col("_ssd")) / col("n_vectors") / 1e6, 6)
+          .as("centroid_norm"),
+        round(col("_sc").cast("double") / col("n_vectors") / 1e6, 6)
+          .as("cohesion"))
+      .orderBy("label")
+  }
+
   val defs: Map[String, Q] = Map(
+    "embedding_quality" -> (embeddingQuality _),
     "similarity_pq" -> (similarityPq _),
     "dedup_semantic" -> (dedupSemantic _),
     "embed_quantize" -> (embedQuantize _),
@@ -237,6 +284,41 @@ object SimilarityQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // Mirrors embeddingQuality: identical micro-quantization, exact
+    // integer centroid sums, per-row re-quantization before averages.
+    "embedding_quality" ->
+      """WITH m AS (SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |ex0 AS (SELECT vec_id, label,
+        |    unnest(list_transform(generate_series(1, len(mv)),
+        |      i -> {'pos': i, 'v': mv[i]})) AS u
+        |  FROM m),
+        |ex AS (SELECT vec_id, label, u.pos AS pos, u.v AS v FROM ex0),
+        |cent AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+        |  FROM ex GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |    CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE) AS ssd
+        |  FROM cent GROUP BY 1),
+        |pv AS (SELECT vec_id, ex.label,
+        |    CAST(sum(ex.v * cent.s) AS BIGINT) AS dot,
+        |    CAST(sum(ex.v * ex.v) AS BIGINT) AS n2v
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+        |  GROUP BY 1, 2),
+        |r AS (SELECT pv.label, cn.ssd,
+        |    CAST(round(sqrt(CAST(n2v AS DOUBLE))) AS BIGINT) AS norm_micro,
+        |    CAST(round(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(cn.ssd)) * 1e6) AS BIGINT)
+        |      AS cos_micro
+        |  FROM pv JOIN cn ON pv.label = cn.label)
+        |SELECT label, count(*) AS n_vectors,
+        |  round(CAST(sum(norm_micro) AS DOUBLE) / count(*) / 1e6, 6)
+        |    AS avg_norm,
+        |  round(sqrt(max(ssd)) / count(*) / 1e6, 6) AS centroid_norm,
+        |  round(CAST(sum(cos_micro) AS DOUBLE) / count(*) / 1e6, 6)
+        |    AS cohesion
+        |FROM r GROUP BY 1 ORDER BY label""".stripMargin,
     "similarity_pq" -> pqOracle,
     "dedup_semantic" -> semanticOracle,
     "embed_quantize" ->

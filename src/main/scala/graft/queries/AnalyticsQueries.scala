@@ -559,14 +559,14 @@ object AnalyticsQueries {
     val w = col("value") + lit(1.0)
     val keyed = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
-        round(col("value"), 2).as("weight_value"),
+        round(col("value") * 100).cast("long").as("weight_cents"),
         (log(u) / w).as("_key"))
     val win = Window.partitionBy(col("event_type"))
       .orderBy(col("_key").desc, col("event_id"))
     keyed.withColumn("rn", row_number().over(win).cast("long"))
       .filter(col("rn") <= 10)
       .select(col("event_type"), col("rn"), col("event_id"),
-        col("weight_value"))
+        col("weight_cents"))
       .orderBy("event_type", "rn")
   }
 
@@ -580,11 +580,17 @@ object AnalyticsQueries {
     * to the serial numbering (the oracle IS the global window).
     */
   def assignDenseIds(spark: SparkSession, dir: String): DataFrame = {
+    // rows without an event time have no position in a time-ordered
+    // numbering: excluded on BOTH engines (their NULL sort position
+    // differs cross-engine anyway)
     val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("day"), col("event_id"))
     val perDay = Window.partitionBy(col("day")).orderBy(col("event_id"))
     val numbered = ev.withColumn("_rn", row_number().over(perDay).cast("long"))
-    val offsets = numbered.groupBy(col("day")).agg(max(col("_rn")).as("_n"))
+    // counts from a plain hash aggregate — max(_rn) would re-run the
+    // per-day sort/window in the offsets branch
+    val offsets = ev.groupBy(col("day")).agg(count(lit(1)).as("_n"))
       .withColumn("_offset",
         coalesce(sum(col("_n")).over(
           Window.orderBy(col("day")).rowsBetween(
@@ -619,15 +625,19 @@ object AnalyticsQueries {
     val counted = ev
       .withColumn("ca", sum(col("a")).over(win))
       .withColumn("cb", sum(col("b")).over(win))
-    val sizes = counted.groupBy(col("event_type"))
-      .agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    // totals come from the pre-window aggregate — deriving them as
+    // max(cum) would execute the sort/window subtree a second time
+    val sizes = ev.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     counted.join(broadcast(sizes), "event_type")
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
         max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("_num"))
       .select(col("event_type"), col("na"), col("nb"),
-        round(col("_num").cast("double") /
-          (col("na") * col("nb")).cast("double"), 6).as("ks_d"))
+        // an empty slice has no CDF: NULL, matching SQL's x/0 -> NULL
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("_num").cast("double") /
+            (col("na") * col("nb")).cast("double"), 6)).as("ks_d"))
       .orderBy("event_type")
   }
 
@@ -1476,12 +1486,13 @@ object AnalyticsQueries {
         |    sum(a) OVER w AS ca, sum(b) OVER w AS cb
         |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY value
         |    ROWS UNBOUNDED PRECEDING)),
-        |t AS (SELECT event_type, max(ca) AS na, max(cb) AS nb FROM c
-        |      GROUP BY 1)
+        |t AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS na,
+        |      CAST(sum(b) AS BIGINT) AS nb FROM g GROUP BY 1)
         |SELECT c.event_type, CAST(max(na) AS BIGINT) AS na,
         |  CAST(max(nb) AS BIGINT) AS nb,
-        |  round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
-        |    / CAST(max(na) * max(nb) AS DOUBLE), 6) AS ks_d
+        |  CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |    round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+        |      / CAST(max(na) * max(nb) AS DOUBLE), 6) END AS ks_d
         |FROM c JOIN t USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Mirrors regressionTrend: identical exact power sums and closed
@@ -1520,23 +1531,23 @@ object AnalyticsQueries {
     // Mirrors sampleWeighted: the same hash-derived uniform and
     // ln(u)/w rank key, replayed with the 15-hex left fold.
     "sample_weighted" ->
-      """WITH h AS (SELECT event_type, event_id, round(value, 2)
-        |      AS weight_value, value,
+      """WITH h AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS weight_cents, value,
         |    substr(md5(concat('s|', CAST(event_id AS VARCHAR))), 1, 15)
         |      AS hs
         |  FROM events),
-        |k AS (SELECT event_type, event_id, weight_value,
+        |k AS (SELECT event_type, event_id, weight_cents,
         |    ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |        list_transform(generate_series(1, 15), i ->
         |          CAST(strpos('0123456789abcdef', substr(hs, i, 1)) - 1
         |            AS BIGINT))), (a, x) -> a * 16 + x) AS DOUBLE) + 1.0)
         |      / 1.152921504606847e18) / (value + 1.0) AS key
         |  FROM h),
-        |r AS (SELECT event_type, event_id, weight_value,
+        |r AS (SELECT event_type, event_id, weight_cents,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY key DESC, event_id) AS rn
         |  FROM k)
-        |SELECT event_type, rn, event_id, weight_value
+        |SELECT event_type, rn, event_id, weight_cents
         |FROM r WHERE rn <= 10 ORDER BY event_type, rn""".stripMargin,
     // The two-phase id assignment must be bit-identical to the serial
     // global numbering.
@@ -1544,7 +1555,7 @@ object AnalyticsQueries {
       """SELECT event_id,
         |  row_number() OVER (ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE),
         |    event_id) AS global_id
-        |FROM events ORDER BY global_id""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL ORDER BY global_id""".stripMargin,
     // Mirrors timeseriesDecompose: same exact integer trend/residual
     // arithmetic, same weekday convention (0 = Monday), same single
     // IEEE floor-division for the seasonal index.

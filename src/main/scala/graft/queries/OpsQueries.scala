@@ -393,7 +393,11 @@ object OpsQueries {
     * counts agreeing).
     */
   def privacyTokenize(spark: SparkSession, dir: String): DataFrame = {
+    // null ids are excluded explicitly: the engines disagree on
+    // concat(NULL) (Spark nulls out, DuckDB skips the argument), and a
+    // pseudonym for "no user" would be meaningless anyway
     val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
       .select(substring(md5(concat(lit("u|"), col("user_id"))), 1, 16)
           .as("token"),
         col("user_id"), round(col("value") * 100).cast("long").as("cents"))
@@ -757,7 +761,8 @@ object OpsQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS value_cents,
         |  count(DISTINCT user_id) AS n_source_ids
-        |FROM events GROUP BY 1 ORDER BY token""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY token""".stripMargin,
     // The chunked backfill must converge to the one-shot daily mart.
     "backfill_chunked" ->
       """SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')

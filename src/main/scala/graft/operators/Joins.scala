@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Strategy-adaptive dimension join — the sizing decision a user
   * shouldn't hand-tune per query:
@@ -15,28 +16,49 @@ import org.apache.spark.sql.functions._
   *
   * Both paths return identical results (the bloom path admits false
   * positives only, removed by the join) — `JoinsSpec` pins the plan
-  * shape per regime and the cross-regime equality. The one dim pass
-  * for `count()` is the price of the decision; at 100 TB feed it from
-  * table statistics instead.
+  * shape per regime and the cross-regime equality.
+  *
+  * Sizing comes from Catalyst plan statistics (CBO row counts when
+  * available, else file-size ÷ schema row width), so the regime
+  * decision costs ZERO Spark jobs — no `count()` action per call. The
+  * estimate errs conservatively: an underestimated row count only
+  * shrinks the bloom (higher fpp, still correct); an overestimate only
+  * skips a broadcast that barely fit. Broadcast-side bound: `dim` up
+  * to `broadcastRowLimit` estimated rows is materialized on every
+  * executor — callers joining genuinely large dims rely on the bloom
+  * regime, never row broadcast.
   */
 object Joins {
 
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Estimated row count from the optimized plan's statistics — CBO
+    * rowCount when present, else sizeInBytes over the schema's default
+    * row width. Never launches a job.
+    */
+  private[operators] def estimatedRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      val width = df.schema.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+      (stats.sizeInBytes / width).min(BigInt(Long.MaxValue)).toLong.max(1L)
+    }
+  }
+
   def dimJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, broadcastRowLimit: Long = 1L << 20): DataFrame = {
-    val n = dim.count()
+    val n = estimatedRows(dim)
     val small = n <= broadcastRowLimit
-    val integralKey = dim.schema(dimKey).dataType match {
-      case org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    }
-    // bloom hashes bigint keys only — casting a non-integral key would
-    // null out and turn into false NEGATIVES, so such dims skip the
-    // prefilter and take the plain shuffle join
+    // bloom hashes bigint keys only — casting a non-integral key (on
+    // EITHER side: a string/double fact key long-casts lossily too)
+    // would null or truncate and turn into false NEGATIVES, so such
+    // pairs skip the prefilter and take the plain shuffle join
+    val bloomable = integral(dim.schema(dimKey).dataType) &&
+      integral(fact.schema(factKey).dataType)
     val probe =
-      if (small || !integralKey) fact
+      if (small || !bloomable) fact
       else fact.filter(BloomPrune.mightContain(fact(factKey),
         BloomPrune.build(dim, dimKey, BloomPrune.sizeBits(n))))
     val d = if (small) broadcast(dim) else dim

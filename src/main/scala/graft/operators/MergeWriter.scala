@@ -123,23 +123,30 @@ object MergeWriter {
     * on-disk byte size, so repeated compactions are stable.
     *
     * Hive-partitioned layouts ([[upsertPartitioned]] targets) are
-    * detected via `col=value` subdirectories and compacted
-    * per-partition, preserving the layout — a flat rewrite of such a
-    * dir would leave full-table files next to partition dirs and a
-    * later partition swap would duplicate rows.
+    * detected via `col=value` subdirectories — at ANY nesting depth
+    * (`a=1/b=2/...`) — and compacted per LEAF partition dir,
+    * preserving the full layout. A flat rewrite of such a dir would
+    * leave full-table files next to partition dirs (duplicating rows
+    * on a later partition swap); a one-level rewrite of a multi-level
+    * layout would fold the inner partition columns into the data
+    * files and destroy the nested directory structure.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val dst = new Path(dir)
     val f = fs(spark, dst)
-    val partDirs = f.listStatus(dst).filter { s =>
-      val n = s.getPath.getName
-      s.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+    def leaves(p: Path): Seq[Path] = {
+      val parts = f.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (parts.isEmpty) Seq(p) else parts.flatMap(s => leaves(s.getPath))
     }
-    if (partDirs.nonEmpty)
-      partDirs.foreach(s => compactFlat(spark, s.getPath, targetFileBytes,
-        hiddenStaging = true))
-    else compactFlat(spark, dst, targetFileBytes, hiddenStaging = false)
+    val targets = leaves(dst)
+    if (targets == Seq(dst))
+      compactFlat(spark, dst, targetFileBytes, hiddenStaging = false)
+    else targets.foreach(p => compactFlat(spark, p, targetFileBytes,
+      hiddenStaging = true))
   }
 
   /** `hiddenStaging` stages the rewrite under a dot-prefixed sibling

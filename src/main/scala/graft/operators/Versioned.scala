@@ -114,11 +114,14 @@ object Versioned {
     * incomplete snapshot dirs whose latest write activity is OLDER
     * than `graceMs` — a recently-active incomplete dir is a commit in
     * flight (see the concurrency contract above), so it is left
-    * alone regardless of how long ago it STARTED. The live pointer
-    * target is never dropped: keep is clamped to include it.
+    * alone regardless of how long ago it STARTED. The default grace
+    * is hours, not minutes: one LARGE file can be open for a long
+    * time with no mtime advance after creation, so a short grace
+    * could reclaim a live in-flight snapshot mid-write. The live
+    * pointer target is never dropped: keep is clamped to include it.
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int,
-      graceMs: Long = 10L * 60 * 1000): Unit = {
+      graceMs: Long = 6L * 60 * 60 * 1000): Unit = {
     require(keep >= 1, "vacuum must keep at least the live version")
     val committed = versions(spark, dir)
     val root = new Path(s"$dir/_versions")

@@ -49,6 +49,39 @@ class JoinsSpec extends SparkSpec {
     assert(a.count() === 50)
   }
 
+  test("regime decision launches zero Spark jobs (stats-based sizing, no count)") {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        started.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val fact = spark.range(0, 1000)
+        .select((col("id") % 10).as("fk"), col("id").as("v"))
+      val dim = spark.range(0, 10)
+        .select(col("id").as("dk"), concat(lit("d"), col("id")).as("name"))
+      val joined = Joins.dimJoin(fact, dim, "fk", "dk") // broadcast regime
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      assert(started.get() === 0,
+        "building the dimJoin plan must not run a sizing job")
+      assert(joined.count() === 1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("integral dim key + non-integral fact key also skips the bloom prefilter") {
+    // the bloom would cast the STRING fact key to long (nulls) — false
+    // negatives; the guard must check both sides' types
+    val fact = spark.range(0, 100)
+      .select(concat(lit(""), col("id") % 5).as("fk"), col("id").as("v"))
+    val dim = spark.range(0, 5)
+      .select(col("id").as("dk"), concat(lit("d"), col("id")).as("name"))
+    val out = Joins.dimJoin(fact, dim, "fk", "dk", broadcastRowLimit = 0)
+    assert(!plan(out).contains("graft_bloom_might"))
+    assert(out.count() === 100)
+  }
+
   test("non-integral keys skip the bloom prefilter instead of corrupting results") {
     val fact = spark.range(0, 100)
       .select(concat(lit("k"), col("id") % 10).as("fk"), col("id").as("v"))

@@ -169,6 +169,31 @@ class MergeWriterSpec extends SparkSpec {
     assert(inside.isEmpty, inside.mkString(","))
   }
 
+  test("compact preserves a MULTI-LEVEL hive layout (leaf-partition rewrite)") {
+    import spark.implicits._
+    val dir = tmp()
+    // two-level layout a=X/b=Y, 4 files per leaf
+    (1 to 80).map(i => (i.toLong, (i % 2).toString, (i % 3).toString))
+      .toDF("id", "a", "b")
+      .repartition(4).write.partitionBy("a", "b").parquet(dir)
+    val root = new java.io.File(dir)
+    def leafDirs() = root.listFiles().filter(_.getName.startsWith("a="))
+      .flatMap(_.listFiles()).filter(f =>
+        f.isDirectory && f.getName.startsWith("b="))
+    assert(leafDirs().length === 6)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    MergeWriter.compact(spark, dir)
+    // nested structure intact: a= dirs contain ONLY b= dirs, one file each
+    assert(leafDirs().length === 6)
+    assert(leafDirs().forall(_.listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1))
+    assert(root.listFiles().filter(_.getName.startsWith("a=")).forall(
+      _.listFiles().filterNot(f => f.getName.startsWith(".") ||
+        f.getName.startsWith("_")).forall(f =>
+        f.isDirectory && f.getName.startsWith("b="))))
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+  }
+
   test("partition swap staging is never visible to partition discovery") {
     import spark.implicits._
     val dir = tmp()

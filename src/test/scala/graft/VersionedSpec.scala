@@ -62,7 +62,7 @@ class VersionedSpec extends SparkSpec {
     Versioned.write(spark, dir, Seq(1).toDF("x"))
     val inflight = new java.io.File(dir, "_versions/v=2") // being written NOW
     assert(inflight.mkdirs())
-    Versioned.vacuum(spark, dir, keep = 1) // default 10-min grace
+    Versioned.vacuum(spark, dir, keep = 1) // default multi-hour grace
     assert(inflight.exists())
     assert(Versioned.versions(spark, dir) === Seq(1L))
   }

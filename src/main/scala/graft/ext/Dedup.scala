@@ -253,4 +253,53 @@ object Dedup {
       .select(col(idCol), col("cluster"), col("dup_of"),
         when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
+
+  /** Substring-level exact dedup (the Lee et al. 2022 repeated-span
+    * pass): remove every token span of length >= k that occurs at
+    * least twice in the corpus — boilerplate, licenses, templates that
+    * document/shingle-granularity dedup cannot touch. A span of length
+    * L >= k repeats iff each of its L-k+1 k-token windows repeats, so
+    * the suffix-array formulation reduces EXACTLY to k-gram occurrence
+    * counting: the bounded-window suffix ordering becomes a hash
+    * shuffle on the k-gram (same O(tokens) movement as the sort, but
+    * bucketed — no global order needed).
+    *
+    * Stages (and their 100 TB shape):
+    *  1. k-gram occurrence stream (doc, pos, hash) — map-only, the
+    *     hash is 8 bytes vs the k-token text;
+    *  2. repeated set = hashes with count >= 2 — one shuffle, partial
+    *     agg map-side;
+    *  3. marked start positions per doc — shuffle of the REPEATED
+    *     occurrences only (the corpus-size stream reuses stage 2's
+    *     exchange under AQE), ints per doc;
+    *  4. span removal — one doc-keyed join + a linear two-pointer
+    *     sweep per doc ([[graft.plans.RemoveSpans]], codegen'd).
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text). Both copies of
+    * a repeated span are removed (the reference semantics of the
+    * repeated-substring pass; keeping one survivor is a policy layer
+    * on top).
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val kg = toks.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= k,
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val repeated = kg.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
+    val marked = kg.join(repeated, "h")
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("pos"))).as("marks"))
+    toks.join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        call_function("graft_remove_spans", col("toks"),
+          coalesce(col("marks"), array().cast("array<int>")), lit(k)).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

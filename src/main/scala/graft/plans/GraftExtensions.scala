@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
     e.injectFunction(GraftExtensions.shingleExplodeFunction)
+    e.injectFunction(GraftExtensions.removeSpansFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -154,6 +155,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ShingleExplode].getName, "graft_shingle_explode"),
     buildShingleExplode _)
 
+  /** `graft_remove_spans(tokens, positions, k)` — k is a literal. */
+  private def buildRemoveSpans(children: Seq[Expression]): Expression =
+    RemoveSpans(children(0), children(1),
+      intLit(children(2), "graft_remove_spans", "k"))
+
+  private val removeSpansFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_remove_spans"),
+    new ExpressionInfo(classOf[RemoveSpans].getName, "graft_remove_spans"),
+    buildRemoveSpans _)
+
   /** Idempotent registration on an already-built session. */
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -174,6 +185,8 @@ object GraftExtensions {
       "graft_hll", exprs => HllAgg(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_explode", buildShingleExplode _, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_remove_spans", buildRemoveSpans _, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

@@ -79,6 +79,17 @@ object TextQueries {
       .select("keep_id", "n_copies", "content_hash")
       .orderBy("keep_id")
 
+  /** Substring-level exact dedup: strip every token span of length
+    * >= 8 occurring at least twice across the corpus
+    * ([[Dedup.removeRepeatedSpans]] — the suffix-array repeated-span
+    * pass as bucketed k-gram counting). The oracle replays the same
+    * k-gram/count/cover derivation in SQL.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(Tables.documents(spark, dir),
+      "doc_id", "text", 8)
+      .orderBy("doc_id")
+
   /** SimHash signatures for all documents. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
@@ -554,6 +565,7 @@ object TextQueries {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),
@@ -978,6 +990,34 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  md5(text) AS content_hash
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // Mirrors dedupSubstring: 8-gram occurrences, repeated = count>=2,
+    // covered token indices, kept tokens re-joined in order.
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) s(i)),
+        |rep AS (SELECT g FROM kg GROUP BY g HAVING count(*) >= 2),
+        |marked AS (SELECT kg.doc_id, kg.pos FROM kg JOIN rep USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM marked, unnest(generate_series(0, 7)) u(j)),
+        |tokidx AS (
+        |  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) s(i)),
+        |kept AS (
+        |  SELECT ti.doc_id, ti.idx, ti.tok FROM tokidx ti
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = ti.doc_id AND c.idx = ti.idx))
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - count(k.idx) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |GROUP BY t.doc_id, len(t.t)
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),

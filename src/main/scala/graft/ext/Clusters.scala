@@ -33,18 +33,22 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edgesPlan = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint()
     // size the per-round shuffles to the graph, not the session-wide
     // batch setting: each round pays per-partition fixed costs, and a
-    // near-dup graph is usually orders smaller than its corpus
-    val edgeCount = edges.count()
+    // near-dup graph is usually orders smaller than its corpus. Sizing
+    // reads plan statistics (zero jobs — no count() pass over the edge
+    // list, which at 100 TB would be a full extra scan); the estimate
+    // is taken BEFORE the checkpoint (a checkpointed plan has no file
+    // stats) and both clamps bound a bad estimate.
+    val edgeCount = graft.operators.Joins.estimatedRows(edgesPlan)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val p = math.max(4L, math.min(saved.toLong, edgeCount / 50000L)).toString
     spark.conf.set("spark.sql.shuffle.partitions", p)
     try {
+      val edges = edgesPlan.localCheckpoint()
       // fused round 1: with every node initially labeled by itself,
       // the first propagation round is exactly least(self, min
       // neighbor) — computable straight from the edge list, saving a

@@ -90,13 +90,18 @@ object Dedup {
       blockCol: String, shingleN: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol), col(blockCol),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN)).as("shingle_set"))
-    // cached: both self-join sides consume the posting index; without a
-    // barrier the shingle HOF pipeline runs twice (and its size is
-    // bounded: (block, id, shingle) postings, no documents)
+    // materialized once (localCheckpoint, not cache): both self-join
+    // sides consume the posting index; without a barrier the shingle
+    // HOF pipeline runs twice. Checkpoint blocks are GC-released when
+    // the frame goes out of scope — a `.cache()` here would live in
+    // the session's CacheManager until someone remembers to unpersist,
+    // accumulating storage in a long-lived multi-query session
+    // (CacheHygieneSpec pins the empty-cache contract). Size is
+    // bounded: (block, id, shingle) postings, no documents.
     val inv = sh.select(col(blockCol), col(idCol),
       size(col("shingle_set")).as("_sz"),
       explode(col("shingle_set")).as("_shingle"))
-      .cache()
+      .localCheckpoint()
     val a = inv.select(col(blockCol), col("_shingle"),
       col(idCol).as("id_a"), col("_sz").as("_sza"))
     val b = inv.select(col(blockCol), col("_shingle"),
@@ -275,15 +280,29 @@ object Dedup {
     *  4. span removal — one doc-keyed join + a linear two-pointer
     *     sweep per doc ([[graft.plans.RemoveSpans]], codegen'd).
     *
-    * Output: (doc_id, n_tokens, n_removed, clean_text). Both copies of
-    * a repeated span are removed (the reference semantics of the
-    * repeated-substring pass; keeping one survivor is a policy layer
-    * on top).
+    * Output: (doc_id, n_tokens, n_removed, clean_text). With
+    * `keepFirst = false` both copies of a repeated span are removed
+    * (the reference semantics of the repeated-substring pass). With
+    * `keepFirst = true` — the policy production corpora actually ship —
+    * the corpus-global FIRST occurrence of each repeated k-gram (min
+    * (doc_id, pos)) is left unmarked, so one survivor copy of every
+    * repeated span keeps its text; only the later occurrences are
+    * swept. The survivor choice is deterministic (lexicographic min),
+    * and the extra cost is one window over the REPEATED occurrences
+    * only (stage 3's already-shuffled stream, never the corpus).
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, keepFirst: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    // ACCEPTED SEMANTICS: k-grams are identified by their 64-bit
+    // xxhash64, not the gram text. Two distinct k-grams colliding are
+    // both marked repeated and over-removed — birthday bound ~n²/2⁶⁵,
+    // i.e. expected a handful of extra spans at the 10¹¹-gram (100 TB)
+    // scale and none at testable scale. Collisions only ever remove
+    // MORE (never corrupt surviving text); exactness would need a
+    // second independent hash or a gram-text verify join, which doubles
+    // the stage-2 shuffle width for no behavioral gain at this fpp.
     val kg = toks.select(col("doc_id"),
       posexplode(when(size(col("toks")) >= k,
         transform(sequence(lit(0), size(col("toks")) - k),
@@ -291,7 +310,18 @@ object Dedup {
         .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
     val repeated = kg.groupBy(col("h"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
-    val marked = kg.join(repeated, "h")
+    val hits = kg.join(repeated, "h")
+    val markedOcc =
+      if (!keepFirst) hits
+      else {
+        // survivor per k-gram = its corpus-global first occurrence;
+        // rank only the repeated occurrences (tiny vs the corpus)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+        hits.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") > 1).drop("_rn")
+      }
+    val marked = markedOcc
       .groupBy(col("doc_id")).agg(sort_array(collect_set(col("pos"))).as("marks"))
     toks.join(marked, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),

@@ -68,8 +68,11 @@ object KMeans {
       iters: Int): DataFrame = {
     val base = df.select(col(initCol).as("cluster"), col(idCol), col(vecCol))
     // the corpus is scanned by every assignment AND the init centroid
-    // build — normalize once, keep it resident
-    val vecs = unitized(base, idCol, vecCol).cache()
+    // build — normalize once, keep it resident for the fit. A
+    // localCheckpoint (GC-released blocks) rather than a cache entry:
+    // fit() returns but the materialization must not outlive its
+    // consumers in the session CacheManager
+    val vecs = unitized(base, idCol, vecCol).localCheckpoint()
     // each round's centroids are k tiny rows; materializing them
     // (localCheckpoint) keeps the per-round plan `cached corpus x
     // broadcast leaf` instead of one query re-deriving the whole

@@ -77,6 +77,34 @@ object Multimodal {
     extractFeatures(mediaFromDocuments(docs).as[MediaRow], StubDecoder).toDF()
   }
 
+  case class AudioStats(id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, peak: Long, sum_amp: Long,
+      sum_sq: Long)
+
+  /** REAL container decode ([[Wav]] — RIFF chunk walk, LE header
+    * fields, 16-bit PCM frames) → exact integer audio statistics per
+    * asset: sample count, peak amplitude, amplitude sum, energy sum.
+    * All outputs are integers, so downstream derived metrics (mean,
+    * RMS) can round under the engine's SQL semantics and stay
+    * oracle-exact. Map-only, partition-batched like
+    * [[extractFeatures]].
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val pcm = Wav.decode(row.blob)
+      var peak = 0L; var sum = 0L; var sq = 0L
+      pcm.samples.foreach { s =>
+        val v = s.toLong
+        peak = math.max(peak, math.abs(v))
+        sum += v
+        sq += v * v
+      }
+      AudioStats(row.id, pcm.sampleRate, pcm.channels, pcm.bitsPerSample,
+        pcm.samples.length.toLong, peak, sum, sq)
+    })
+  }
+
   case class FrameRow(id: Long, modality: String, n_frames: Long,
       frame_idx: Long, frame_chars: Long, frame_sig: String)
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
+import graft.operators.Joins
 
 /** Product-quantization ANN (ADC flavor): vectors are split into `m`
   * subspaces, each subspace gets a small codebook, and every corpus
@@ -23,48 +24,40 @@ import graft.functions.Vectors
   * pipeline is oracle-checkable. Ranking rounds at 9 decimals with id
   * tie-break, like every ranked operator in the engine.
   *
+  * Build/probe split (the 100 TB lifecycle): [[trainCodebook]] and
+  * [[encode]] produce plain DataFrames — the PQ INDEX — that a caller
+  * persists once (e.g. `Versioned.write`) and probes many times via
+  * [[adcProbe]], which builds a pure plan: broadcast LUTs + map-only
+  * scoring, ZERO jobs at construction and no index-rebuild work.
+  * [[adcTopK]] composes all three for the one-shot convenience path.
+  *
   * Scale shape: codebooks and query LUTs are tiny and broadcast; the
-  * corpus is touched twice — once to encode (one shuffle of (id, sub,
-  * code) triples; a one-time index build in production), once to score
-  * (map-only probe over the broadcast LUTs; no shuffle before the
-  * per-query top-k window, which moves only k rows per partition).
+  * corpus is touched twice at BUILD time — once to train, once to
+  * encode (a one-time cost in production) — and probing is map-only
+  * over the broadcast LUTs with no shuffle before the per-query top-k
+  * window, which moves only k rows per partition.
   */
 object Pq {
 
-  /** @return (q_id, rank, neighbor_id, adc_cosine) — approximate
-    *         cosine top-k per query via asymmetric distance computation.
+  /** (id, sub, subvec) — one row per subspace slice of `_uv`. */
+  private def subs(df: DataFrame, id: String, m: Int, w: Int): DataFrame =
+    df.select(col(id),
+      posexplode(array((0 until m).map(s =>
+        slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
+
+  /** Train the codebook: per (subspace, block) positional mean, rounded
+    * to 4 decimals so the codewords are deterministic across
+    * partitionings/engines, plus a dense positional `code` per
+    * subspace (block ids are any orderable values, not 0..n-1).
+    *
+    * Pure plan — no action; callers materialize (checkpoint/persist)
+    * as their lifecycle requires. Schema: (sub, cw, _cw, code).
     */
-  def adcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
-      cId: String, vecCol: String, blockCol: String, m: Int,
-      k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+  def trainCodebook(corpus: DataFrame, vecCol: String, blockCol: String,
+      m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val w = dim / m
-    // the index-build shuffles move (id, sub, code/dot) triples — size
-    // them to corpus × m, not the session-wide batch setting
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val nRows = corpus.count()
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(savedParts.toLong, nRows * m / 100000L)).toString)
-    try {
-
-    def unitize(df: DataFrame, id: String, idAs: String): DataFrame =
-      Vectors.unitized(df, vecCol, id -> idAs)
-
-    // (id, sub, subvec) — one row per subspace slice
-    def subs(df: DataFrame, id: String): DataFrame =
-      df.select(col(id),
-          posexplode(array((0 until m).map(s =>
-            slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
-
-    val cu = Vectors.unitized(corpus, vecCol,
-        cId -> "c_id", blockCol -> "_cell")
-      .cache()
-
-    // codebook: per (subspace, block) positional mean, rounded so the
-    // trained codewords are deterministic across partitionings/engines
-    val codebook = cu
+    Vectors.unitized(corpus, vecCol, blockCol -> "_cell")
       .select(col("_cell"),
         posexplode(array((0 until m).map(s =>
           slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
@@ -77,17 +70,22 @@ object Pq {
       .select(col("sub"), col("cw"),
         transform(col("_pm"), s => s.getField("_mv")).as("_cw"))
       // dense positional code per subspace: the LUT below is ordered by
-      // cw, so lookups must use the cw's POSITION, not its raw value —
-      // block ids are any orderable values, not necessarily 0..n-1
+      // cw, so lookups must use the cw's POSITION, not its raw value
       .withColumn("code", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("cw"))) - 1)
-      .localCheckpoint()
+  }
 
-    // encode: nearest codeword per (corpus row, subspace) by L2 on the
-    // subvector; codes packed into one array per row, subspace order
+  /** Encode the corpus against a trained codebook: nearest codeword per
+    * (row, subspace) by L2 on the subvector, codes packed into one
+    * array per row in subspace order. Pure plan. Schema: (c_id, _codes).
+    */
+  def encode(corpus: DataFrame, cId: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
     val encW = Window.partitionBy(col("c_id"), col("sub"))
       .orderBy(round(col("_d2"), 9).asc, col("cw").asc)
-    val codes = subs(cu, "c_id")
+    subs(Vectors.unitized(corpus, vecCol, cId -> "c_id"), "c_id", m, w)
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("_d2",
         Vectors.dot(col("_sv"), col("_sv"))
@@ -99,13 +97,26 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
       .select(col("c_id"),
         transform(col("_sc"), s => s.getField("code")).as("_codes"))
-      // materialized: this IS the PQ index — built once under the
-      // right-sized shuffles, probed many times
-      .localCheckpoint()
+  }
 
+  /** Probe a prebuilt index: query LUTs against the broadcast codebook,
+    * then m lookups + adds per (query, corpus row) in fixed subspace
+    * order (bit-reproducible float sum). Pure plan — constructing it
+    * launches ZERO jobs and never rebuilds the index (PqSpec pins
+    * this), so a persisted index amortizes across every probe.
+    *
+    * @param codebook output of [[trainCodebook]] (or a persisted copy)
+    * @param codes    output of [[encode]] (or a persisted copy)
+    */
+  def adcProbe(queries: DataFrame, qId: String, vecCol: String,
+      codebook: DataFrame, codes: DataFrame, m: Int, dim: Int,
+      k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
     // query LUT: lut[sub][cw] = dot(q subvector, codeword) — nested
     // array ordered by (sub, cw) so ADC is pure positional lookup
-    val qlut = subs(unitize(queries, qId, "q_id"), "q_id")
+    val qlut = subs(Vectors.unitized(queries, vecCol, qId -> "q_id"),
+        "q_id", m, w)
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("_dp", Vectors.dot(col("_sv"), col("_cw")))
       .groupBy(col("q_id"), col("sub"))
@@ -115,8 +126,6 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("_l")))).as("_sl"))
       .select(col("q_id"),
         transform(col("_sl"), s => s.getField("_l")).as("_lut"))
-      .localCheckpoint()
-
     // ADC: m lookups + adds per (query, corpus row), fixed subspace
     // order so the float sum is bit-reproducible
     val adc: Column = (0 until m).map(s =>
@@ -131,6 +140,42 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         round(col("_adc"), 6).as("adc_cosine"))
+  }
+
+  /** One-shot convenience: train + encode (materialized under
+    * graph-sized shuffles) + probe.
+    *
+    * @param dim embedding dimensionality; pass it when known (the
+    *            usual case — it is part of the table contract) so the
+    *            call launches NO pre-shuffle sizing jobs. Left at -1,
+    *            a 1-row probe job reads it from the data.
+    * @return (q_id, rank, neighbor_id, adc_cosine) — approximate
+    *         cosine top-k per query via asymmetric distance computation.
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, blockCol: String, m: Int,
+      k: Int, dim: Int = -1): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    // the index-build shuffles move (id, sub, code/dot) triples — size
+    // them to corpus × m, not the session-wide batch setting. Sizing
+    // comes from plan statistics (Joins.estimatedRows): ZERO jobs, and
+    // both clamps keep a bad estimate harmless (floor 4, cap = session
+    // setting).
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nRows = Joins.estimatedRows(corpus)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(savedParts.toLong, nRows * m / 100000L)).toString)
+    try {
+      // materialized: these ARE the PQ index — built once under the
+      // right-sized shuffles, probed many times
+      val codebook = trainCodebook(corpus, vecCol, blockCol, m, d)
+        .localCheckpoint()
+      val codes = encode(corpus, cId, vecCol, codebook, m, d)
+        .localCheckpoint()
+      adcProbe(queries, qId, vecCol, codebook, codes, m, d, k)
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 }

@@ -60,7 +60,12 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, blockCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    // cached: consumed by both the centroid build and the probe scan
+    // consumed by both the centroid build and the probe scan —
+    // deliberately NOT cached: normalizing is cheap map work, and at
+    // scale the full normalized corpus is exactly what must never be
+    // pinned in storage memory (a cache here also outlives the query
+    // in the session's CacheManager). Two scans of the source beat one
+    // materialization of it.
     val c = corpus
       .select(col(blockCol).as("_cell"), col(cId).as("c_id"),
         Vectors.asDouble(col(vecCol)).as("_v"))
@@ -68,7 +73,6 @@ object Similarity {
       .select(col("_cell"), col("c_id"),
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
           .otherwise(col("_v")).as("_cv"))
-      .cache()
     // centroid per cell: positional mean via explode + groupBy(cell,
     // pos). Components are rounded to 4 decimals so centroids are
     // DETERMINISTIC across partition orderings, replicas and engines

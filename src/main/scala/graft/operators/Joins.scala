@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * estimate errs conservatively: an underestimated row count only
   * shrinks the bloom (higher fpp, still correct); an overestimate only
   * skips a broadcast that barely fit. Broadcast-side bound: `dim` up
-  * to `broadcastRowLimit` estimated rows is materialized on every
-  * executor — callers joining genuinely large dims rely on the bloom
+  * to `broadcastRowLimit` estimated rows AND `broadcastByteLimit`
+  * plan-stat bytes is materialized on every executor — the byte cap
+  * protects against the width heuristic under-counting rows on wide
+  * dims — callers joining genuinely large dims rely on the bloom
   * regime, never row broadcast.
   */
 object Joins {
@@ -39,7 +41,7 @@ object Joins {
     * rowCount when present, else sizeInBytes over the schema's default
     * row width. Never launches a job.
     */
-  private[operators] def estimatedRows(df: DataFrame): Long = {
+  private[graft] def estimatedRows(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
       val width = df.schema.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
@@ -47,10 +49,25 @@ object Joins {
     }
   }
 
+  /** Estimated materialized size from the optimized plan's statistics.
+    * Never launches a job.
+    */
+  private[graft] def estimatedBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+
   def dimJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, broadcastRowLimit: Long = 1L << 20): DataFrame = {
+      dimKey: String, broadcastRowLimit: Long = 1L << 20,
+      broadcastByteLimit: Long = 256L << 20): DataFrame = {
     val n = estimatedRows(dim)
-    val small = n <= broadcastRowLimit
+    // The row estimate divides compressed sizeInBytes by the schema's
+    // default row width, which can UNDERCOUNT rows 10x+ on wide or
+    // well-compressed dims — a wrongly-taken explicit broadcast()
+    // bypasses autoBroadcastJoinThreshold and can OOM executors. The
+    // byte cap gates the broadcast regime independently of the row
+    // estimate: a dim whose plan-stat size is already large never
+    // broadcasts, however few rows the width heuristic claims.
+    val small = n <= broadcastRowLimit && estimatedBytes(dim) <= broadcastByteLimit
     // bloom hashes bigint keys only — casting a non-integral key (on
     // EITHER side: a string/double fact key long-casts lossily too)
     // would null or truncate and turn into false NEGATIVES, so such

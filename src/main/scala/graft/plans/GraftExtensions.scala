@@ -36,12 +36,16 @@ object GraftExtensions {
   private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_dot(a, b)")
+      DotProduct(children(0), children(1))
+    })
 
   /** `graft_minhash(shingles, k, family)` — k and family must be
     * literals (they shape the output schema).
     */
   private def buildMinhash(children: Seq[Expression]): Expression = {
+    requireArity(children, 3, "graft_minhash(shingles, k, family)")
     import org.apache.spark.sql.catalyst.expressions.Literal
     val k = children(1) match {
       case Literal(v: Int, _) => v
@@ -63,6 +67,7 @@ object GraftExtensions {
 
   /** `graft_shingles(tokens, n)` — n must be an int literal. */
   private def buildShingles(children: Seq[Expression]): Expression = {
+    requireArity(children, 2, "graft_shingles(tokens, n)")
     import org.apache.spark.sql.catalyst.expressions.Literal
     val n = children(1) match {
       case Literal(v: Int, _) => v
@@ -81,6 +86,8 @@ object GraftExtensions {
     * string literals (they parameterize the expression, not the rows).
     */
   private def buildTextStats(children: Seq[Expression]): Expression = {
+    if (children.isEmpty) throw new IllegalArgumentException(
+      "graft_textstats(tokens, stopwords...) takes at least 1 argument, got 0")
     import org.apache.spark.sql.catalyst.expressions.Literal
     val words = children.tail.map {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
@@ -93,12 +100,24 @@ object GraftExtensions {
   private val collapseFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_collapse"),
     new ExpressionInfo(classOf[CollapseRepeats].getName, "graft_collapse"),
-    (children: Seq[Expression]) => CollapseRepeats(children.head))
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_collapse(tokens)")
+      CollapseRepeats(children.head)
+    })
 
   private val textstatsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_textstats"),
     new ExpressionInfo(classOf[TextStats].getName, "graft_textstats"),
     buildTextStats _)
+
+  /** Analysis-time arity check — a wrong argument count must surface
+    * as a readable error naming the signature, not an
+    * IndexOutOfBoundsException from children(i).
+    */
+  private def requireArity(children: Seq[Expression], n: Int,
+      sig: String): Unit =
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$sig takes $n arguments, got ${children.length}")
 
   private def intLit(e: Expression, fn: String, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -107,16 +126,19 @@ object GraftExtensions {
   }
 
   /** `graft_bloom_pos(key, mBits, numHashes)` — sizes are literals. */
-  private def buildBloomPos(children: Seq[Expression]): Expression =
+  private def buildBloomPos(children: Seq[Expression]): Expression = {
+    requireArity(children, 3, "graft_bloom_pos(key, mBits, numHashes)")
     BloomPositions(children(0),
       intLit(children(1), "graft_bloom_pos", "mBits"),
       intLit(children(2), "graft_bloom_pos", "numHashes"))
+  }
 
   /** `graft_bloom_might(key, bits, numHashes)` — bits is the binary
     * literal carrying the built filter (held as a plan reference, not
     * inlined into generated source).
     */
   private def buildBloomMight(children: Seq[Expression]): Expression = {
+    requireArity(children, 3, "graft_bloom_might(key, bits, numHashes)")
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bits = children(1) match {
       case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
@@ -143,12 +165,17 @@ object GraftExtensions {
   private val hllAggFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_hll"),
     new ExpressionInfo(classOf[HllAgg].getName, "graft_hll"),
-    (children: Seq[Expression]) => HllAgg(children.head))
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_hll(value)")
+      HllAgg(children.head)
+    })
 
   /** `graft_shingle_explode(tokens, n)` — generator; n is a literal. */
-  private def buildShingleExplode(children: Seq[Expression]): Expression =
+  private def buildShingleExplode(children: Seq[Expression]): Expression = {
+    requireArity(children, 2, "graft_shingle_explode(tokens, n)")
     ShingleExplode(children(0),
       intLit(children(1), "graft_shingle_explode", "n"))
+  }
 
   private val shingleExplodeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_shingle_explode"),
@@ -156,9 +183,11 @@ object GraftExtensions {
     buildShingleExplode _)
 
   /** `graft_remove_spans(tokens, positions, k)` — k is a literal. */
-  private def buildRemoveSpans(children: Seq[Expression]): Expression =
+  private def buildRemoveSpans(children: Seq[Expression]): Expression = {
+    requireArity(children, 3, "graft_remove_spans(tokens, positions, k)")
     RemoveSpans(children(0), children(1),
       intLit(children(2), "graft_remove_spans", "k"))
+  }
 
   private val removeSpansFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_remove_spans"),

@@ -80,7 +80,9 @@ object Checks {
     * only (dbt `warn` behavior — the pipeline proceeds).
     */
   def enforce(checks: Seq[DataFrame]): DataFrame = {
-    val report = summary(checks).cache()
+    // tiny (one row per check); materialized so the error scan and the
+    // returned report share one computation without a lingering cache
+    val report = summary(checks).localCheckpoint()
     val bad = report
       .filter(col("violations") > 0 && col("severity") === Error).collect()
     if (bad.nonEmpty)

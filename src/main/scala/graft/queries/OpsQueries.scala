@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.Multimodal
+import graft.ext.{Multimodal, Wav}
 import graft.pipeline.Medallion
 import graft.quality.Anomaly
 
@@ -86,6 +86,36 @@ object OpsQueries {
       .select(col("id"), col("modality"), col("n_bytes"), col("first_byte"),
         col("last_byte"), col("checksum"), size(col("features")).as("n_features"))
       .orderBy("id")
+
+  /** Multimodal audio: REAL RIFF/WAVE container decode (graft.ext.Wav
+    * — chunk walk, little-endian header fields, 16-bit PCM frames) →
+    * exact integer per-asset statistics, then SQL-rounded mean/RMS.
+    * The assets are synthesized in-flight (deterministic PCM keyed by
+    * doc_id, wrapped in canonical 44-byte-header WAV blobs) because
+    * the sandbox ships no audio files — but unlike the stubbed-codec
+    * `multimodal_features` path, the DECODE side here is a genuine
+    * byte-level container parse, and the oracle replays the sample
+    * derivation and statistics end to end.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = 120 + (id % 50).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort)
+        Multimodal.MediaRow(id, "audio",
+          Wav.encode(Wav.Pcm16(16000, 1, samples)), "wav")
+      }
+    Multimodal.audioStats(media).toDF()
+      .select(col("id"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("n_samples"), col("peak"),
+        round(col("sum_amp").cast("double") * 1000 / col("n_samples"))
+          .cast("long").as("mean_milli"),
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")) * 1000)
+          .cast("long").as("rms_milli"))
+      .orderBy("id")
+  }
 
   /** Multimodal frame sampling: each document's blob treated as a
     * frame sequence; ≤8 evenly spaced 64-codepoint frames per asset,
@@ -605,6 +635,7 @@ object OpsQueries {
     "dq_history_anomalies" -> (dqHistoryAnomalies _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_audio" -> (multimodalAudio _),
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
@@ -903,6 +934,26 @@ object OpsQueries {
         |    i -> ascii(substr(text, i, 1)))) % 256 AS INTEGER) AS checksum,
         |  3 AS n_features
         |FROM documents ORDER BY id""".stripMargin,
+    // Replays the deterministic PCM synthesis and the decoder's exact
+    // integer statistics; mean/RMS round under both engines' shared
+    // half-away-from-zero double rounding.
+    "multimodal_audio" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |n AS (SELECT id, 120 + (id % 50) AS n FROM ids),
+        |s AS (SELECT n.id, n.n,
+        |    ((n.id * 7919 + g.i * 104729) % 65536) - 32768 AS v
+        |  FROM n, unnest(generate_series(0, CAST(n.n - 1 AS BIGINT))) g(i)),
+        |a AS (SELECT id, max(n) AS ns, max(abs(v)) AS peak,
+        |    sum(v) AS sum_amp, sum(v * v) AS sum_sq
+        |  FROM s GROUP BY id)
+        |SELECT id, 16000 AS sample_rate, 1 AS channels,
+        |  16 AS bits_per_sample,
+        |  CAST(ns AS BIGINT) AS n_samples, CAST(peak AS BIGINT) AS peak,
+        |  CAST(round(CAST(sum_amp AS DOUBLE) * 1000 / ns) AS BIGINT)
+        |    AS mean_milli,
+        |  CAST(round(sqrt(CAST(sum_sq AS DOUBLE) / ns) * 1000) AS BIGINT)
+        |    AS rms_milli
+        |FROM a ORDER BY id""".stripMargin,
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id AS id, text,
         |    (length(text) + 63) // 64 AS fc

@@ -1,10 +1,14 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{Dedup, KMeans, Pq, SignLsh, Similarity}
+import graft.functions.Vectors
+import graft.operators.Versioned
 
 /** Similarity-search surface over the `embeddings` table: brute-force
   * cosine top-k (exact baseline, oracle-checked), IVF-style probe
@@ -97,8 +101,79 @@ object SimilarityQueries {
   def similarityPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Pq.adcTopK(emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
-        "embedding", blockCol = "label", m = pqM, k = 3)
+        "embedding", blockCol = "label", m = pqM, k = 3, dim = embDim)
       .orderBy("q_id", "rank")
+  }
+
+  /** The production PQ lifecycle: train + encode ONCE, persist the
+    * index as versioned tables ([[Versioned]] — immutable snapshots,
+    * O(1) rollback), then answer queries by probing the persisted
+    * copy. The probe plan is pure (broadcast LUTs + map-only ADC,
+    * zero index-rebuild jobs — PqSpec pins it); results are identical
+    * to the one-shot `similarity_pq` path, which is exactly what the
+    * shared oracle asserts.
+    */
+  def similarityPqProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = Files.createTempDirectory("graft-pqindex").toString
+    val codebook = Pq.trainCodebook(emb, "embedding", "label", pqM, embDim)
+    Versioned.write(spark, s"$root/codebook", codebook)
+    val cb = Versioned.read(spark, s"$root/codebook")
+    Versioned.write(spark, s"$root/codes",
+      Pq.encode(emb, "vec_id", "embedding", cb, pqM, embDim))
+    Pq.adcProbe(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        cb, Versioned.read(spark, s"$root/codes"), pqM, embDim, k = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Recall gate for every approximate ANN operator — the one
+    * first-class property of approximate search that determinism
+    * checks cannot see: IVF and PQ-ADC recall@10 against the exact
+    * [[Similarity.bruteForceTopK]] ranking, and sign-LSH pair recall
+    * against the exact threshold pair set, on the same query set
+    * (vec_id < 100). Hit counting is exact set intersection, so the
+    * whole diagnostic is SQL-replayable; SimilaritySpec additionally
+    * pins per-method floors so a silent quality collapse fails the
+    * build even before the oracle run.
+    */
+  def similarityRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 100)
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", k)
+      .select("q_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id",
+        "embedding", blockCol = "label", k = k, nprobe = 3)
+      .select("q_id", "neighbor_id")
+    val pq = Pq.adcTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        blockCol = "label", m = pqM, k = k, dim = embDim)
+      .select("q_id", "neighbor_id")
+    // sign-LSH emits undirected pairs; orient them around the query
+    // side so recall is measured against the exact directed pair set
+    val lsh = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
+      bits = 8, minCosine = 0.25)
+    val lshq = lsh.filter(col("id_a") < 100)
+        .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
+      .unionByName(lsh.filter(col("id_b") < 100)
+        .select(col("id_b").as("q_id"), col("id_a").as("neighbor_id")))
+    val qu = Vectors.unitized(queries, "embedding", "vec_id" -> "q_id")
+      .withColumnRenamed("_uv", "_qu")
+    val cu = Vectors.unitized(emb, "embedding", "vec_id" -> "neighbor_id")
+      .withColumnRenamed("_uv", "_cu")
+    val exactPairs = cu.join(broadcast(qu), col("q_id") =!= col("neighbor_id"))
+      .filter(round(Vectors.dot(col("_qu"), col("_cu")), 4) >= 0.25)
+      .select("q_id", "neighbor_id")
+    def stat(method: String, approx: DataFrame, base: DataFrame): DataFrame =
+      base.join(approx.withColumn("_hit", lit(1)),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+    stat("ivf", ivf, bf)
+      .unionByName(stat("pq", pq, bf))
+      .unionByName(stat("sign_lsh", lshq, exactPairs))
+      .orderBy("method")
   }
 
   /** 16 subspaces × 4 dims: on loosely clustered 64-dim data, coarser
@@ -106,6 +181,12 @@ object SimilarityQueries {
     * recall@3 vs brute force: 0.05 at m=4 vs 0.19 at m=16.
     */
   private val pqM = 16
+
+  /** Embedding dimensionality of the `embeddings` table (TESTDATA
+    * contract; the oracles hardcode it too). Passing it saves the
+    * 1-row dim-probe job inside the PQ build.
+    */
+  private val embDim = 64
 
   /** Embedding-space quality diagnostics per label — the health check
     * a training-data pipeline runs on its vector corpus: class sizes,
@@ -154,6 +235,8 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "similarity_recall" -> (similarityRecall _),
+    "similarity_pq_probe" -> (similarityPqProbe _),
     "embedding_quality" -> (embeddingQuality _),
     "similarity_pq" -> (similarityPq _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -238,20 +321,26 @@ object SimilarityQueries {
        |FROM a3 LEFT JOIN dup ON a3.vec_id = dup.vec_id
        |ORDER BY a3.vec_id""".stripMargin
 
-  /** Full PQ replay: codebook training (per-block subspace means,
-    * rounded), nearest-codeword encoding, query LUTs, m-term ADC sums
-    * in fixed subspace order (bit-reproducible float adds).
+  /** Shared e/u CTEs: raw + unit-normalized embeddings (the one
+    * normalization formulation every ANN oracle mirrors).
     */
-  private def pqOracle: String = {
+  private val euCtes =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |u AS (SELECT vec_id, label,
+      |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+      |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |    ELSE v END AS uv FROM e)""".stripMargin
+
+  /** PQ replay CTEs (codebook training, nearest-codeword encoding,
+    * query LUTs, m-term ADC sums in fixed subspace order —
+    * bit-reproducible float adds), ending in `pranked` with ALL ranks
+    * so consumers pick their own k. Expects `e`/`u` in scope.
+    */
+  private def pqCtes: String = {
     val w = 64 / pqM
     val adcSum = (1 to pqM).map(s => s"lt[$s][cds[$s] + 1]")
       .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |u AS (SELECT vec_id, label,
-       |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
-       |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-       |    ELSE v END AS uv FROM e),
-       |sub AS (SELECT vec_id, label, s,
+    s"""sub AS (SELECT vec_id, label, s,
        |    list_slice(uv, s * $w + 1, s * $w + $w) AS sv
        |  FROM u CROSS JOIN (SELECT unnest(range(0, $pqM)) AS s) g),
        |cb AS (SELECT s, label AS cw, pos, round(avg(x), 4) AS mv FROM (
@@ -272,18 +361,91 @@ object SimilarityQueries {
        |  FROM sub q JOIN cbl b ON b.s = q.s WHERE q.vec_id < 100),
        |lut1 AS (SELECT q_id, s, list(dp ORDER BY cw) AS l FROM lut0 GROUP BY q_id, s),
        |ql AS (SELECT q_id, list(l ORDER BY s) AS lt FROM lut1 GROUP BY q_id),
-       |scored AS (SELECT ql.q_id, c.vec_id AS c_id,
+       |pscored AS (SELECT ql.q_id, c.vec_id AS c_id,
        |    $adcSum AS adc
        |  FROM codes c CROSS JOIN ql WHERE c.vec_id <> ql.q_id),
-       |ranked AS (SELECT q_id, c_id, adc, CAST(row_number() OVER (
+       |pranked AS (SELECT q_id, c_id, adc, CAST(row_number() OVER (
        |    PARTITION BY q_id ORDER BY round(adc, 9) DESC, c_id ASC) AS BIGINT)
        |    AS rank
-       |  FROM scored)
+       |  FROM pscored)""".stripMargin
+  }
+
+  /** Full PQ replay at k=3 (shared by `similarity_pq` and the
+    * persisted-index `similarity_pq_probe`, whose results are
+    * identical by construction).
+    */
+  private def pqOracle: String =
+    s"""WITH $euCtes,
+       |$pqCtes
        |SELECT q_id, rank, c_id AS neighbor_id, round(adc, 6) AS adc_cosine
-       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+       |FROM pranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Replays all three approximate rankings AND the exact baselines,
+    * then counts set intersections — recall is exact integer math, so
+    * an approximate operator is gated on answer QUALITY, not just
+    * determinism. bf mirrors bruteForceTopK exactly (unit vectors +
+    * list_dot_product, the bit-identical formulation).
+    */
+  private def recallOracle: String = {
+    val cases = SignLsh.planesSql(SignLsh.hyperplanes(8, 64)).map(p =>
+      s"CASE WHEN round(list_dot_product(uv, $p), 9) >= 0 THEN '1' ELSE '0' END")
+      .mkString(",\n    ")
+    s"""WITH $euCtes,
+       |q AS (SELECT vec_id AS q_id, uv AS qv FROM u WHERE vec_id < 100),
+       |bf AS (SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, u.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_dot_product(q.qv, u.uv), 9) DESC,
+       |          u.vec_id ASC) AS rn
+       |    FROM q JOIN u ON u.vec_id <> q.q_id) WHERE rn <= 10),
+       |icomp AS (SELECT label, pos, round(avg(x), 4) AS m FROM (
+       |    SELECT label, unnest(range(1, len(uv) + 1)) AS pos,
+       |      unnest(uv) AS x FROM u)
+       |  GROUP BY label, pos),
+       |icent AS (SELECT label, list(m ORDER BY pos) AS centroid
+       |  FROM icomp GROUP BY label),
+       |iprobes AS (SELECT q_id, qv, label FROM (
+       |    SELECT q_id, qv, c.label,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY round(list_cosine_similarity(qv, c.centroid), 9) DESC,
+       |          c.label ASC) AS pr
+       |    FROM q CROSS JOIN icent c) WHERE pr <= 3),
+       |ivf AS (SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, u.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY round(list_dot_product(p.qv, u.uv), 9) DESC,
+       |          u.vec_id ASC) AS rn
+       |    FROM iprobes p JOIN u ON u.label = p.label AND u.vec_id <> p.q_id)
+       |  WHERE rn <= 10),
+       |$pqCtes,
+       |pqs AS (SELECT q_id, c_id FROM pranked WHERE rank <= 10),
+       |sig AS (SELECT vec_id, uv, concat(
+       |    $cases) AS bucket FROM u),
+       |lshp AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100
+       |    AND round(list_dot_product(a.uv, b.uv), 4) >= 0.25),
+       |exactp AS (SELECT q.q_id, u.vec_id AS c_id
+       |  FROM q JOIN u ON u.vec_id <> q.q_id
+       |  WHERE round(list_dot_product(q.qv, u.uv), 4) >= 0.25),
+       |r AS (
+       |  SELECT 'ivf' AS method, (SELECT count(*) FROM bf) AS n_exact,
+       |    (SELECT count(*) FROM ivf i JOIN bf b
+       |      ON i.q_id = b.q_id AND i.c_id = b.c_id) AS n_hit
+       |  UNION ALL SELECT 'pq', (SELECT count(*) FROM bf),
+       |    (SELECT count(*) FROM pqs p JOIN bf b
+       |      ON p.q_id = b.q_id AND p.c_id = b.c_id)
+       |  UNION ALL SELECT 'sign_lsh', (SELECT count(*) FROM exactp),
+       |    (SELECT count(*) FROM lshp l JOIN exactp x
+       |      ON l.q_id = x.q_id AND l.c_id = x.c_id))
+       |SELECT method, n_exact, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+       |FROM r ORDER BY method""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
+    "similarity_recall" -> recallOracle,
+    "similarity_pq_probe" -> pqOracle,
     // Mirrors embeddingQuality: identical micro-quantization, exact
     // integer centroid sums, per-row re-quantization before averages.
     "embedding_quality" ->

@@ -90,6 +90,17 @@ object TextQueries {
       "doc_id", "text", 8)
       .orderBy("doc_id")
 
+  /** Keep-first-occurrence variant of the repeated-span pass: the
+    * corpus-global first occurrence (min (doc_id, pos)) of each
+    * repeated 8-gram survives unmarked, so one copy of every repeated
+    * span keeps its text — the survivor policy production corpora
+    * ship with.
+    */
+  def dedupSubstringKeepfirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(Tables.documents(spark, dir),
+      "doc_id", "text", 8, keepFirst = true)
+      .orderBy("doc_id")
+
   /** SimHash signatures for all documents. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
@@ -99,11 +110,13 @@ object TextQueries {
     * pipeline (16 hashes, 4 bands of 4).
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the signature tree is consumed three times (band explode +
-    // both sides of the verify join); without a barrier Catalyst
-    // inlines and re-evaluates the 16-hash minhash per consumer.
+    // materialized once (localCheckpoint, not cache): the signature
+    // tree is consumed three times (band explode + both sides of the
+    // verify join); without a barrier Catalyst inlines and
+    // re-evaluates the 16-hash minhash per consumer. Checkpoint blocks
+    // release on GC, so nothing lingers in the session CacheManager.
     val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text")
-      .cache()
+      .localCheckpoint()
     val cands = Dedup.minhashCandidates(banded, "doc_id")
     Dedup.verifyJaccard(cands, banded, "doc_id")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -119,7 +132,7 @@ object TextQueries {
   def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
     val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text",
         fastHash = true)
-      .cache()
+      .localCheckpoint()
     val cands = Dedup.minhashCandidates(banded, "doc_id")
     Dedup.verifyJaccard(cands, banded, "doc_id")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -336,7 +349,8 @@ object TextQueries {
         .as("clean_text"))
     val n = col("_st.n_tokens").cast("double")
     // native one-pass feature extraction (graft_textstats) + a
-    // persist barrier: filter pushdown and project collapsing would
+    // materialization barrier (localCheckpoint — GC-released, unlike a
+    // cache entry): filter pushdown and project collapsing would
     // otherwise inline the regex-scrub chain into every downstream
     // consumer (measured 7 copies in the plan, ~5s at sf0.1).
     // Materializing the clean layer once is also the 100 TB shape — a
@@ -351,7 +365,7 @@ object TextQueries {
         col("_st.n_tokens").as("n_tokens"),
         round(col("_st.n_distinct") / n, 6).as("distinct_ratio"),
         round(col("_st.n_stop") / n, 6).as("stop_ratio"))
-      .cache()
+      .localCheckpoint()
     val qual = featured
       .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3 &&
         col("stop_ratio") >= 0.01)
@@ -566,6 +580,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact" -> (dedupExact _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_keepfirst" -> (dedupSubstringKeepfirst _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),
@@ -990,6 +1005,40 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  md5(text) AS content_hash
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // Mirrors dedupSubstringKeepfirst: as dedup_substring, but the
+    // min-(doc_id, pos) occurrence of each repeated gram is unmarked —
+    // the survivor copy keeps its text.
+    "dedup_substring_keepfirst" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) s(i)),
+        |rep AS (SELECT g FROM kg GROUP BY g HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT kg.doc_id, kg.pos,
+        |      row_number() OVER (PARTITION BY g
+        |        ORDER BY kg.doc_id, kg.pos) AS rn
+        |    FROM kg JOIN rep USING (g)) WHERE rn > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM marked, unnest(generate_series(0, 7)) u(j)),
+        |tokidx AS (
+        |  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) s(i)),
+        |kept AS (
+        |  SELECT ti.doc_id, ti.idx, ti.tok FROM tokidx ti
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = ti.doc_id AND c.idx = ti.idx))
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - count(k.idx) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |GROUP BY t.doc_id, len(t.t)
+        |ORDER BY t.doc_id""".stripMargin,
     // Mirrors dedupSubstring: 8-gram occurrences, repeated = count>=2,
     // covered token indices, kept tokens re-joined in order.
     "dedup_substring" ->

@@ -18,6 +18,30 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components sizing launches no count() job (stats-based)") {
+    import spark.implicits._
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        sites.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse(""))
+    }
+    org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      val counts = sites.toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith("count at Clusters"))
+      assert(counts.isEmpty,
+        s"edge sizing must read plan stats, not run count(): $counts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("connected components converge on a long path (diameter > 2)") {
     import spark.implicits._
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")

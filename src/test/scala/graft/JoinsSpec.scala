@@ -36,6 +36,26 @@ class JoinsSpec extends SparkSpec {
     assert(small.count() === fact.filter(col("fk") % 5 === 0).count())
   }
 
+  test("byte cap vetoes the broadcast regime even when the row estimate is small") {
+    // a dim whose row estimate passes the row limit but whose plan-stat
+    // byte size exceeds the cap must take the bloom/shuffle regime —
+    // guards against the width heuristic under-counting rows
+    val fact = spark.range(0, 1000)
+      .select((col("id") % 50).as("fk"), col("id").as("v"))
+    val dim = spark.range(0, 50)
+      .select(col("id").as("dk"), concat(lit("d"), col("id")).as("name"))
+    assert(Joins.estimatedRows(dim) <= (1L << 20))
+
+    val capped = Joins.dimJoin(fact, dim, "fk", "dk", broadcastByteLimit = 0)
+    assert(plan(capped).contains("graft_bloom_might"),
+      "oversized-by-bytes dim must not broadcast")
+    val uncapped = Joins.dimJoin(fact, dim, "fk", "dk")
+    assert(plan(uncapped).contains("BroadcastHashJoin"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fk", "v", "name").orderBy("fk", "v").collect().toSeq
+    assert(rows(capped) === rows(uncapped))
+  }
+
   test("same-named keys join via USING — no ambiguous references") {
     val fact = spark.range(0, 100)
       .select((col("id") % 10).as("k"), col("id").as("v"))

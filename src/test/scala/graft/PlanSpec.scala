@@ -70,13 +70,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(400))
   }
 
-  test("corpus pipeline: one scan, two exchanges (source partition reused)") {
+  test("corpus pipeline: one materialized clean layer, two exchanges") {
     val p = plan(graft.queries.TextQueries.corpusPipeline(spark, sf))
     // 2 hash exchanges: content-hash dedup window + ONE source
     // partition shared by the quota and pack windows (the 3rd exchange
-    // is the final orderBy's range partition — determinism scaffolding)
+    // is the final orderBy's range partition — determinism scaffolding).
     assert("Arguments: hashpartitioning".r.findAllIn(p).length == 2, p.take(600))
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+    // the clean/featured layer is materialized ONCE (localCheckpoint
+    // barrier): downstream consumers read the checkpointed RDD, so the
+    // visible plan holds exactly one leaf and zero re-scans of the
+    // documents parquet (the single source scan happened inside the
+    // barrier's own job)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty, p.take(600))
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).length == 1, p.take(600))
   }
 
   test("decontamination broadcasts the benchmark shingle set") {

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Pq
+
+/** PQ index lifecycle: build (train + encode) is separable from probe,
+  * the probe is a pure plan over a prebuilt index (zero jobs at
+  * construction, no index rebuild), and the one-shot path launches no
+  * driver-side sizing jobs (stats-based sizing, dim from the caller).
+  */
+class PqIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  /** Capture (jobCount, callSites) for jobs started while `f` runs. */
+  private def jobsDuring[A](f: => A): (A, Int, Seq[String]) = {
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        sites.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse(""))
+    }
+    org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = f
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      (out, sites.size, sites.toArray(Array.empty[String]).toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("probe over a prebuilt index is a pure plan: zero jobs at construction") {
+    val q = emb.filter(col("vec_id") < 10)
+    val codebook = Pq.trainCodebook(emb, "embedding", "label", 16, 64)
+      .localCheckpoint()
+    val codes = Pq.encode(emb, "vec_id", "embedding", codebook, 16, 64)
+      .localCheckpoint()
+    val (probe, n, sites) = jobsDuring {
+      Pq.adcProbe(q, "vec_id", "embedding", codebook, codes, 16, 64, k = 3)
+    }
+    assert(n === 0, s"probe construction must not launch jobs, saw: $sites")
+    // and the probe result equals the one-shot pipeline
+    val oneShot = Pq.adcTopK(q, emb, "vec_id", "vec_id", "embedding",
+        "label", 16, 3, dim = 64)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(probe.orderBy("q_id", "rank").collect().toSeq === oneShot)
+  }
+
+  test("probe over a PERSISTED index matches and rebuilds nothing") {
+    import graft.operators.Versioned
+    val q = emb.filter(col("vec_id") < 10)
+    val root = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Versioned.write(spark, s"$root/codebook",
+      Pq.trainCodebook(emb, "embedding", "label", 16, 64))
+    val cb = Versioned.read(spark, s"$root/codebook")
+    Versioned.write(spark, s"$root/codes",
+      Pq.encode(emb, "vec_id", "embedding", cb, 16, 64))
+    val codes = Versioned.read(spark, s"$root/codes")
+    val (probe, n, sites) = jobsDuring {
+      Pq.adcProbe(q, "vec_id", "embedding", cb, codes, 16, 64, k = 3)
+    }
+    assert(n === 0, s"persisted-index probe construction launched: $sites")
+    val oneShot = Pq.adcTopK(q, emb, "vec_id", "vec_id", "embedding",
+        "label", 16, 3, dim = 64)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(probe.orderBy("q_id", "rank").collect().toSeq === oneShot)
+    // the probe plan reads the persisted parquet — codebook TRAINING
+    // (the per-block subspace averages) must not reappear in it; the
+    // only aggregates allowed are the LUT collect_lists
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("avg("),
+      "probe plan must not re-train the codebook (found an avg aggregate)")
+  }
+
+  test("one-shot adcTopK with dim given launches no sizing job (no count/head)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val (_, _, sites) = jobsDuring {
+      Pq.adcTopK(q, emb, "vec_id", "vec_id", "embedding", "label", 16, 3,
+        dim = 64)
+    }
+    val sizing = sites.filter(s =>
+      s.startsWith("count at") || s.startsWith("head at"))
+    assert(sizing.isEmpty,
+      s"stats-based sizing must not launch count()/head() jobs, saw: $sizing")
+  }
+}

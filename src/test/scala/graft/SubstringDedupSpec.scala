@@ -49,6 +49,34 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(1) === ((2L, 6L, 6L, "")))
   }
 
+  private def runKeepFirst(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", K,
+        keepFirst = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+  }
+
+  test("keepFirst: the corpus-global first occurrence survives, later copies go") {
+    val span = "one two three four five"
+    val out = runKeepFirst(Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"x y z $span p q"),
+      (3L, span)))
+    // doc 1 holds the min-(doc_id, pos) occurrence of every window
+    assert(out(0) === ((1L, 9L, 0L, s"alpha beta $span gamma delta")))
+    assert(out(1) === ((2L, 10L, 5L, "x y z p q")))
+    assert(out(2) === ((3L, 5L, 5L, "")))
+  }
+
+  test("keepFirst: within one doc the earlier copy survives") {
+    val out = runKeepFirst(Seq(
+      (1L, "a b c d X a b c d Y"),
+      (2L, "completely different filler text")))
+    assert(out(0) === ((1L, 10L, 4L, "a b c d X Y")))
+    assert(out(1)._3 === 0L)
+  }
+
   test("docs shorter than k tokens never match and pass through") {
     val out = run(Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny doc")))
     assert(out.forall(_._3 === 0L))

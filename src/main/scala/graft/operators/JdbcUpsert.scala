@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** External-database upsert sink — the engine-side twin of the
+  * reference's Postgres landing step (`src/etl/mongo_to_postgres.py:
+  * 89-112`: batched `INSERT ... ON CONFLICT (id) DO UPDATE SET
+  * payload = EXCLUDED.payload`), re-expressed for Spark's execution
+  * model: each partition opens its own connection and streams its rows
+  * through ONE PreparedStatement in JDBC batches, so the write scales
+  * with executors instead of funneling through a driver-side cursor
+  * like the reference's single-process `execute_values` loop.
+  *
+  * Statement generation is dialect-split:
+  *  - [[postgresUpsertSql]] — the reference's exact `ON CONFLICT`
+  *    shape (server not present in this sandbox, so it is gated as
+  *    generated SQL);
+  *  - [[ansiMergeSql]] — ANSI `MERGE INTO ... USING (VALUES ...)`
+  *    for databases without ON CONFLICT (DB2 / SQL Server family;
+  *    gated as generated SQL — embedded Derby restricts MERGE sources
+  *    to base tables, so it cannot run this one);
+  *  - [[writeGeneric]] — the dialect-free UPDATE-then-INSERT
+  *    protocol, exercised END TO END against embedded Derby in
+  *    JdbcUpsertSpec (insert, update, idempotent replay).
+  *
+  * Delivery contract: at-least-once per partition (a task retry
+  * replays its partition's statements), collapsed to effectively
+  * exactly-once by the upsert itself — the same T7 argument as
+  * [[MergeWriter]]. [[write]] first co-partitions rows by key so no
+  * key is upserted from two connections concurrently (no cross-task
+  * write-write conflict, no lost update between MATCHED/NOT MATCHED).
+  */
+object JdbcUpsert {
+
+  private def ident(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"unsafe SQL identifier: $name")
+    name
+  }
+
+  /** Postgres `INSERT ... ON CONFLICT (keys) DO UPDATE SET c =
+    * EXCLUDED.c` with one `?` placeholder per column, in column order.
+    * @param extraSet verbatim extra SET clauses (the reference stamps
+    *                 `inserted_at = now()`)
+    */
+  def postgresUpsertSql(table: String, cols: Seq[String],
+      keys: Seq[String], extraSet: Seq[String] = Nil): String = {
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      "keys must be a non-empty subset of cols")
+    cols.foreach(ident); keys.foreach(ident)
+    val nonKeys = cols.filterNot(keys.contains)
+    require(nonKeys.nonEmpty || extraSet.nonEmpty,
+      "nothing to update on conflict")
+    val sets = nonKeys.map(c => s"$c = EXCLUDED.$c") ++ extraSet
+    s"INSERT INTO ${table} (${cols.mkString(", ")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET " +
+      sets.mkString(", ")
+  }
+
+  /** ANSI MERGE equivalent for databases without ON CONFLICT (DB2,
+    * SQL Server family). Parameters inside a VALUES row source are
+    * untyped, so each is CAST to its column's SQL type.
+    * @param cols (name, sqlType) in placeholder order
+    */
+  def ansiMergeSql(table: String, cols: Seq[(String, String)],
+      keys: Seq[String]): String = {
+    val names = cols.map(_._1)
+    require(keys.nonEmpty && keys.forall(names.contains),
+      "keys must be a non-empty subset of cols")
+    names.foreach(ident); keys.foreach(ident)
+    val nonKeys = names.filterNot(keys.contains)
+    require(nonKeys.nonEmpty, "nothing to update on match")
+    val src = cols.map { case (_, t) => s"CAST(? AS $t)" }.mkString(", ")
+    s"MERGE INTO ${table} t USING (VALUES ($src)) " +
+      s"s (${names.mkString(", ")}) ON " +
+      keys.map(k => s"t.$k = s.$k").mkString(" AND ") +
+      " WHEN MATCHED THEN UPDATE SET " +
+      nonKeys.map(c => s"$c = s.$c").mkString(", ") +
+      s" WHEN NOT MATCHED THEN INSERT (${names.mkString(", ")})" +
+      s" VALUES (${names.map(n => s"s.$n").mkString(", ")})"
+  }
+
+  /** Dialect-free upsert: per row, UPDATE by key; if no row matched,
+    * INSERT — the universal two-statement JDBC protocol (safe under
+    * the per-key co-partitioning [[write]] and this method share, and
+    * under each partition's single transaction). Unbatchable by
+    * nature, so prefer the single-statement dialects where the server
+    * offers one; correctness contract (at-least-once replay collapses)
+    * is identical.
+    */
+  def writeGeneric(df: DataFrame, url: String, table: String,
+      keys: Seq[String]): Unit = {
+    val cols = df.schema.fieldNames.toSeq
+    cols.foreach(ident); keys.foreach(ident)
+    val nonKeys = cols.filterNot(keys.contains)
+    require(keys.forall(cols.contains) && nonKeys.nonEmpty,
+      "keys must be a proper subset of the columns")
+    val updateSql = s"UPDATE ${table} SET " +
+      nonKeys.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO ${table} (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val updOrder = (nonKeys ++ keys).map(cols.indexOf)
+    df.repartition(keys.map(col): _*).foreachPartition {
+      (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val upd = conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insertSql)
+            try {
+              it.foreach { row =>
+                updOrder.zipWithIndex.foreach { case (src, i) =>
+                  upd.setObject(i + 1, row.get(src))
+                }
+                if (upd.executeUpdate() == 0) {
+                  cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
+                  ins.executeUpdate()
+                }
+              }
+              conn.commit()
+            } catch {
+              case e: Throwable => conn.rollback(); throw e
+            } finally { upd.close(); ins.close() }
+          } finally conn.close()
+        }
+    }
+  }
+
+  /** Execute `sql` (one `?` per column of `df`, in schema order) for
+    * every row, batched per partition, one transaction per partition.
+    * Rows are first co-partitioned by `keys` so a key never writes
+    * from two tasks at once.
+    */
+  def write(df: DataFrame, url: String, sql: String, keys: Seq[String],
+      batchSize: Int = 500): Unit = {
+    val width = df.schema.length
+    df.repartition(keys.map(col): _*).foreachPartition {
+      (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(sql)
+            try {
+              var n = 0
+              it.foreach { row =>
+                var i = 0
+                while (i < width) {
+                  ps.setObject(i + 1, row.get(i))
+                  i += 1
+                }
+                ps.addBatch()
+                n += 1
+                if (n % batchSize == 0) ps.executeBatch()
+              }
+              ps.executeBatch()
+              conn.commit()
+            } catch {
+              case e: Throwable => conn.rollback(); throw e
+            } finally ps.close()
+          } finally conn.close()
+        }
+    }
+  }
+}

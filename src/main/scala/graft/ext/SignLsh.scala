@@ -58,6 +58,47 @@ object SignLsh {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Multi-table variant — the standard LSH recall lever: `tables`
+    * independent hyperplane sets (seeds 42, 43, …), a pair is a
+    * candidate if it collides in ANY table. Pair recall rises roughly
+    * as 1-(1-p)^tables for per-table collision probability p, at
+    * `tables`× the candidate-generation cost — still (id, bucket)
+    * postings, never vector pairs: the bucket self-join moves skinny
+    * (table, bucket, id) rows and the exact-cosine verify joins unit
+    * vectors back BY ID only for surviving candidates (the
+    * posting-list discipline; the single-table path can afford to
+    * carry vectors through its one join, this one cannot).
+    *
+    * The engine's recall gate (`similarity_recall`) measures both
+    * variants side by side — the multi-table path exists because the
+    * gate showed the single-table recall floor.
+    */
+  def nearDupPairsMulti(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int, minCosine: Double): DataFrame = {
+    require(tables >= 1, "need at least one hash table")
+    val dim = df.select(size(col(vecCol)).as("_d")).head().getInt(0)
+    val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .withColumn("_u",
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")))
+    val sig = e.select(col(idCol),
+      posexplode(array((0 until tables).map(t =>
+        signature(col("_u"), hyperplanes(bits, dim, 42L + t))): _*))
+        .as(Seq("_t", "_bucket")))
+    val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
+    val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("_t", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = e.select(col(idCol).as("id_a"), col("_u").as("_ua"))
+    val vb = e.select(col(idCol).as("id_b"), col("_u").as("_ub"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(Vectors.dot(col("_ua"), col("_ub")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** The hyperplanes as DuckDB array literals (oracle parity). */
   def planesSql(planes: Seq[Seq[Double]]): Seq[String] =
     planes.map(_.mkString("[", ",", "]::DOUBLE[]"))

@@ -14,10 +14,12 @@ import graft.functions.Vectors
   *    broadcast probe with no shuffle before the final per-query top-k
   *    (which moves only k rows per query per partition thanks to
   *    window-TopK pushdown / partial aggregation).
-  *  - [[ivfTopK]]: IVF-style scale path — centroids from a blocking
-  *    column (cluster assignment), queries probe only the `nprobe`
-  *    nearest cells, cutting the scanned corpus fraction to
-  *    ~nprobe/ncells.
+  *  - [[trainCentroids]] + [[ivfProbe]]: IVF with the production
+  *    lifecycle — centroids trained once (persistable, e.g. via
+  *    `Versioned`), probes are pure plans that never re-train; each
+  *    query probes only the `nprobe` nearest cells, cutting the
+  *    scanned corpus fraction to ~nprobe/ncells.
+  *  - [[ivfTopK]]: one-shot composition of the two.
   *
   * Ranking ties: scores are ranked on a 9-decimal rounding with the
   * corpus id as tie-break, making top-k reproducible across engines
@@ -37,6 +39,22 @@ object Similarity {
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
           .otherwise(col("_v")).as(vecAs))
 
+  /** (_cell, c_id, _cv): cell tag + id + unit vector per corpus row —
+    * deliberately NOT cached or materialized: normalizing is cheap map
+    * work, and at scale the full normalized corpus is exactly what
+    * must never be pinned in storage memory. Recomputing per scan
+    * beats materializing the corpus.
+    */
+  private def cellVectors(corpus: DataFrame, cId: String, vecCol: String,
+      blockCol: String): DataFrame =
+    corpus
+      .select(col(blockCol).as("_cell"), col(cId).as("c_id"),
+        Vectors.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", Vectors.norm(col("_v")))
+      .select(col("_cell"), col("c_id"),
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
+          .otherwise(col("_v")).as("_cv"))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
     val q = unitized(queries, qId, vecCol, "q_id", "_qv")
@@ -52,41 +70,44 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF: cell centroids = mean vector per `blockCol`; each query
-    * probes the `nprobe` nearest centroids and scans only those cells.
-    * Returns the same schema as [[bruteForceTopK]] (approximate
-    * results).
+  /** Train the IVF index: cell centroid = positional mean vector per
+    * `blockCol` (cluster assignment). Components are rounded to 4
+    * decimals so centroids are DETERMINISTIC across partition
+    * orderings, replicas and engines (float summation order can wiggle
+    * the last ulps; the probe ranking then re-rounds at 9 decimals) —
+    * which is what makes this approximate operator exactly
+    * oracle-checkable.
+    *
+    * Pure plan; callers persist once (e.g. `Versioned.write`) and
+    * probe many times with [[ivfProbe]]. Schema: (_cell, _centroid).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      qId: String, cId: String, vecCol: String, blockCol: String,
-      k: Int, nprobe: Int): DataFrame = {
-    // consumed by both the centroid build and the probe scan —
-    // deliberately NOT cached: normalizing is cheap map work, and at
-    // scale the full normalized corpus is exactly what must never be
-    // pinned in storage memory (a cache here also outlives the query
-    // in the session's CacheManager). Two scans of the source beat one
-    // materialization of it.
-    val c = corpus
-      .select(col(blockCol).as("_cell"), col(cId).as("c_id"),
-        Vectors.asDouble(col(vecCol)).as("_v"))
+  def trainCentroids(corpus: DataFrame, vecCol: String,
+      blockCol: String): DataFrame =
+    corpus
+      .select(col(blockCol).as("_cell"), Vectors.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", Vectors.norm(col("_v")))
-      .select(col("_cell"), col("c_id"),
+      .select(col("_cell"),
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
           .otherwise(col("_v")).as("_cv"))
-    // centroid per cell: positional mean via explode + groupBy(cell,
-    // pos). Components are rounded to 4 decimals so centroids are
-    // DETERMINISTIC across partition orderings, replicas and engines
-    // (float summation order can wiggle the last ulps; the probe
-    // ranking then re-rounds at 9 decimals) — which is what makes this
-    // approximate operator exactly oracle-checkable.
-    val centroids = c
       .select(col("_cell"), posexplode(col("_cv")).as(Seq("_pos", "_x")))
       .groupBy(col("_cell"), col("_pos"))
       .agg(round(avg(col("_x")), 4).as("_m"))
       .groupBy(col("_cell"))
       .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
-      .select(col("_cell"), transform(col("_pm"), s => s.getField("_m")).as("_centroid"))
+      .select(col("_cell"),
+        transform(col("_pm"), s => s.getField("_m")).as("_centroid"))
 
+  /** Probe a prebuilt IVF index: each query ranks the broadcast
+    * centroids, scans only its `nprobe` nearest cells of the corpus
+    * (cells = `blockCol` partitions — the corpus itself is the posting
+    * storage, read cell-pruned through the broadcast probe join), and
+    * ranks the survivors. Pure plan — constructing it launches ZERO
+    * jobs and never re-trains the centroids (IvfIndexSpec pins it).
+    */
+  def ivfProbe(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, blockCol: String,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val c = cellVectors(corpus, cId, vecCol, blockCol)
     val q = unitized(queries, qId, vecCol, "q_id", "_qv")
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(round(Vectors.cosine(col("_qv"), col("_centroid")), 9).desc, col("_cell").asc)
@@ -106,4 +127,13 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** One-shot IVF: train + probe in one lazy plan. Returns the same
+    * schema as [[bruteForceTopK]] (approximate results).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, blockCol: String,
+      k: Int, nprobe: Int): DataFrame =
+    ivfProbe(queries, corpus, qId, cId, vecCol, blockCol,
+      trainCentroids(corpus, vecCol, blockCol), k, nprobe)
 }

@@ -22,8 +22,13 @@ object Medallion {
 
   /** Run every layer over the events table, materializing under
     * `root`; returns the dwh daily mart.
+    *
+    * @param cfg deployment knobs (the reference's env_var surface):
+    *            `DBT_SCHEMA` names the warehouse layer directory, as
+    *            in the reference's schema config.
     */
-  def run(spark: SparkSession, dir: String, root: String): DataFrame = {
+  def run(spark: SparkSession, dir: String, root: String,
+      cfg: graft.Config = graft.Config()): DataFrame = {
     val bronze = Tables.events(spark, dir)
 
     // stg: typed extraction + incremental high-watermark vs own target
@@ -55,7 +60,7 @@ object Medallion {
     // merges rewrite only touched date partitions and date-range reads
     // prune (the 100 TB layout; mirrors the reference's observed_date
     // incremental filter, SURVEY §4 partition-pruning row)
-    val dwhDir = s"$root/dwh_daily"
+    val dwhDir = s"$root/${cfg.schema}_daily"
     val daily = DailyRollup(stgOut, key = "user_id", tsCol = "ts", metrics = Seq(
       round(avg(col("value")), 4).as("avg_value"),
       max(col("value")).as("max_value"),

@@ -43,6 +43,34 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** The production IVF lifecycle: centroids trained ONCE, persisted
+    * as a versioned table, probes read the persisted index as pure
+    * plans (zero re-training — IvfIndexSpec pins it). Identical
+    * results to the one-shot `similarity_ivf`, which is exactly what
+    * the shared oracle asserts.
+    */
+  def similarityIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = Files.createTempDirectory("graft-ivfindex").toString
+    Versioned.write(spark, s"$root/centroids",
+      Similarity.trainCentroids(emb, "embedding", "label"))
+    Similarity.ivfProbe(emb.filter(col("vec_id") < 100), emb, "vec_id",
+        "vec_id", "embedding", "label",
+        Versioned.read(spark, s"$root/centroids"), k = 3, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Multi-table sign-LSH near-dup pairs (4 tables x 8 bits) — the
+    * recall lever the `similarity_recall` gate motivated: the
+    * single-table variant misses any pair split across buckets; four
+    * independent tables recover most of them at 4x candidate cost,
+    * posting-discipline preserved.
+    */
+  def dedupEmbeddingLshMulti(spark: SparkSession, dir: String): DataFrame =
+    SignLsh.nearDupPairsMulti(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", bits = 8, tables = 4, minCosine = 0.25)
+      .orderBy("id_a", "id_b")
+
   /** Embedding near-duplicate pairs within each label block. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -157,6 +185,12 @@ object SimilarityQueries {
         .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
       .unionByName(lsh.filter(col("id_b") < 100)
         .select(col("id_b").as("q_id"), col("id_a").as("neighbor_id")))
+    val lshM = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+      bits = 8, tables = 4, minCosine = 0.25)
+    val lshMq = lshM.filter(col("id_a") < 100)
+        .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
+      .unionByName(lshM.filter(col("id_b") < 100)
+        .select(col("id_b").as("q_id"), col("id_a").as("neighbor_id")))
     val qu = Vectors.unitized(queries, "embedding", "vec_id" -> "q_id")
       .withColumnRenamed("_uv", "_qu")
     val cu = Vectors.unitized(emb, "embedding", "vec_id" -> "neighbor_id")
@@ -173,6 +207,7 @@ object SimilarityQueries {
     stat("ivf", ivf, bf)
       .unionByName(stat("pq", pq, bf))
       .unionByName(stat("sign_lsh", lshq, exactPairs))
+      .unionByName(stat("sign_lsh_multi", lshMq, exactPairs))
       .orderBy("method")
   }
 
@@ -237,6 +272,8 @@ object SimilarityQueries {
   val defs: Map[String, Q] = Map(
     "similarity_recall" -> (similarityRecall _),
     "similarity_pq_probe" -> (similarityPqProbe _),
+    "similarity_ivf_probe" -> (similarityIvfProbe _),
+    "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
     "embedding_quality" -> (embeddingQuality _),
     "similarity_pq" -> (similarityPq _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -386,10 +423,21 @@ object SimilarityQueries {
     * determinism. bf mirrors bruteForceTopK exactly (unit vectors +
     * list_dot_product, the bit-identical formulation).
     */
-  private def recallOracle: String = {
-    val cases = SignLsh.planesSql(SignLsh.hyperplanes(8, 64)).map(p =>
+  /** The per-plane sign CASEs of one LSH table, as DuckDB SQL. */
+  private def lshCases(seed: Long): String =
+    SignLsh.planesSql(SignLsh.hyperplanes(8, 64, seed)).map(p =>
       s"CASE WHEN round(list_dot_product(uv, $p), 9) >= 0 THEN '1' ELSE '0' END")
       .mkString(",\n    ")
+
+  /** Multi-table signature CTE `sgm` (4 tables, seeds 42..45). */
+  private def lshMultiSig: String =
+    (0 until 4).map(t =>
+      s"""SELECT vec_id, uv, $t AS t, concat(
+         |    ${lshCases(42L + t)}) AS bucket FROM u""".stripMargin)
+      .mkString("sgm AS (\n", "\n  UNION ALL ", ")")
+
+  private def recallOracle: String = {
+    val cases = lshCases(42L)
     s"""WITH $euCtes,
        |q AS (SELECT vec_id AS q_id, uv AS qv FROM u WHERE vec_id < 100),
        |bf AS (SELECT q_id, c_id FROM (
@@ -428,6 +476,12 @@ object SimilarityQueries {
        |exactp AS (SELECT q.q_id, u.vec_id AS c_id
        |  FROM q JOIN u ON u.vec_id <> q.q_id
        |  WHERE round(list_dot_product(q.qv, u.uv), 4) >= 0.25),
+       |$lshMultiSig,
+       |lshmp AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+       |  FROM sgm a JOIN sgm b ON a.t = b.t AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 100
+       |    AND round(list_dot_product(a.uv, b.uv), 4) >= 0.25),
        |r AS (
        |  SELECT 'ivf' AS method, (SELECT count(*) FROM bf) AS n_exact,
        |    (SELECT count(*) FROM ivf i JOIN bf b
@@ -437,15 +491,68 @@ object SimilarityQueries {
        |      ON p.q_id = b.q_id AND p.c_id = b.c_id)
        |  UNION ALL SELECT 'sign_lsh', (SELECT count(*) FROM exactp),
        |    (SELECT count(*) FROM lshp l JOIN exactp x
+       |      ON l.q_id = x.q_id AND l.c_id = x.c_id)
+       |  UNION ALL SELECT 'sign_lsh_multi', (SELECT count(*) FROM exactp),
+       |    (SELECT count(*) FROM lshmp l JOIN exactp x
        |      ON l.q_id = x.q_id AND l.c_id = x.c_id))
        |SELECT method, n_exact, n_hit,
        |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
        |FROM r ORDER BY method""".stripMargin
   }
 
+  /** Replays the 4-table signature union, candidate dedup, and exact
+    * cosine verify of `nearDupPairsMulti`.
+    */
+  private def lshMultiOracle: String =
+    s"""WITH $euCtes,
+       |$lshMultiSig,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sgm a JOIN sgm b ON a.t = b.t AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_dot_product(va.uv, vb.uv), 4) AS cosine
+       |FROM cand c JOIN u va ON va.vec_id = c.id_a
+       |  JOIN u vb ON vb.vec_id = c.id_b
+       |WHERE round(list_dot_product(va.uv, vb.uv), 4) >= 0.25
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF replay (shared by the one-shot `similarity_ivf` and the
+    * persisted-index `similarity_ivf_probe`, identical by
+    * construction).
+    */
+  private val ivfOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, label,
+        |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+        |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |    ELSE v END AS uv FROM e),
+        |comp AS (SELECT label, pos, round(avg(x), 4) AS m FROM (
+        |    SELECT label, unnest(range(1, len(uv) + 1)) AS pos,
+        |      unnest(uv) AS x FROM u)
+        |  GROUP BY label, pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+        |  FROM comp GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, uv AS qv FROM u WHERE vec_id < 100),
+        |probes AS (SELECT q_id, qv, label FROM (
+        |    SELECT q_id, qv, c.label,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY round(list_cosine_similarity(qv, c.centroid), 9) DESC,
+        |          c.label ASC) AS pr
+        |    FROM q CROSS JOIN cent c) WHERE pr <= 3),
+        |scored AS (SELECT p.q_id, u.vec_id AS c_id,
+        |    list_dot_product(p.qv, u.uv) AS cos
+        |  FROM probes p JOIN u ON u.label = p.label AND u.vec_id <> p.q_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 9) DESC, c_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, c_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "similarity_recall" -> recallOracle,
     "similarity_pq_probe" -> pqOracle,
+    "dedup_embedding_lsh_multi" -> lshMultiOracle,
     // Mirrors embeddingQuality: identical micro-quantization, exact
     // integer centroid sums, per-row re-quantization before averages.
     "embedding_quality" ->
@@ -494,34 +601,8 @@ object SimilarityQueries {
         |FROM s ORDER BY vec_id""".stripMargin,
     "kmeans_embeddings" -> kmeansOracle,
     "dedup_embedding_lsh" -> lshOracle,
-    "similarity_ivf" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |u AS (SELECT vec_id, label,
-        |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
-        |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-        |    ELSE v END AS uv FROM e),
-        |comp AS (SELECT label, pos, round(avg(x), 4) AS m FROM (
-        |    SELECT label, unnest(range(1, len(uv) + 1)) AS pos,
-        |      unnest(uv) AS x FROM u)
-        |  GROUP BY label, pos),
-        |cent AS (SELECT label, list(m ORDER BY pos) AS centroid
-        |  FROM comp GROUP BY label),
-        |q AS (SELECT vec_id AS q_id, uv AS qv FROM u WHERE vec_id < 100),
-        |probes AS (SELECT q_id, qv, label FROM (
-        |    SELECT q_id, qv, c.label,
-        |      row_number() OVER (PARTITION BY q_id
-        |        ORDER BY round(list_cosine_similarity(qv, c.centroid), 9) DESC,
-        |          c.label ASC) AS pr
-        |    FROM q CROSS JOIN cent c) WHERE pr <= 3),
-        |scored AS (SELECT p.q_id, u.vec_id AS c_id,
-        |    list_dot_product(p.qv, u.uv) AS cos
-        |  FROM probes p JOIN u ON u.label = p.label AND u.vec_id <> p.q_id),
-        |ranked AS (SELECT q_id, c_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY round(cos, 9) DESC, c_id ASC) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT q_id, rank, c_id AS neighbor_id, round(cos, 6) AS cosine
-        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "similarity_ivf" -> ivfOracle,
+    "similarity_ivf_probe" -> ivfOracle,
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 100),

@@ -42,6 +42,18 @@ class CheckWxSource(transport: String => String,
 
 object CheckWxSource {
 
+  /** Production construction from the environment — the reference's
+    * `os.getenv` surface (`CHECKWX_API_KEY` required,
+    * `CHECKWX_BASE_URL` + timeout optional), centralized in
+    * [[graft.Config]].
+    */
+  def fromEnv(cfg: graft.Config = graft.Config()): CheckWxSource = {
+    val key = cfg.checkwxApiKey.getOrElse(throw new IllegalArgumentException(
+      "CHECKWX_API_KEY is not set — the collector cannot authenticate"))
+    new CheckWxSource(httpTransport(key, cfg.httpTimeoutSeconds),
+      cfg.checkwxBaseUrl, cfg.httpTimeoutSeconds)
+  }
+
   /** Canned transport for tests / offline runs. */
   def fixture(docs: Seq[String]): CheckWxSource =
     new CheckWxSource(_ => s"""{"data":[${docs.mkString(",")}]}""")

@@ -58,13 +58,17 @@ class SimilaritySpec extends SparkSpec {
     // lands far below them.
     val recalls = graft.queries.SimilarityQueries.similarityRecall(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
-    val floors = Map("ivf" -> 0.25, "pq" -> 0.12, "sign_lsh" -> 0.005)
+    val floors = Map("ivf" -> 0.25, "pq" -> 0.12, "sign_lsh" -> 0.005,
+      "sign_lsh_multi" -> 0.02)
     floors.foreach { case (method, floor) =>
       assert(recalls(method) >= floor,
         s"$method recall ${recalls(method)} fell below pinned floor $floor")
     }
-    // and the exact baselines are sane: denominators are non-trivial
-    assert(recalls.size === 3)
+    assert(recalls.size === 4)
+    // the multi-table lever must actually lift recall over one table
+    assert(recalls("sign_lsh_multi") > recalls("sign_lsh"),
+      s"4-table LSH (${recalls("sign_lsh_multi")}) should beat " +
+        s"1-table (${recalls("sign_lsh")})")
   }
 
   test("PQ-ADC deterministic across partitionings") {

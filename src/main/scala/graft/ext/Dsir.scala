@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Data Selection via Importance Resampling — hashed n-gram importance
+  * weights (Xie et al., NeurIPS 2023; public literature): score every
+  * raw document by how much its hashed-token distribution looks like a
+  * TARGET domain versus the raw corpus, then keep the top fraction.
+  * The standard data-selection pass of an LLM pretraining pipeline:
+  * "select web documents that look like the high-quality target set".
+  *
+  * Model: tokens hash into 256 buckets (first two md5 hex chars — the
+  * engine-portable convention shared with [[Sampling]]); bucket
+  * unigram probabilities with add-1 smoothing estimated for the target
+  * slice and for the full raw corpus; a document's score is the summed
+  * per-token log-likelihood ratio `ln p_target(b) - ln p_raw(b)`.
+  *
+  * Determinism discipline: each bucket's log-ratio is rounded ONCE to
+  * an integer micro unit (1e-6), and per-document scores are BIGINT
+  * sums of those micro units — order-independent across partitionings
+  * and engines (summing raw doubles would vary with reduce order; the
+  * [[graft.queries]] oracle-parity rule). Selection is derandomized:
+  * instead of Gumbel-noise resampling, keep documents at or above the
+  * exact `quantile` score threshold — reproducible, and the
+  * production-sensible policy when the selection runs once per corpus
+  * snapshot.
+  *
+  * Shape at 100 TB: token explode is map-side; bucket counts are one
+  * 256-row groupBy (partial agg); the log-ratio table and the scalar
+  * threshold are broadcast; per-doc scoring is one (id) groupBy.
+  * Nothing scales with corpus size except the two linear passes.
+  */
+object Dsir {
+
+  /** Score and select: (id, score, selected) per input row.
+    * @param isTarget  boolean column marking the target-domain slice
+    *                  (evaluated on `df`'s rows)
+    * @param quantile  selection threshold quantile over scores
+    *                  (0.8 = keep top 20%)
+    */
+  def scoreAndSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, quantile: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"), isTarget.as("_tgt"),
+        explode(Text.tokens(coalesce(col(textCol), lit("")))).as("_tok"))
+      .withColumn("_bucket", substring(md5(col("_tok")), 1, 2))
+    val counts = toks.groupBy("_bucket").agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = counts.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
+    // 256-row log-ratio table, micro-int rounded at the source
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("_bucket"),
+        round(lit(1e6) *
+          (log((col("_ct") + lit(1.0)) / (col("_nt") + lit(256.0))) -
+           log((col("_cr") + lit(1.0)) / (col("_nr") + lit(256.0)))))
+          .cast("long").as("_lr_micro"))
+    val scored = toks.join(broadcast(lr), Seq("_bucket"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_lr_micro")).as("_score_micro"))
+    val thr = scored.agg(
+      expr(s"percentile(_score_micro, $quantile)").as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("_id").as(idCol),
+        round(col("_score_micro") / lit(1e6), 6).as("score"),
+        when(col("_score_micro") >= col("_thr"), 1).otherwise(0)
+          .as("selected"))
+  }
+}

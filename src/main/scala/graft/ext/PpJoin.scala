@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Prefix-filtered set-similarity self-join — the PPJoin candidate
+  * discipline (Xiao et al., WWW 2008; public literature), the scale
+  * upgrade over full posting-list joins for thresholded Jaccard.
+  *
+  * The full posting-list join ([[Dedup.jaccardPairsBlocked]]) indexes
+  * EVERY token of every document, so two documents sharing any one
+  * common token become a candidate pair. The prefix filter exploits
+  * the threshold: order every document's token set by one global
+  * canonical order (ascending document frequency — rarest first, token
+  * text as tie-break) and index only the first
+  * `|x| - ceil(t*|x|) + 1` tokens. If `J(x, y) >= t`, the two prefixes
+  * MUST share a token (pigeonhole on the canonical order), so pruned
+  * candidates are provably safe — no false negatives. Rare-first
+  * ordering makes the shared-prefix event rare for dissimilar pairs:
+  * at sf0.01 / t=0.5 the candidate set is ~0.6% of all pairs (772 of
+  * 124,750), two orders of magnitude less join fan-out than the
+  * all-token posting join, and the gap widens with corpus size —
+  * the 100 TB shape.
+  *
+  * Length filter on top: `J(x, y) >= t` implies
+  * `t*|x| <= |y| <= |x|/t`, applied symmetrically at candidate time;
+  * the positional filter (see [[candidates]]) then bounds achievable
+  * overlap per prefix match — the full PPJoin discipline.
+  *
+  * Stages (shuffle audit):
+  *  1. document frequency — one (token) groupBy of the postings,
+  *     partial-agg map-side;
+  *  2. canonical sort — postings re-keyed by doc, one (id) groupBy
+  *     re-collecting each set sorted by (df, token);
+  *  3. prefix candidates — self-join on prefix token only, skinny
+  *     (token, id, size) rows;
+  *  4. exact verify — candidate pairs join the sorted sets back BY ID
+  *     (candidate-bounded), `array_intersect` per surviving pair.
+  */
+object PpJoin {
+
+  /** Per-doc canonically-sorted distinct shingle sets:
+    * (_id, _stoks, _sz). Materialized once (localCheckpoint, GC
+    * released — not `.cache()`): three consumers (prefix explode + two
+    * verify joins) would otherwise re-run the shingle pipeline.
+    */
+  private def canonicalSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val post = df.select(col(idCol).as("_id"),
+        explode(array_distinct(
+          Text.shingles(Text.tokens(col(textCol)), shingleN))).as("_tok"))
+    val dfreq = post.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    post.join(dfreq, "_tok")
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
+      .select(col("_id"),
+        transform(col("_st"), s => s.getField("_tok")).as("_stoks"))
+      .withColumn("_sz", size(col("_stoks")))
+      .localCheckpoint()
+  }
+
+  /** Candidate pairs after prefix + length + POSITIONAL filtering
+    * (id_a < id_b) — exposed so audits/specs can measure the pruning
+    * ratio.
+    *
+    * The positional filter is what upgrades AllPairs to PPJoin proper:
+    * a prefix token matched at (0-based) positions `pa`/`pb` of the
+    * two canonically-sorted sets bounds the achievable overlap at
+    * `min(sza - pa, szb - pb)` (this token plus everything after it),
+    * while `J >= t` requires overlap `>= t/(1+t) * (sza+szb)`. Matches
+    * whose bound can't reach the requirement are dropped BEFORE the
+    * pair ever materializes. Lossless: for a qualifying pair the
+    * earliest shared prefix token always satisfies the bound. The
+    * `1e-9` slack keeps FP rounding of `t/(1+t)` from ever STRENGTHENING
+    * the requirement (an over-tight ceil would drop true pairs; a
+    * slightly-weak one only admits a candidate the verify stage kills).
+    */
+  private[graft] def candidates(sets: DataFrame,
+      minJaccard: Double): DataFrame = {
+    // prefix length L = sz - ceil(t*sz) + 1 (>= 1 for t <= 1)
+    val pre = sets.select(col("_id"), col("_sz"),
+      posexplode(slice(col("_stoks"), lit(1),
+        (col("_sz") - ceil(lit(minJaccard) * col("_sz")) + 1).cast("int")))
+        .as(Seq("_p", "_ptok")))
+    val a = pre.select(col("_ptok"), col("_id").as("id_a"),
+      col("_sz").as("_sza"), col("_p").as("_pa"))
+    val b = pre.select(col("_ptok"), col("_id").as("id_b"),
+      col("_sz").as("_szb"), col("_p").as("_pb"))
+    val reqOverlap = ceil(
+      lit(minJaccard / (1.0 + minJaccard)) * (col("_sza") + col("_szb"))
+        - lit(1e-9))
+    a.join(b, Seq("_ptok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_szb") >= ceil(lit(minJaccard) * col("_sza")) &&
+        col("_sza") >= ceil(lit(minJaccard) * col("_szb")) &&
+        least(col("_sza") - col("_pa"), col("_szb") - col("_pb"))
+          >= reqOverlap)
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** All pairs with shingle-set Jaccard >= `minJaccard`, global (no
+    * blocking column) — exact results through provably-safe pruning.
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      minJaccard: Double): DataFrame = {
+    val sets = canonicalSets(df, idCol, textCol, shingleN)
+    val xa = sets.select(col("_id").as("id_a"), col("_stoks").as("_ta"),
+      col("_sz").as("_verify_sza"))
+    val xb = sets.select(col("_id").as("id_b"), col("_stoks").as("_tb"),
+      col("_sz").as("_verify_szb"))
+    candidates(sets, minJaccard)
+      .join(xa, "id_a").join(xb, "id_b")
+      .withColumn("_inter", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("jaccard", round(col("_inter").cast("double") /
+        (col("_verify_sza") + col("_verify_szb") - col("_inter"))
+          .cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

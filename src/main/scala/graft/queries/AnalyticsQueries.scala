@@ -63,6 +63,31 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** The same 30-minute-gap sessions through Spark's NATIVE
+    * `session_window` aggregate — one partial-aggregating session
+    * merge instead of the two-window islands derivation the custom
+    * [[graft.operators.Sessionize]] runs; at scale the native form
+    * merges sessions map-side before the (user) shuffle. Break
+    * semantics verified equal to the custom operator INCLUDING the
+    * boundary: Spark merges a gap of exactly the timeout into one
+    * session (strictly-greater break — `SessionWindowSpec` pins it),
+    * so the oracle replays the same `>` break as `sessionize`.
+    */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_event_id"), col("last_event_id"),
+        col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** As-of join: each purchase event matched to the user's most recent
     * signup at-or-before it (SURVEY §2.7 — as-of "latest state"
     * semantics, here as a first-class operator).
@@ -1105,6 +1130,7 @@ object AnalyticsQueries {
     "window_running" -> (windowRunning _),
     "window_rank_lag" -> (windowRankLag _),
     "sessionize" -> (sessionize _),
+    "sessionize_native" -> (sessionizeNative _),
     "asof_signup" -> (asofSignup _),
     "asof_native" -> (asofNative _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -1789,6 +1815,27 @@ object AnalyticsQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // session_window semantics: break at gap > timeout (merge at the
+    // exact boundary — SessionWindowSpec), session_end = last ts +
+    // timeout.
+    "sessionize_native" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, min(event_id) AS first_event_id,
+        |  max(event_id) AS last_event_id, round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),

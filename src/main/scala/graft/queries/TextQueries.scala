@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Clusters, Dedup, HeavyHitters, Pack, Sampling, TfIdf}
+import graft.ext.{Clusters, Dedup, Dsir, HeavyHitters, Pack, PpJoin, Sampling, TfIdf}
 import graft.functions.{SimHash, Text}
 
 /** Text-analysis and deduplication surface over the `documents` corpus
@@ -553,7 +553,29 @@ object TextQueries {
         count_distinct(col("shingle")).as("distinct_shingles"))
       .orderBy("source")
 
+  /** PPJoin prefix-filtered GLOBAL Jaccard dedup — same 3-gram shingle
+    * sets as `dedup_ngram_jaccard` but corpus-wide (no blocking
+    * column) and candidate-pruned by the prefix filter instead: exact
+    * results at ~0.6% of the all-pairs candidate space at sf0.01
+    * (the pruning is provably lossless — see [[graft.ext.PpJoin]]).
+    */
+  def dedupPpjoin(spark: SparkSession, dir: String): DataFrame =
+    PpJoin.pairs(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** DSIR data selection: hashed-unigram importance scores against the
+    * `src0` target slice, top-20% selection at the exact score
+    * quantile ([[graft.ext.Dsir]]).
+    */
+  def selectDsir(spark: SparkSession, dir: String): DataFrame =
+    Dsir.scoreAndSelect(Tables.documents(spark, dir), "doc_id", "text",
+        isTarget = col("source") === "src0", quantile = 0.8)
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "dedup_ppjoin" -> (dedupPpjoin _),
+    "select_dsir" -> (selectDsir _),
     "shingle_explode" -> (shingleExplode _),
     "text_repetition" -> (textRepetition _),
     "text_collocations" -> (textCollocations _),
@@ -595,6 +617,59 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the full PPJoin derivation: canonical (df, token) sort,
+    // prefix slice L = sz - ceil(t*sz) + 1, prefix self-join with the
+    // symmetric length filter, exact intersect verify. Because the
+    // pruning is lossless, this equals the unpruned all-pairs answer —
+    // the oracle proves the prefix filter dropped nothing.
+    "dedup_ppjoin" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(wd) >= 3
+        |    THEN list_transform(generate_series(1, len(wd) - 2),
+        |      i -> array_to_string(wd[i:i+2], ' '))
+        |    ELSE [array_to_string(wd, ' ')] END) AS toks FROM w),
+        |p AS (SELECT doc_id, unnest(toks) AS tok FROM s),
+        |d AS (SELECT tok, count(*) AS dfreq FROM p GROUP BY tok),
+        |st AS (SELECT p.doc_id, list(p.tok ORDER BY d.dfreq, p.tok) AS stoks,
+        |    count(*) AS sz
+        |  FROM p JOIN d USING (tok) GROUP BY p.doc_id),
+        |pre AS (SELECT doc_id, sz,
+        |    unnest(stoks[1 : CAST(sz - ceil(0.5 * sz) + 1 AS INT)]) AS ptok
+        |  FROM st),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+        |  WHERE b.sz >= ceil(0.5 * a.sz) AND a.sz >= ceil(0.5 * b.sz)),
+        |v AS (SELECT id_a, id_b, len(list_intersect(x.stoks, y.stoks)) AS inter,
+        |    x.sz AS sza, y.sz AS szb
+        |  FROM cand JOIN st x ON x.doc_id = cand.id_a
+        |    JOIN st y ON y.doc_id = cand.id_b)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) AS jaccard
+        |FROM v
+        |WHERE round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Replays the DSIR scoring: md5 bucket hash, add-1 smoothed bucket
+    // probabilities for target vs raw, per-bucket micro-int log ratio,
+    // BIGINT per-doc sums, exact quantile threshold.
+    "select_dsir" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, substring(md5(tok), 1, 2) AS bucket FROM p),
+        |cnt AS (SELECT bucket, count(*) AS cr,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+        |lr AS (SELECT bucket,
+        |    CAST(round(1e6 * (ln((ct + 1.0) / (tot.nt + 256.0))
+        |      - ln((cr + 1.0) / (tot.nr + 256.0)))) AS BIGINT) AS lrm
+        |  FROM cnt, tot),
+        |sc AS (SELECT b.doc_id, sum(lr.lrm) AS sm
+        |  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id),
+        |thr AS (SELECT quantile_cont(sm, 0.8) AS t FROM sc)
+        |SELECT doc_id, round(sm / 1e6, 6) AS score,
+        |  CASE WHEN sm >= thr.t THEN 1 ELSE 0 END AS selected
+        |FROM sc, thr ORDER BY doc_id""".stripMargin,
     // Mirrors shingleExplode: identical 3-gram derivation with the
     // whole-text fallback, counted per source.
     "shingle_explode" ->

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge lists — PageRank as the
@@ -85,5 +85,94 @@ object Graph {
       }
       pr
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** Exact per-vertex triangle counts by degree orientation — the
+    * compact-forward discipline (Latapy 2008; public literature), the
+    * shape that makes triangle enumeration survive skewed graphs at
+    * scale.
+    *
+    * A naive wedge join fans out quadratically in the HOTTEST vertex's
+    * degree (a 10^6-degree hub makes 10^12 wedges). Orienting every
+    * edge from its lower-(degree, id) endpoint to the higher caps
+    * every vertex's OUT-degree at O(sqrt(m)) (a vertex with out-degree
+    * k has k neighbors of degree >= its own, so deg >= k and
+    * m >= k^2/2), so wedge fan-out is bounded by m^(3/2) /
+    * per-vertex sqrt(m)^2 regardless of hub skew — degree skew moves
+    * hubs to the IN side where they cost nothing. Each triangle is
+    * enumerated exactly once: from its lowest-order vertex, closed by
+    * the oriented edge between the other two.
+    *
+    * Shuffle audit: degree = one groupBy of endpoint mentions; wedge
+    * generation = one self-join of the oriented list on source; close
+    * = one equi-join of wedges against oriented edges on the
+    * (computed) closing key — no OR-joins, no per-vertex adjacency
+    * arrays, nothing keyed on raw hub ids.
+    *
+    * @param edges (u, v) distinct undirected edges with u < v
+    * @return (vertex, n_triangles) for vertices in >= 1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // degree lookups and the wedge self-join are containment probes
+    // over skinny integer rows — hash joins, never sort-merge (the
+    // sorts are pure overhead at every scale)
+    val ed = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du"))
+        .hint("SHUFFLE_HASH"), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv"))
+        .hint("SHUFFLE_HASH"), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // materialized once (GC-released): three consumers — both wedge
+    // sides and the closing-edge probe — would re-run the degree joins
+    val orient = ed.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("t"),
+      when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
+    val o1 = orient.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val o2 = orient.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    // the closing edge between b and c is oriented lower-(degree, id)
+    // to higher — computable from the carried degrees, keeping the
+    // probe a plain equi-join
+    val closeFwd = col("db") < col("dc") ||
+      (col("db") === col("dc") && col("b") < col("c"))
+    val wedges = o1.join(o2.hint("SHUFFLE_HASH"), Seq("s"))
+      .filter(col("b") < col("c"))
+      .select(col("s").as("a"), col("b"), col("c"),
+        when(closeFwd, col("b")).otherwise(col("c")).as("cs"),
+        when(closeFwd, col("c")).otherwise(col("b")).as("ct"))
+    // The wedge stream is the big side (m^(3/2) worst case, ~35x the
+    // edge count on the co-purchase graph) and the closing side is
+    // only edge-sized — so when the oriented edge list's plan-stat
+    // size is modest, broadcast it and the wedges never shuffle at
+    // all: they close map-side straight out of the wedge join's
+    // partitions (the single-node analogue of a shared hash table,
+    // and what DuckDB does here). Byte-guarded like Joins.dimJoin —
+    // past the cap (graphs whose edge list is itself huge) the close
+    // falls back to a plain shuffle join, which is the correct 1000x
+    // shape: the wedge stream shuffles once on (cs, ct), skinny rows.
+    // Sizing: plan statistics are useless here (the edge list sits
+    // behind a self-join whose size estimate is a product, and the
+    // checkpointed RDD reports no size), but orient is ALREADY
+    // materialized by the checkpoint — counting it is an O(cached
+    // blocks) job with zero source rescan, not the banned
+    // count-to-size-a-shuffle pattern. Exact n then drives the
+    // broadcast decision; past the cap the close is a SHUFFLE_HASH
+    // join (hash, not sort-merge: no reason to sort a 35x wedge
+    // stream for a containment probe).
+    val nEdges = orient.count()
+    val closing = orient.select(col("s").as("cs"), col("t").as("ct"))
+    val closeSide =
+      if (nEdges * 16L <= (64L << 20)) broadcast(closing)
+      else closing.hint("SHUFFLE_HASH")
+    val tri = wedges
+      .join(closeSide, Seq("cs", "ct"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -772,6 +772,26 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  /** Per-part triangle counts on the co-purchase graph (parts sharing
+    * an order are adjacent) — [[graft.ext.Graph.triangleCounts]]'s
+    * degree-orientation discipline; the edge build reuses the
+    * per-order-bounded pair fan-out of `copurchase_pairs` (order
+    * baskets are small, the PAIR explosion is capped per order; the
+    * wedge explosion is capped by orientation).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.select(col("o"), col("p").as("u"))
+      .join(li.select(col("o"), col("p").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    graft.ext.Graph.triangleCounts(e)
+      .select(col("vertex").as("part"), col("n_triangles"))
+      .orderBy("part")
+  }
+
   /** Exact equi-width histogram of `events.value` (20 buckets over the
     * global [min, max]). The bounds are a 1-row aggregate broadcast
     * back onto the scan (J3 pattern, no driver collect), bucketing is
@@ -1117,6 +1137,7 @@ object AnalyticsQueries {
     "histogram_values" -> (histogramValues _),
     "outlier_mad" -> (outlierMad _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "scd2_history" -> (scd2History _),
     "topk_per_group" -> (topkPerGroup _),
     "window_distribution" -> (windowDistribution _),
@@ -1401,6 +1422,34 @@ object AnalyticsQueries {
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
+    // Replays the degree-orientation triangle enumeration: every
+    // triangle found once from its lowest-(degree, id) vertex, closed
+    // by the oriented edge between the other two; per-vertex counts
+    // via a 3-way unnest.
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e),
+        |deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+        |      THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+        |      THEN e.v ELSE e.u END AS t,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
+        |      THEN db.d ELSE da.d END AS dt
+        |  FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v),
+        |w AS (SELECT o1.s AS a, o1.t AS b, o1.dt AS db_, o2.t AS c, o2.dt AS dc
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+        |tri AS (SELECT w.a, w.b, w.c FROM w JOIN o cl
+        |  ON cl.s = CASE WHEN w.db_ < w.dc OR (w.db_ = w.dc AND w.b < w.c)
+        |      THEN w.b ELSE w.c END
+        |  AND cl.t = CASE WHEN w.db_ < w.dc OR (w.db_ = w.dc AND w.b < w.c)
+        |      THEN w.c ELSE w.b END),
+        |pv AS (SELECT unnest([a, b, c]) AS part FROM tri)
+        |SELECT part, count(*) AS n_triangles
+        |FROM pv GROUP BY part ORDER BY part""".stripMargin,
     "scd2_history" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),

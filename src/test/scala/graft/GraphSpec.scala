@@ -45,4 +45,29 @@ class GraphSpec extends SparkSpec {
       .map(_.getLong(1)).distinct
     assert(pr.length === 1) // symmetric nodes keep identical rank
   }
+
+  test("triangles: K4 plus a triangle-free square, exact per-vertex counts") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, each vertex in 3) + square 5-6-7-8 (none)
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L)))
+      .toDF("u", "v")
+    val got = Graph.triangleCounts(edges).orderBy("vertex")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: invariant under partitioning; hub skew bounded by orientation") {
+    import spark.implicits._
+    // star hub 0 with 30 leaves + one closing edge (1,2): exactly ONE
+    // triangle; orientation must not enumerate the hub's quadratic
+    // wedge space as triangles
+    val edges = ((1L to 30L).map(i => (0L, i)) ++ Seq((1L, 2L))).toDF("u", "v")
+    val a = Graph.triangleCounts(edges).orderBy("vertex").collect().toSeq
+    val b = Graph.triangleCounts(edges.repartition(7)).orderBy("vertex")
+      .collect().toSeq
+    assert(a === b)
+    assert(a.map(r => r.getLong(0) -> r.getLong(1)) ===
+      Seq(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }

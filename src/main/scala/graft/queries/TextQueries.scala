@@ -1,11 +1,14 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{Clusters, Dedup, Dsir, HeavyHitters, Pack, PpJoin, Sampling, TfIdf}
 import graft.functions.{SimHash, Text}
+import graft.operators.Versioned
 
 /** Text-analysis and deduplication surface over the `documents` corpus
   * (north-star extensions: token statistics, quality signals, language
@@ -301,6 +304,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The production dedup-index lifecycle, completing the persisted-
+    * index family (IVF centroids, PQ codebooks — and now the MinHash
+    * LSH band postings): the corpus's (band_idx, band_key, c_id)
+    * posting index is built ONCE and persisted as a versioned table;
+    * each arriving batch computes only its OWN signatures and joins
+    * the persisted postings — the corpus is never re-signed (its text
+    * is re-read only to verify the candidate pairs, candidate-bounded).
+    * At 100 TB this is the only affordable shape: signing the corpus
+    * is the expensive pass, and it happens once per index version, not
+    * once per batch.
+    */
+  def dedupLshIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val root = Files.createTempDirectory("graft-lshindex").toString
+    Versioned.write(spark, s"$root/bands",
+      Dedup.minhashBands(corpus, "doc_id", "text")
+        .select(col("doc_id").as("c_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+    val idx = Versioned.read(spark, s"$root/bands")
+    val probe = Dedup.minhashBands(batch, "doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cands = probe.join(idx, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("c_id")).distinct()
+    def sets(df: DataFrame, as: String) = df.select(col("doc_id").as(as),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as(as + "_s"))
+    val near = cands
+      .join(sets(batch, "doc_id"), "doc_id")
+      .join(sets(corpus, "c_id"), "c_id")
+      .withColumn("_i", size(array_intersect(col("doc_id_s"), col("c_id_s"))))
+      .filter(round(col("_i").cast("double") /
+        (size(col("doc_id_s")) + size(col("c_id_s")) - col("_i"))
+          .cast("double"), 4) >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("c_id")).as("lsh_match"), count(lit(1)).as("n_lsh"))
+    batch.select(col("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("n_lsh", coalesce(col("n_lsh"), lit(0L)))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary induction: top-50 terms by corpus frequency (ties
     * broken alphabetically) with document frequency — the seed of
     * tokenizer training. The heavy part is the distributed term
@@ -576,6 +622,7 @@ object TextQueries {
   val defs: Map[String, Q] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "select_dsir" -> (selectDsir _),
+    "dedup_lsh_index" -> (dedupLshIndex _),
     "shingle_explode" -> (shingleExplode _),
     "text_repetition" -> (textRepetition _),
     "text_collocations" -> (textCollocations _),
@@ -617,6 +664,36 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the persisted-index LSH probe: identical md5 minhash
+    // signatures and 4x4 banding for corpus AND batch, band-bucket
+    // join restricted to batch-vs-corpus, exact Jaccard verify,
+    // per-batch-doc aggregation. Identical derivation to
+    // dedup_minhash_lsh's — the persisted index changes WHERE the
+    // postings live, not what they contain.
+    "dedup_lsh_index" ->
+      s"""WITH $shingleCte,
+        |sig AS (SELECT doc_id, s,
+        |  list_transform(generate_series(0, 15),
+        |    i -> list_min(list_transform(s, x -> md5(i || '|' || x)))) AS g
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b,
+        |    md5(array_to_string(g[4*b+1:4*b+4], '|')) AS bk
+        |  FROM sig, generate_series(0, 3) gs(b)),
+        |cand AS (SELECT DISTINCT bb.doc_id, cc.doc_id AS c_id
+        |  FROM bands bb JOIN bands cc ON bb.b = cc.b AND bb.bk = cc.bk
+        |  WHERE bb.doc_id % 5 = 0 AND cc.doc_id % 5 <> 0),
+        |near AS (SELECT cand.doc_id, cand.c_id
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_id
+        |    JOIN sh sb ON sb.doc_id = cand.c_id
+        |  WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+        |    >= 0.5),
+        |agg AS (SELECT doc_id, min(c_id) AS lsh_match, count(*) AS n_lsh
+        |  FROM near GROUP BY doc_id)
+        |SELECT d.doc_id, a.lsh_match, coalesce(a.n_lsh, 0) AS n_lsh
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Replays the full PPJoin derivation: canonical (df, token) sort,
     // prefix slice L = sz - ceil(t*sz) + 1, prefix self-join with the
     // symmetric length filter, exact intersect verify. Because the

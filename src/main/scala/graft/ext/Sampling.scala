@@ -77,4 +77,47 @@ object Sampling {
           .otherwise(array().cast("array<int>"))))
       .withColumn("epoch", col("epoch").cast("long"))
   }
+
+  /** Temperature-based mixture resampling — the multilingual
+    * `p^alpha` re-weighting (XLM-R / mBERT style; public literature):
+    * group `s` with corpus share `p_s` is resampled to share
+    * `p_s^alpha / sum_t p_t^alpha`, flattening the distribution for
+    * `alpha < 1` (rare groups repeat, dominant groups downsample)
+    * while keeping the expected corpus size.
+    *
+    * Per-row repeat counts are the [[mixWeighted]] discipline:
+    * deterministic integer base + md5-bucket fractional extras — no
+    * RNG, reproducible, nested. Weights come from one tiny
+    * (groups-sized) aggregate broadcast back; the normalizer `Z` is
+    * folded over a group-sorted array (sequential HOF fold), so the
+    * float sum is order-independent across partitionings and engines.
+    * The rest is exact: integer counts, one `round(, 6)` snap of the
+    * per-group rate, integer bucket threshold.
+    */
+  def mixTemperature(df: DataFrame, key: Column, groupCol: String,
+      alpha: Double): DataFrame = {
+    val cnt = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val tot = cnt.agg(
+      sum(col("_n")).as("_tot"),
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("_g"),
+          pow(col("_n"), lit(alpha)).as("_p")))),
+        lit(0.0), (acc, x) => acc + x.getField("_p")).as("_Z"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        round(col("_tot") * pow(col("_n"), lit(alpha)) /
+          (col("_Z") * col("_n")), 6).as("_r"))
+      .select(col(groupCol), floor(col("_r")).cast("int").as("_base"),
+        floor((col("_r") - floor(col("_r"))) * 256).cast("int").as("_thr"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    df.join(broadcast(w), Seq(groupCol))
+      .withColumn("_reps",
+        (col("_base") + when(bucket < col("_thr"), 1).otherwise(0)).cast("int"))
+      .withColumn("epoch",
+        explode(when(col("_reps") >= 1, sequence(lit(1), col("_reps")))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("_base", "_thr", "_reps")
+  }
 }

@@ -264,6 +264,17 @@ object TextQueries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Temperature mixing over the (skewed) language distribution:
+    * alpha = 0.5 boosts rare languages and downsamples the dominant
+    * one while keeping the expected corpus size
+    * ([[graft.ext.Sampling.mixTemperature]]).
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixTemperature(Tables.documents(spark, dir), col("doc_id"),
+        "lang", alpha = 0.5)
+      .select("doc_id", "lang", "epoch")
+      .orderBy("doc_id", "epoch")
+
   /** Benchmark decontamination: shared-shingle counts of training docs
     * (sources ≠ src0) against the benchmark set (src0)
     * ([[graft.ext.Dedup.contamination]]).
@@ -635,6 +646,7 @@ object TextQueries {
     "vocab_topk" -> (vocabTopk _),
     "chunk_documents" -> (chunkDocuments _),
     "mix_weighted" -> (mixWeighted _),
+    "mix_temperature" -> (mixTemperature _),
     "decontaminate" -> (decontaminate _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "text_clean" -> (textClean _),
@@ -955,6 +967,25 @@ object TextQueries {
         |  array_to_string(l[s:s+31], ' ') AS chunk_text,
         |  CAST(least(len(l) - s + 1, 32) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Replays p^alpha temperature weights: integer counts, group-
+    // sorted list_reduce fold for Z (the exact float-order twin of the
+    // Spark side's sorted HOF fold), round(,6) rate snap, integer
+    // md5-bucket threshold, deterministic repetition.
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n) AS total,
+        |  list_reduce(list(pow(n, 0.5) ORDER BY lang), (a, b) -> a + b) AS z
+        |  FROM c),
+        |w AS (SELECT lang, CAST(floor(r) AS INT) AS base,
+        |    CAST(floor((r - floor(r)) * 256) AS INT) AS thr
+        |  FROM (SELECT lang, round(total * pow(n, 0.5) / (z * n), 6) AS r
+        |    FROM c, tot)),
+        |d AS (SELECT doc_id, d.lang, w.base +
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+        |      < w.thr THEN 1 ELSE 0 END AS reps
+        |  FROM documents d JOIN w USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch
+        |FROM d WHERE reps >= 1 ORDER BY doc_id, epoch""".stripMargin,
     "mix_weighted" ->
       """WITH w AS (SELECT doc_id, source,
         |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END +

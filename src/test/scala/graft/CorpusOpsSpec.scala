@@ -66,6 +66,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (1L, 2L)))
   }
 
+  test("mixTemperature flattens a skewed mixture, deterministic across partitionings") {
+    // 200 "big" vs 8 "small": alpha=0.5 must downsample big (rate < 1)
+    // and upsample small (rate > 1) while roughly conserving size
+    val df = ((1L to 200L).map(i => (i, "big")) ++
+      (201L to 208L).map(i => (i, "small"))).toDF("id", "grp")
+    val out = Sampling.mixTemperature(df, col("id"), "grp", alpha = 0.5)
+    val per = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(per("big") < 200, s"dominant group must downsample, got ${per("big")}")
+    assert(per("small") > 8, s"rare group must upsample, got ${per("small")}")
+    val total = per.values.sum
+    assert(total > 180 && total < 230, s"expected-size conservation, got $total")
+
+    val re = Sampling.mixTemperature(df.repartition(7), col("id"), "grp", 0.5)
+    assert(re.orderBy("id", "epoch").collect().toSeq ===
+      out.orderBy("id", "epoch").collect().toSeq)
+  }
+
   test("contamination flags exactly the planted overlap") {
     val df = Seq(
       (1L, "alpha beta gamma delta", true),

@@ -57,6 +57,13 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangles: close join broadcasts below the byte cap") {
+    val plan = graft.queries.AnalyticsQueries.graphTriangles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "edge-sized closing side should broadcast at small scale")
+  }
+
   test("triangles: invariant under partitioning; hub skew bounded by orientation") {
     import spark.implicits._
     // star hub 0 with 30 leaves + one closing edge (1,2): exactly ONE

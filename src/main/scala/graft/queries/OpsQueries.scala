@@ -511,11 +511,12 @@ object OpsQueries {
   }
 
   /** File-source format coverage: the same rows round-tripped through
-    * JSONL and headered CSV, read back with PINNED schemas (schema
-    * inference is a full extra pass at 100 TB and a drift hazard —
-    * production reads declare their schema), then aggregated together.
-    * Exact integer-cent sums prove the values survived both text
-    * encodings bit-for-bit (Spark writes shortest-round-trip doubles).
+    * JSONL, headered CSV AND binary-columnar ORC, read back with
+    * PINNED schemas (schema inference is a full extra pass at 100 TB
+    * and a drift hazard — production reads declare their schema), then
+    * aggregated together. Exact integer-cent sums prove the values
+    * survived all three encodings bit-for-bit (Spark writes
+    * shortest-round-trip doubles; ORC stores the doubles natively).
     */
   def sourceFormats(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-fmt").toString
@@ -523,11 +524,16 @@ object OpsQueries {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     ev.write.mode("overwrite").json(s"$tmp/jsonl")
     ev.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    // ORC: the binary-columnar round trip (type metadata carried in the
+    // file, no parse step) — the third failure class after the two text
+    // encodings
+    ev.write.mode("overwrite").orc(s"$tmp/orc")
     val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
     val j = spark.read.schema(schema).json(s"$tmp/jsonl")
     val c = spark.read.schema(schema)
       .option("header", "true").csv(s"$tmp/csv")
-    j.unionByName(c)
+    val o = spark.read.schema(schema).orc(s"$tmp/orc")
+    j.unionByName(c).unionByName(o)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
@@ -669,8 +675,8 @@ object OpsQueries {
     // both format copies carry the same rows, so every count/sum is
     // exactly double the source table's
     "source_formats" ->
-      """SELECT event_type, 2 * count(*) AS n_rows,
-        |  CAST(2 * sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      """SELECT event_type, 3 * count(*) AS n_rows,
+        |  CAST(3 * sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The bit-interleave is generated by the SAME code that builds the

@@ -288,8 +288,12 @@ object Dedup {
     * (doc_id, pos)) is left unmarked, so one survivor copy of every
     * repeated span keeps its text; only the later occurrences are
     * swept. The survivor choice is deterministic (lexicographic min),
-    * and the extra cost is one window over the REPEATED occurrences
-    * only (stage 3's already-shuffled stream, never the corpus).
+    * computed as a partial-aggregating `min(struct(doc_id, pos))` per
+    * hash + an equi-join back over the REPEATED occurrences only —
+    * never a per-hash sort window: a boilerplate k-gram at corpus
+    * scale has 10⁸+ occurrences, and a `row_number` window would sort
+    * them all inside ONE partition, while the partial agg combines
+    * map-side and ships one row per hash per map task.
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, keepFirst: Boolean = false): DataFrame = {
@@ -314,12 +318,17 @@ object Dedup {
     val markedOcc =
       if (!keepFirst) hits
       else {
-        // survivor per k-gram = its corpus-global first occurrence;
-        // rank only the repeated occurrences (tiny vs the corpus)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-        hits.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") > 1).drop("_rn")
+        // survivor per k-gram = its corpus-global first occurrence,
+        // min(struct(doc_id, pos)): partial agg (skew-proof — a
+        // 10⁸-occurrence boilerplate gram combines map-side instead of
+        // sorting in one window partition), then an h-keyed join-back
+        // marks everything that isn't the survivor
+        val surv = hits.groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("_s"))
+        hits.join(surv, "h")
+          .filter(col("doc_id") =!= col("_s.doc_id") ||
+            col("pos") =!= col("_s.pos"))
+          .select(col("doc_id"), col("pos"), col("h"))
       }
     val marked = markedOcc
       .groupBy(col("doc_id")).agg(sort_array(collect_set(col("pos"))).as("marks"))

@@ -26,13 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** A broadcast HashedRelation of a pair of word-sized columns costs
+    * ~4–6× the raw 16 B/row (hash table, pointers, row overhead) — so
+    * size broadcast decisions at 64 B/row, not the raw width. 64 MB
+    * cap → ~1M rows max on the broadcast side. */
+  private[graft] val BytesPerRow = 64L
+  private[graft] val DefaultBroadcastCap = 64L << 20
+
+  /** Join `big` against a node-keyed `dim` side: broadcast when the
+    * caller's byte-guard says the dim side fits, co-partitioned
+    * SHUFFLE_HASH join past it (hash, not sort-merge — these are
+    * containment/lookup probes over skinny rows; sorting buys
+    * nothing). The guard is what makes the regime switch ENFORCED
+    * rather than a comment: explicit `broadcast()` ignores
+    * `autoBroadcastJoinThreshold`, so an unguarded call OOMs at
+    * web-graph node counts instead of degrading to the shuffle plan.
+    */
+  private[graft] def nodeJoin(big: DataFrame, dim: DataFrame,
+      keys: Seq[String], joinType: String, fits: Boolean): DataFrame =
+    if (fits) big.join(broadcast(dim), keys, joinType)
+    else big.join(dim.hint("SHUFFLE_HASH"), keys, joinType)
+
   /** @param nodes (node) — one row per vertex, must cover every edge
     *              endpoint
     * @param edges (src, dst) — distinct directed edges
+    * @param broadcastCapBytes max estimated bytes (at [[BytesPerRow]]
+    *              per node) for the O(|nodes|) rank/inflow tables to
+    *              broadcast; past it every node-keyed join runs as a
+    *              co-partitioned shuffle-hash join
     * @return (node, pr) — BIGINT fixed-point rank, sum ≈ scale
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      broadcastCapBytes: Long = DefaultBroadcastCap): DataFrame = {
     val spark = nodes.sparkSession
     // materialize both caller plans ONCE — edges appears on both sides
     // of the outdeg join, nodes in the dangling set, the initial ranks
@@ -54,28 +80,27 @@ object Graph {
     var pr = nd.select(col("node"), lit(scale / n).as("pr"))
       .localCheckpoint()
     // each round is ONE shuffle (the inflow groupBy of (dst, contrib)
-    // pairs); ranks broadcast to the edge scan — O(|nodes|) rows, the
-    // natural broadcast side of a power-iteration (at web-graph node
-    // counts, swap for a shuffle join on src / pre-bucketed edges)
+    // pairs); the O(|nodes|) rank/inflow tables broadcast to the edge
+    // scan only while they fit the byte cap — past it (web-graph node
+    // counts) every node-keyed join degrades to a co-partitioned
+    // shuffle-hash join instead of OOMing the executors (same enforced
+    // regime switch as triangleCounts' closing side)
+    val fits = n * BytesPerRow <= broadcastCapBytes
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val p = math.max(4L, math.min(saved.toLong, n / 50000L)).toString
     spark.conf.set("spark.sql.shuffle.partitions", p)
     try {
       for (_ <- 1 to iters) {
-        val inflow = e
-          .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        val inflow = nodeJoin(e, pr.withColumnRenamed("node", "src"),
+            Seq("src"), "inner", fits)
           .select(col("dst").as("node"), expr("pr div outdeg").as("contrib"))
           .groupBy("node")
           .agg(sum(col("contrib")).as("infl"))
         // dangling mass spreads evenly: 1-row aggregate, broadcast
         // back — never collected on the driver
-        val dang = pr.join(broadcast(dangNodes), Seq("node"), "left_semi")
+        val dang = nodeJoin(pr, dangNodes, Seq("node"), "left_semi", fits)
           .agg(coalesce(sum(col("pr")), lit(0L)).as("_dm"))
-        // inflow is O(|nodes|) — the same broadcast compromise as the
-        // rank lookup above (at web-graph scale swap both for shuffle
-        // joins on pre-bucketed node id)
-        pr = nd.select("node")
-          .join(broadcast(inflow), Seq("node"), "left")
+        pr = nodeJoin(nd.select("node"), inflow, Seq("node"), "left", fits)
           .crossJoin(broadcast(dang))
           .select(col("node"),
             (lit(base) + expr(
@@ -167,7 +192,7 @@ object Graph {
     val nEdges = orient.count()
     val closing = orient.select(col("s").as("cs"), col("t").as("ct"))
     val closeSide =
-      if (nEdges * 16L <= (64L << 20)) broadcast(closing)
+      if (nEdges * BytesPerRow <= DefaultBroadcastCap) broadcast(closing)
       else closing.hint("SHUFFLE_HASH")
     val tri = wedges
       .join(closeSide, Seq("cs", "ct"))

@@ -185,12 +185,23 @@ object RelationalQueries {
     * product, and block WIDTH, not table size, is what the scorer
     * pays). Scoring is multi-attribute and
     * integer-exact (`levenshtein` on the name + absolute size delta),
-    * and the best match per dirty record is an `rn = 1` window over
-    * one (d_id)-partitioned shuffle. The `correct` column audits
-    * linkage precision against the known ground truth.
+    * and the best match per dirty record is one partial-aggregating
+    * `min(struct(dist, p_partkey))` + `count` pass per `d_id` — a
+    * single map-side-combining shuffle, no sort window (the unordered
+    * `count` window the previous shape used forced a second full
+    * window pass AND blocked the `LatestWindowToMaxBy` rewrite). The
+    * scorer runs the banded 3-arg `levenshtein`: far pairs bail at the
+    * cap in O(len·cap) instead of O(len²). Exactness is preserved
+    * because the corruption only drops 'a's, so the self-pair (always
+    * in its own block: same brand, same size) scores at most the
+    * name's 'a'-count (≤2 in this corpus, names ≤12 chars) — any
+    * capped-out candidate (dist > cap ≥ winner) is strictly worse and
+    * the sentinel can never win. The `correct` column audits linkage
+    * precision against the known ground truth.
     */
   def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // cap ≥ max possible winner dist (a-count ≤ 2; margin for bigger SFs)
+    val maxLev = 8
     val parts = Tables.part(spark, dir)
       .select("p_partkey", "p_name", "p_brand", "p_size")
     val dirty = parts.select(col("p_partkey").as("d_id"),
@@ -198,19 +209,26 @@ object RelationalQueries {
       col("p_brand").as("d_brand"), col("p_size").as("d_size"))
     val cand = dirty.join(parts, col("d_brand") === col("p_brand") &&
         expr("d_size div 8") === expr("p_size div 8"))
+      .withColumn("lev",
+        levenshtein(col("d_name"), col("p_name"), maxLev).cast("long"))
       .withColumn("dist",
-        levenshtein(col("d_name"), col("p_name")).cast("long") +
-        abs(col("d_size") - col("p_size")).cast("long"))
-    val w = Window.partitionBy(col("d_id"))
-      .orderBy(col("dist"), col("p_partkey"))
+        when(col("lev") >= 0,
+          col("lev") + abs(col("d_size") - col("p_size")).cast("long"))
+          .otherwise(lit(1L << 20)))
+    // (dist, p_partkey) packed into one long: min over the packed key IS
+    // the lexicographic (dist, partkey) argmin (dist ≤ 2^20 sentinel,
+    // partkey < 2^32 — 4B parts — so the pack can't collide or overflow),
+    // and a long min hash-aggregates where min(struct) would force a
+    // SortAggregate — i.e. a full per-partition sort of every candidate
     cand
-      .withColumn("n_candidates", count(lit(1)).over(
-        Window.partitionBy(col("d_id"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("d_id"), col("p_partkey").as("best_match"),
-        col("dist").as("best_dist"), col("n_candidates"),
-        (col("p_partkey") === col("d_id")).as("correct"))
+      .withColumn("_k", shiftleft(col("dist"), 32) + col("p_partkey"))
+      .groupBy(col("d_id"))
+      .agg(min(col("_k")).as("_m"), count(lit(1)).as("n_candidates"))
+      .select(col("d_id"),
+        (col("_m") % (1L << 32)).as("best_match"),
+        shiftright(col("_m"), 32).as("best_dist"),
+        col("n_candidates"),
+        ((col("_m") % (1L << 32)) === col("d_id")).as("correct"))
       .orderBy("d_id")
   }
 

@@ -46,6 +46,31 @@ class GraphSpec extends SparkSpec {
     assert(pr.length === 1) // symmetric nodes keep identical rank
   }
 
+  test("pagerank: shuffle regime above the byte cap — no broadcast hash join") {
+    import spark.implicits._
+    // cap 0 forces the past-the-cap regime on any graph: every
+    // node-keyed join must run as a shuffle join, never a broadcast
+    // (explicit broadcast() ignores autoBroadcastJoinThreshold, so an
+    // unguarded regime would OOM at web-graph node counts)
+    val big = Seq(("a", "b")).toDF("src", "dst")
+    val ranks = Seq(("a", 1L)).toDF("src", "pr")
+    val fitPlan = Graph.nodeJoin(big, ranks, Seq("src"), "inner", fits = true)
+      .queryExecution.executedPlan.toString
+    assert(fitPlan.contains("BroadcastHashJoin"), fitPlan.take(400))
+    val bigPlan = Graph.nodeJoin(big, ranks, Seq("src"), "inner", fits = false)
+      .queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("Broadcast"), bigPlan.take(400))
+    assert(bigPlan.contains("ShuffledHashJoin"), bigPlan.take(400))
+  }
+
+  test("pagerank: bit-identical across broadcast and shuffle regimes") {
+    val (nodes, edges) = toy()
+    val a = Graph.pageRank(nodes, edges).orderBy("node").collect().toSeq
+    val b = Graph.pageRank(nodes, edges, broadcastCapBytes = 0L)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
   test("triangles: K4 plus a triangle-free square, exact per-vertex counts") {
     import spark.implicits._
     // K4 on 1..4 (4 triangles, each vertex in 3) + square 5-6-7-8 (none)

@@ -176,6 +176,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalQueries.recordLinkage(spark, sf))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // best-match selection is one partial-aggregating min(struct) pass,
+    // not a sort window over each d_id partition
+    assert(!p.contains("Window"), p.take(600))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      p.take(600))
   }
 
   test("temporal join resolves intervals behind an equi-join on the key") {

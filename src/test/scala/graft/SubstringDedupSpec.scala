@@ -77,6 +77,29 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(1)._3 === 0L)
   }
 
+  test("keepFirst: one boilerplate k-gram repeated >> others — skewed survivor agg") {
+    import spark.implicits._
+    // 200 docs all share the SAME boilerplate 4-gram (one hash holds
+    // ~99% of the repeated occurrences); doc 0 also carries a second,
+    // lightly-repeated span. The survivor of the hot gram must be its
+    // (min doc_id, min pos) occurrence, and the plan must select it
+    // with a partial aggregate, not a per-hash sort window (one window
+    // partition would sort all 10⁸ occurrences of such a gram at
+    // corpus scale).
+    val boiler = "all rights reserved inc"
+    val docs = (0L until 200L).map(d => (d, s"u${d}a u${d}b $boiler u${d}c"))
+    val df = Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", K, keepFirst = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    val out = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(out(0) === ((0L, s"u0a u0b $boiler u0c"))) // survivor keeps text
+    (1 until 200).foreach { d =>
+      assert(out(d) === ((d.toLong, s"u${d}a u${d}b u${d}c")))
+    }
+  }
+
   test("docs shorter than k tokens never match and pass through") {
     val out = run(Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny doc")))
     assert(out.forall(_._3 === 0L))

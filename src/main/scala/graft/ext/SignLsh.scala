@@ -32,17 +32,29 @@ object SignLsh {
       when(round(Vectors.dot(vec, typedlit(p)), 9) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Hyperplane dimensionality: caller-passed when known (the usual
+    * case — it is part of the embedding table's contract) so signature
+    * building launches NO pre-plan sizing job; left at -1, a 1-row
+    * probe job reads it from the data (limit pushes into the scan).
+    * Probing beats hardcoding — a wrong dim would silently bucket
+    * non-matching embeddings on a truncated/null prefix — but it is a
+    * driver-blocking job per call, the pattern the index specs guard
+    * against everywhere else.
+    */
+  private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else df.select(size(col(vecCol)).as("_d")).head().getInt(0)
+
   /** Near-duplicate pairs above `minCosine`, candidates from shared
     * LSH buckets (pairs in different buckets are missed — that is the
     * approximation; raise recall with fewer bits or multiple tables).
+    *
+    * @param dim embedding dimensionality — pass it when known so the
+    *            call launches no sizing job (see [[resolveDim]])
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, minCosine: Double): DataFrame = {
-    // derive hyperplane dimensionality from the data (1-row probe, limit
-    // pushes into the scan) — a hardcoded dim would silently bucket
-    // non-matching embeddings on a truncated/null prefix
-    val dim = df.select(size(col(vecCol)).as("_d")).head().getInt(0)
-    val planes = hyperplanes(bits, dim)
+      bits: Int, minCosine: Double, dim: Int = -1): DataFrame = {
+    val planes = hyperplanes(bits, resolveDim(df, vecCol, dim))
     val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", Vectors.norm(col("_v")))
       .withColumn("_u",
@@ -74,9 +86,9 @@ object SignLsh {
     * gate showed the single-table recall floor.
     */
   def nearDupPairsMulti(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, tables: Int, minCosine: Double): DataFrame = {
+      bits: Int, tables: Int, minCosine: Double, dim: Int = -1): DataFrame = {
     require(tables >= 1, "need at least one hash table")
-    val dim = df.select(size(col(vecCol)).as("_d")).head().getInt(0)
+    val d = resolveDim(df, vecCol, dim)
     val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", Vectors.norm(col("_v")))
       .withColumn("_u",
@@ -84,7 +96,7 @@ object SignLsh {
           .otherwise(col("_v")))
     val sig = e.select(col(idCol),
       posexplode(array((0 until tables).map(t =>
-        signature(col("_u"), hyperplanes(bits, dim, 42L + t))): _*))
+        signature(col("_u"), hyperplanes(bits, d, 42L + t))): _*))
         .as(Seq("_t", "_bucket")))
     val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
     val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))

@@ -66,6 +66,9 @@ object Wav {
         s"truncated $id chunk")
       id match {
         case "fmt " =>
+          // fields below read off+8..off+23 — a smaller declared chunk
+          // would silently read into the next chunk's bytes
+          require(size >= 16, s"fmt chunk too small: $size bytes")
           require(le16(bytes, off + 8) == 1, "only PCM (format 1) supported")
           fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12),
             le16(bytes, off + 22)))

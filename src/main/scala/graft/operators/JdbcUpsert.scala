@@ -39,6 +39,15 @@ object JdbcUpsert {
     name
   }
 
+  /** Table names may be schema-qualified — validate each dot-separated
+    * part with the same unsafe-identifier guard every column gets. */
+  private def identTable(name: String): String = {
+    val parts = name.split("\\.", -1)
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"unsafe SQL table name: $name")
+    name
+  }
+
   /** Postgres `INSERT ... ON CONFLICT (keys) DO UPDATE SET c =
     * EXCLUDED.c` with one `?` placeholder per column, in column order.
     * @param extraSet verbatim extra SET clauses (the reference stamps
@@ -48,7 +57,7 @@ object JdbcUpsert {
       keys: Seq[String], extraSet: Seq[String] = Nil): String = {
     require(keys.nonEmpty && keys.forall(cols.contains),
       "keys must be a non-empty subset of cols")
-    cols.foreach(ident); keys.foreach(ident)
+    identTable(table); cols.foreach(ident); keys.foreach(ident)
     val nonKeys = cols.filterNot(keys.contains)
     require(nonKeys.nonEmpty || extraSet.nonEmpty,
       "nothing to update on conflict")
@@ -69,7 +78,7 @@ object JdbcUpsert {
     val names = cols.map(_._1)
     require(keys.nonEmpty && keys.forall(names.contains),
       "keys must be a non-empty subset of cols")
-    names.foreach(ident); keys.foreach(ident)
+    identTable(table); names.foreach(ident); keys.foreach(ident)
     val nonKeys = names.filterNot(keys.contains)
     require(nonKeys.nonEmpty, "nothing to update on match")
     val src = cols.map { case (_, t) => s"CAST(? AS $t)" }.mkString(", ")
@@ -89,9 +98,18 @@ object JdbcUpsert {
     * nature, so prefer the single-statement dialects where the server
     * offers one; correctness contract (at-least-once replay collapses)
     * is identical.
+    *
+    * Replay caveat: drivers with AFFECTED-rows semantics (MySQL
+    * without `CLIENT_FOUND_ROWS`) return 0 from an UPDATE that writes
+    * identical values, sending a replayed row down the INSERT branch.
+    * The duplicate-key failure that causes is caught and treated as a
+    * no-op — the key provably exists, so the replayed row has already
+    * been applied. Connect with matched-rows semantics where available;
+    * the catch keeps replays idempotent either way.
     */
   def writeGeneric(df: DataFrame, url: String, table: String,
       keys: Seq[String]): Unit = {
+    identTable(table)
     val cols = df.schema.fieldNames.toSeq
     cols.foreach(ident); keys.foreach(ident)
     val nonKeys = cols.filterNot(keys.contains)
@@ -118,7 +136,13 @@ object JdbcUpsert {
                 }
                 if (upd.executeUpdate() == 0) {
                   cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
-                  ins.executeUpdate()
+                  try ins.executeUpdate()
+                  catch {
+                    // affected-rows drivers report 0 for an identical
+                    // -value UPDATE; the key exists, the replayed row
+                    // is already applied — no-op (see Scaladoc)
+                    case _: java.sql.SQLIntegrityConstraintViolationException =>
+                  }
                 }
               }
               conn.commit()

@@ -74,8 +74,13 @@ object MergeWriter {
   def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], versionCols: Seq[String], partCol: String): Unit = {
     spark.catalog.refreshByPath(dir)
-    val incoming = updates.withColumn("_src", lit(1))
     val fresh = !exists(spark, dir)
+    // the non-fresh path reads `updates` twice (touched-partition values,
+    // then the merge itself) — materialize the batch once so an expensive
+    // upstream plan (at 100 TB: a filtered source scan) runs once, not
+    // twice; localCheckpoint spills per-partition blocks, no driver heap
+    val inc0 = if (fresh) updates else updates.localCheckpoint()
+    val incoming = inc0.withColumn("_src", lit(1))
     val unioned =
       if (fresh) incoming
       else {
@@ -84,7 +89,7 @@ object MergeWriter {
         // scan — only touched dirs are listed into the plan, no join,
         // no exchange (vs a broadcast semi join, which still scans the
         // full partition listing through the probe side)
-        val touched = updates.select(partCol).distinct().collect()
+        val touched = inc0.select(partCol).distinct().collect()
           .map(_.get(0)).toSeq
         spark.read.parquet(dir)
           .filter(col(partCol).isInCollection(touched))

@@ -75,11 +75,20 @@ object Anomaly {
   }
 
   /** Q6 across runs: diff every consecutive snapshot pair in the
-    * persisted history. The snapshot table is pure metadata (runs x
-    * columns rows), so driver-side diffing is bounded and exact.
+    * trailing `lastRuns` window of the persisted history. Each row is
+    * (run, column)-sized metadata, but the table grows without bound —
+    * a daily pipeline collects a decade of runs otherwise — so the
+    * collect is pruned in-frame to the last `lastRuns`+1 snapshots
+    * (enough for `lastRuns` consecutive diffs; drift is reported the
+    * run it happens, so older pairs were already reported when they
+    * were the newest).
     */
-  def schemaDrift(spark: SparkSession, schemaDir: String): Seq[(String, Seq[String])] = {
-    val byRun = spark.read.parquet(schemaDir).collect()
+  def schemaDrift(spark: SparkSession, schemaDir: String,
+      lastRuns: Int = 50): Seq[(String, Seq[String])] = {
+    val snaps = spark.read.parquet(schemaDir)
+    val keep = snaps.select("run_id").distinct()
+      .orderBy(col("run_id").desc).limit(lastRuns + 1)
+    val byRun = snaps.join(broadcast(keep), "run_id").collect()
       .map(r => (r.getString(0), (r.getString(1), r.getString(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
     val runs = byRun.keys.toSeq.sorted

@@ -68,7 +68,7 @@ object SimilarityQueries {
     */
   def dedupEmbeddingLshMulti(spark: SparkSession, dir: String): DataFrame =
     SignLsh.nearDupPairsMulti(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", bits = 8, tables = 4, minCosine = 0.25)
+        "embedding", bits = 8, tables = 4, minCosine = 0.25, dim = embDim)
       .orderBy("id_a", "id_b")
 
   /** Embedding near-duplicate pairs within each label block. */
@@ -80,7 +80,7 @@ object SimilarityQueries {
   /** Unblocked near-dup via sign-random-projection LSH buckets. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     SignLsh.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        bits = 8, minCosine = 0.25)
+        bits = 8, minCosine = 0.25, dim = embDim)
       .orderBy("id_a", "id_b")
 
   /** Deterministic distributed k-means (2 Lloyd rounds from the
@@ -180,13 +180,13 @@ object SimilarityQueries {
     // sign-LSH emits undirected pairs; orient them around the query
     // side so recall is measured against the exact directed pair set
     val lsh = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
-      bits = 8, minCosine = 0.25)
+      bits = 8, minCosine = 0.25, dim = embDim)
     val lshq = lsh.filter(col("id_a") < 100)
         .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
       .unionByName(lsh.filter(col("id_b") < 100)
         .select(col("id_b").as("q_id"), col("id_a").as("neighbor_id")))
     val lshM = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
-      bits = 8, tables = 4, minCosine = 0.25)
+      bits = 8, tables = 4, minCosine = 0.25, dim = embDim)
     val lshMq = lshM.filter(col("id_a") < 100)
         .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
       .unionByName(lshM.filter(col("id_b") < 100)

@@ -130,5 +130,9 @@ class PipelineSpec extends SparkSpec {
     assert(drift === Seq(
       "r2" -> Seq.empty,
       "r3" -> Seq("added:y", "retyped:id:bigint->int")))
+    // history pruning: lastRuns=1 reads only the trailing pair — same
+    // newest diff, older pairs (already reported when current) dropped
+    assert(Anomaly.schemaDrift(spark, dir, lastRuns = 1) === Seq(
+      "r3" -> Seq("added:y", "retyped:id:bigint->int")))
   }
 }

@@ -13,25 +13,6 @@ class PqIndexSpec extends SparkSpec {
 
   private lazy val emb = Tables.embeddings(spark, sf)
 
-  /** Capture (jobCount, callSites) for jobs started while `f` runs. */
-  private def jobsDuring[A](f: => A): (A, Int, Seq[String]) = {
-    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        sites.add(Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
-          .getOrElse(""))
-    }
-    org.apache.spark.graft.TestBus.drain(spark.sparkContext)
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val out = f
-      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
-      (out, sites.size, sites.toArray(Array.empty[String]).toSeq)
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
-
   test("probe over a prebuilt index is a pure plan: zero jobs at construction") {
     val q = emb.filter(col("vec_id") < 10)
     val codebook = Pq.trainCodebook(emb, "embedding", "label", 16, 64)

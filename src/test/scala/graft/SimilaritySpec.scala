@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Similarity, SignLsh}
 
 /** ANN contracts: brute force is sane (no self-matches, scores in
   * [-1,1], k rows per query) and IVF recall against brute force is at
@@ -93,6 +93,26 @@ class SimilaritySpec extends SparkSpec {
     val b = Pq.adcTopK(q, shifted, "vec_id", "vec_id", "embedding", "label", 16, 3)
       .orderBy("q_id", "rank").collect().toSeq
     assert(a === b)
+  }
+
+  test("sign-LSH with dim given launches no sizing job; dims agree with the probe") {
+    // caller-passed dim must skip the 1-row head() probe entirely...
+    val ((withDim, multiDim), _, sites) = jobsDuring {
+      (SignLsh.nearDupPairs(emb, "vec_id", "embedding",
+        bits = 4, minCosine = 0.25, dim = 64),
+        SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+          bits = 4, tables = 2, minCosine = 0.25, dim = 64))
+    }
+    val sizing = sites.filter(s =>
+      s.startsWith("count at") || s.startsWith("head at"))
+    assert(sizing.isEmpty,
+      s"dim-given signature build must not launch sizing jobs, saw: $sizing")
+    // ...and produce the identical pair set the probing path finds
+    val probed = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
+      bits = 4, minCosine = 0.25)
+    assert(withDim.orderBy("id_a", "id_b").collect().toSeq ===
+      probed.orderBy("id_a", "id_b").collect().toSeq)
+    assert(multiDim.count() >= withDim.count()) // multi-table only adds recall
   }
 
   test("fast-hash minhash LSH also catches the planted duplicate") {

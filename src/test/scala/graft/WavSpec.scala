@@ -38,6 +38,13 @@ class WavSpec extends SparkSpec {
     assert(e.getMessage.contains("PCM"))
   }
 
+  test("undersized fmt chunk fails readably instead of reading past it") {
+    val blob = Wav.encode(Wav.Pcm16(8000, 1, samples))
+    blob(16) = 8 // fmt chunk claims 8 bytes; fields need 16
+    val e = intercept[IllegalArgumentException](Wav.decode(blob))
+    assert(e.getMessage.contains("fmt chunk too small"))
+  }
+
   test("audioStats decodes through the container and matches direct math") {
     import spark.implicits._
     val media = Seq(

@@ -71,6 +71,24 @@ class SimilaritySpec extends SparkSpec {
         s"1-table (${recalls("sign_lsh")})")
   }
 
+  test("recall gate holds at BENCH scale (sf0.1), not just the toy SF") {
+    // approximate-search quality can degrade with corpus growth (denser
+    // buckets, coarser cells relative to the data) — gate it where the
+    // bench runs. Floors sit under the measured sf0.1 values (ivf
+    // 0.383, pq 0.17, sign_lsh 0.014, sign_lsh_multi 0.055) with the
+    // same collapse-vs-wiggle margin as the toy-SF floors.
+    val recalls = graft.queries.SimilarityQueries
+      .similarityRecall(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val floors = Map("ivf" -> 0.25, "pq" -> 0.10, "sign_lsh" -> 0.005,
+      "sign_lsh_multi" -> 0.02)
+    floors.foreach { case (method, floor) =>
+      assert(recalls(method) >= floor,
+        s"$method sf0.1 recall ${recalls(method)} fell below floor $floor")
+    }
+    assert(recalls("sign_lsh_multi") > recalls("sign_lsh"))
+  }
+
   test("PQ-ADC deterministic across partitionings") {
     import graft.ext.Pq
     val q = emb.filter(col("vec_id") < 10)

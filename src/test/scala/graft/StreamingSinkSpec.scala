@@ -45,4 +45,47 @@ class StreamingSinkSpec extends SparkSpec {
     assert(result.count() === source.count())
     assert(result.select("event_id").exceptAll(source.select("event_id")).isEmpty)
   }
+
+  test("T7 crash recovery: hard-stop mid-stream AFTER the sink applied, restart converges") {
+    // The at-least-once window the replay-idempotence specs never hit:
+    // the injected failure lands AFTER MergeWriter.upsert applied batch 1
+    // but BEFORE the checkpoint committed it, so the restart MUST replay
+    // an already-applied batch and the keyed merge MUST collapse it.
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val target = Files.createTempDirectory("graft-crash").resolve("t").toString
+    def run(crashAtBatch: Option[Long]) = {
+      val ev = Streams.eventsStream(spark, sf, batches = 3)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      ev.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.operators.MergeWriter.upsert(b.sparkSession, target, b,
+            keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+          if (crashAtBatch.contains(id))
+            throw new RuntimeException("injected crash after sink apply")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val crashed = run(crashAtBatch = Some(1L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination()
+    }
+    assert(e.getMessage.contains("injected crash"))
+    // the crash is observable: batches 0-1 are applied, batch 2 is not
+    val partial = spark.read.parquet(target).count()
+    // restart from the same checkpoint: replays batch 1, applies batch 2
+    run(crashAtBatch = None).awaitTermination()
+    val got = spark.read.parquet(target)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val want = graft.operators.LatestPerKey(
+      Tables.events(spark, sf)
+        .select("user_id", "ts", "event_id", "event_type", "value"),
+      Seq("user_id"), Seq("ts", "event_id"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(partial <= got.count(),
+      "partial table cannot exceed the converged key count")
+  }
 }

@@ -71,8 +71,17 @@ object MergeWriter {
     * [[swapWrite]]. No dynamic-partition-overwrite second write, no
     * session-wide conf mutation.
     */
+  /** @param filesPerPartition write fan-out per partition dir. The
+    *        default (1) co-locates each `partCol` value into ONE task
+    *        and one file — right for day-sized partitions. At 100 TB a
+    *        HOT day is bigger than any single task should be: raise it
+    *        and each partition's rows spread over `filesPerPartition`
+    *        tasks/files, salted by the merge keys (key-disjoint, so
+    *        latest-per-key is unaffected).
+    */
   def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
-      keys: Seq[String], versionCols: Seq[String], partCol: String): Unit = {
+      keys: Seq[String], versionCols: Seq[String], partCol: String,
+      filesPerPartition: Int = 1): Unit = {
     spark.catalog.refreshByPath(dir)
     val fresh = !exists(spark, dir)
     // the non-fresh path reads `updates` twice (touched-partition values,
@@ -81,26 +90,40 @@ object MergeWriter {
     // twice; localCheckpoint spills per-partition blocks, no driver heap
     val inc0 = if (fresh) updates else updates.localCheckpoint()
     val incoming = inc0.withColumn("_src", lit(1))
-    val unioned =
-      if (fresh) incoming
-      else {
-        // driver-side touched-partition values (bounded by |partitions|,
-        // metadata-sized): an isin filter partition-PRUNES the target
-        // scan — only touched dirs are listed into the plan, no join,
-        // no exchange (vs a broadcast semi join, which still scans the
-        // full partition listing through the probe side)
-        val touched = inc0.select(partCol).distinct().collect()
-          .map(_.get(0)).toSeq
+    // driver-side touched-partition values (bounded by |partitions|,
+    // metadata-sized): an isin filter partition-PRUNES the target
+    // scan — only touched dirs are listed into the plan, no join,
+    // no exchange (vs a broadcast semi join, which still scans the
+    // full partition listing through the probe side)
+    val touched =
+      if (fresh) None
+      else Some(inc0.select(partCol).distinct().collect().map(_.get(0)).toSeq)
+    val unioned = touched match {
+      case None => incoming
+      case Some(vals) =>
         spark.read.parquet(dir)
-          .filter(col(partCol).isInCollection(touched))
+          .filter(col(partCol).isInCollection(vals))
           .withColumn("_src", lit(0))
           .unionByName(incoming, allowMissingColumns = true)
+    }
+    // co-locate each partition's rows before the partitionBy write (32
+    // shuffle partitions x |days| would otherwise write a small-file
+    // storm); > 1 file per dir only when the caller asks for hot-
+    // partition fan-out
+    val merged0 = LatestPerKey(unioned, keys, versionCols :+ "_src").drop("_src")
+    val merged =
+      if (filesPerPartition <= 1) merged0.repartition(col(partCol))
+      else {
+        // explicit partition count: an expression-only repartition lets
+        // AQE coalesce small outputs back into one task, silently
+        // undoing the fan-out. Pinned to touched-dirs × fan-out (fresh
+        // bulk loads fall back to the session shuffle setting).
+        val n = touched.map(_.size * filesPerPartition)
+          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+          .max(filesPerPartition)
+        merged0.repartition(n, col(partCol),
+          pmod(hash(keys.map(col): _*), lit(filesPerPartition)))
       }
-    // one file per partition dir: co-locate each partition's rows before
-    // the partitionBy write (32 shuffle partitions x |days| would
-    // otherwise write a small-file storm)
-    val merged = LatestPerKey(unioned, keys, versionCols :+ "_src").drop("_src")
-      .repartition(col(partCol))
     if (fresh) {
       merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)
     } else {

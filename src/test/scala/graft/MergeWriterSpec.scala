@@ -79,6 +79,29 @@ class MergeWriterSpec extends SparkSpec {
     assert(got.filter(col("id") === 2).select("v").head().getLong(0) === 11L)
   }
 
+  test("hot-partition fan-out: filesPerPartition spreads a day over key-salted files") {
+    import spark.implicits._
+    val dir = tmp()
+    // one hot day, 90 keys; fan-out 3 must split it across <= 3 files
+    // (key-salted, so latest-per-key still collapses within one task)
+    val b1 = (1L to 90L).map(id => (id, "2024-01-01", id * 10L))
+      .toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b1, Seq("id"), Seq("v"), "day",
+      filesPerPartition = 3)
+    val b2 = (1L to 90L).map(id => (id, "2024-01-01", id * 10L + 1L))
+      .toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b2, Seq("id"), Seq("v"), "day",
+      filesPerPartition = 3)
+    val files = new java.io.File(dir, "day=2024-01-01").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.length > 1 && files.length <= 3,
+      s"expected 2-3 fan-out files, got ${files.length}")
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 90)
+    // every key took the b2 version exactly once — fan-out kept keys disjoint
+    assert(got.filter(col("v") % 10 === 1).count() === 90)
+  }
+
   /** Recursive (path, size, mtime, checksum-ish first bytes) listing of
     * a partition dir, to prove byte-level no-touch.
     */

@@ -283,17 +283,26 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
-  /** T4: streaming exactly-once-per-id via dropDuplicates within the
-    * watermark + idempotent merge sink (`foreachBatch` →
+  /** T4: streaming exactly-once-per-id via watermark-evicted dedup
+    * state + idempotent merge sink (`foreachBatch` →
     * [[graft.operators.MergeWriter]]) — the reference's
     * collector→upsert path as a real stream. Returns the final merged
     * table.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: with plain
+    * `dropDuplicates("event_id")` the key set excludes the event-time
+    * column, so the watermark never evicts dedup state — on an
+    * unbounded stream that state is every event_id ever seen. The
+    * WithinWatermark variant expires each key once the watermark
+    * passes its first-seen event time + delay, which is exactly the
+    * at-least-once redelivery bound (a collector retry lands within
+    * its delivery window, not a day later).
     */
   def dedupToMergeSink(spark: SparkSession, dir: String, targetDir: String,
       duplicated: Boolean = false): DataFrame = {
     val deduped = eventsStream(spark, dir, duplicated = duplicated)
       .withWatermark("ts", "1 day")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     runToMergeSink(deduped, "append", targetDir,
       keys = Seq("event_id"), versionCols = Seq("ts"))
     spark.read.parquet(targetDir)

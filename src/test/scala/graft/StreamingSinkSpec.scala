@@ -46,6 +46,40 @@ class StreamingSinkSpec extends SparkSpec {
     assert(result.select("event_id").exceptAll(source.select("event_id")).isEmpty)
   }
 
+  test("dedup state is watermark-evicted; plain dropDuplicates would retain every key") {
+    // The 100 TB posture behind dedupToMergeSink's
+    // dropDuplicatesWithinWatermark: state per key expires once the
+    // watermark passes its first-seen event time + delay. Plain
+    // dropDuplicates("event_id") never evicts (the key set has no
+    // event-time column), so its state is every id ever seen — measured
+    // here side by side via the state-store operator metrics.
+    def finalStateRows(dedup: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      val ckpt = Files.createTempDirectory("graft-dedup-state").toString
+      val src = Streams.eventsStream(spark, sf, batches = 3)
+        .withWatermark("ts", "1 day")
+      val q = dedup(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        // must consume every partition or the state stores never
+        // commit (Spark validates commits per batch)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).last
+    }
+    val total = Tables.events(spark, sf).select("event_id").distinct().count()
+    val unbounded = finalStateRows(_.dropDuplicates("event_id"))
+    val evicted = finalStateRows(_.dropDuplicatesWithinWatermark("event_id"))
+    assert(unbounded === total, "plain dropDuplicates retains every key")
+    // events span ~30 days over 3 time-ranged batches: everything first
+    // seen more than a day before the final watermark must be gone
+    assert(evicted < total / 2,
+      s"expected watermark eviction, state still holds $evicted of $total")
+  }
+
   test("T7 crash recovery: hard-stop mid-stream AFTER the sink applied, restart converges") {
     // The at-least-once window the replay-idempotence specs never hit:
     // the injected failure lands AFTER MergeWriter.upsert applied batch 1

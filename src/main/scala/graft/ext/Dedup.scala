@@ -187,6 +187,43 @@ object Dedup {
       .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
   }
 
+  /** Probe a persisted corpus LSH posting index with an arriving
+    * batch: the batch signs only ITSELF and joins the `(band_idx,
+    * band_key, c_id)` postings; corpus text is re-read only to verify
+    * the candidate pairs (candidate-bounded). One row per batch doc:
+    * `lsh_match` (min near-dup corpus id, null if clean) and `n_lsh`.
+    *
+    * This is the per-batch half of the persisted-index lifecycle
+    * (build once per index version, probe per batch) — shared by the
+    * one-shot `dedup_lsh_index` query and the streaming
+    * micro-batch path, so both provably compute the same thing.
+    */
+  def lshIndexProbe(idx: DataFrame, corpusText: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val probe = minhashBands(batch, idCol, textCol, shingleN)
+      .select(col(idCol),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cands = probe.join(idx, Seq("band_idx", "band_key"))
+      .select(col(idCol), col("c_id")).distinct()
+    def sets(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
+        .as(as + "_s"))
+    val near = cands
+      .join(sets(batch, idCol), idCol)
+      .join(sets(corpusText, "c_id"), "c_id")
+      .withColumn("_i",
+        size(array_intersect(col(idCol + "_s"), col("c_id_s"))))
+      .filter(round(col("_i").cast("double") /
+        (size(col(idCol + "_s")) + size(col("c_id_s")) - col("_i"))
+          .cast("double"), 4) >= minJaccard)
+      .groupBy(col(idCol))
+      .agg(min(col("c_id")).as("lsh_match"), count(lit(1)).as("n_lsh"))
+    batch.select(col(idCol))
+      .join(near, Seq(idCol), "left")
+      .withColumn("n_lsh", coalesce(col("n_lsh"), lit(0L)))
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs on a bounded key prefix,
     * blocked like [[jaccardPairsBlocked]] — the entity-resolution
     * flavor of dedup (typo-level variants that shingle sets can miss).

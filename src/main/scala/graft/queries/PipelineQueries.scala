@@ -114,7 +114,19 @@ object PipelineQueries {
   def streamingLatestTws(spark: SparkSession, dir: String): DataFrame =
     Streams.latestPerKeyTws(spark, dir)
 
+  /** Streaming arrival path of the persisted LSH dedup index: the
+    * corpus postings are built once, new docs arrive in 3 micro-batches
+    * and each probes the index ([[graft.ext.Dedup.lshIndexProbe]] —
+    * the same operator the one-shot `dedup_lsh_index` runs, so the
+    * same oracle gates both paths).
+    */
+  def streamingDedupLsh(spark: SparkSession, dir: String): DataFrame =
+    Streams.lshDedupIncremental(spark, dir, batches = 3)
+      .select("doc_id", "lsh_match", "n_lsh")
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "streaming_dedup_lsh" -> (streamingDedupLsh _),
     "streaming_cdc" -> (streamingCdc _),
     "streaming_ivm" -> (streamingIvm _),
     "streaming_latest_tws" -> (streamingLatestTws _),
@@ -164,6 +176,9 @@ object PipelineQueries {
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the streaming index probe must converge to the one-shot batch
+    // probe — literally the same oracle as dedup_lsh_index
+    "streaming_dedup_lsh" -> TextQueries.oracles("dedup_lsh_index"),
     // the streaming CDC apply must converge to the batch answer —
     // literally the same oracle as cdc_apply
     "streaming_cdc" -> cdcOracleSql,

@@ -336,25 +336,10 @@ object TextQueries {
         .select(col("doc_id").as("c_id"),
           posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
     val idx = Versioned.read(spark, s"$root/bands")
-    val probe = Dedup.minhashBands(batch, "doc_id", "text")
-      .select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val cands = probe.join(idx, Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("c_id")).distinct()
-    def sets(df: DataFrame, as: String) = df.select(col("doc_id").as(as),
-      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as(as + "_s"))
-    val near = cands
-      .join(sets(batch, "doc_id"), "doc_id")
-      .join(sets(corpus, "c_id"), "c_id")
-      .withColumn("_i", size(array_intersect(col("doc_id_s"), col("c_id_s"))))
-      .filter(round(col("_i").cast("double") /
-        (size(col("doc_id_s")) + size(col("c_id_s")) - col("_i"))
-          .cast("double"), 4) >= 0.5)
-      .groupBy(col("doc_id"))
-      .agg(min(col("c_id")).as("lsh_match"), count(lit(1)).as("n_lsh"))
-    batch.select(col("doc_id"))
-      .join(near, Seq("doc_id"), "left")
-      .withColumn("n_lsh", coalesce(col("n_lsh"), lit(0L)))
+    // the shared per-batch probe operator — the streaming arrival path
+    // (`streaming_dedup_lsh`) runs the SAME operator per micro-batch,
+    // so this oracle gates both
+    Dedup.lshIndexProbe(idx, corpus, batch, "doc_id", "text")
       .orderBy("doc_id")
   }
 

@@ -308,6 +308,79 @@ object Streams {
     spark.read.parquet(targetDir)
   }
 
+  /** Staged document landing zones, keyed by (source dir, batches) —
+    * same memoization rationale as [[stagedDirs]].
+    */
+  private val stagedDocDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Streaming read of the documents table, split into `batches`
+    * doc_id-range micro-batch files (the staging discipline of
+    * [[eventsStream]]: part-file index == arrival order via strictly
+    * increasing modification times).
+    */
+  def documentsStream(spark: SparkSession, dir: String,
+      batches: Int): DataFrame = {
+    val staged = stagedDocDirs.computeIfAbsent((dir, batches), { _ =>
+      val out = Files.createTempDirectory("graft-doc-src")
+      val tmp = Files.createTempDirectory("graft-doc-split").toString
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartitionByRange(batches, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = out.resolve(f"b$i%03d.parquet")
+        Files.copy(f.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      out.toString
+    })
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+  }
+
+  /** Incremental corpus dedup as a stream — the arrival path of the
+    * persisted-LSH-index lifecycle: the already-deduped corpus is
+    * signed ONCE into a versioned `(band_idx, band_key, c_id)` posting
+    * index; new documents then arrive as micro-batches and each batch
+    * probes the index via [[graft.ext.Dedup.lshIndexProbe]] (signing
+    * only itself, re-reading corpus text candidate-bounded), appending
+    * its verdicts to the result log. Per-batch cost is O(|batch| +
+    * candidates); the corpus-sized signing pass happened once at index
+    * build. The one-shot `dedup_lsh_index` query probes the same index
+    * through the same operator, so one oracle gates both paths.
+    */
+  def lshDedupIncremental(spark: SparkSession, dir: String,
+      batches: Int = 3): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("graft-slsh").toString
+    graft.operators.Versioned.write(spark, s"$root/bands",
+      graft.ext.Dedup.minhashBands(corpus, "doc_id", "text")
+        .select(col("doc_id").as("c_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+    val idx = graft.operators.Versioned.read(spark, s"$root/bands")
+    val out = s"$root/out"
+    val arriving = documentsStream(spark, dir, batches)
+      .filter(col("doc_id") % 5 === 0)
+    val q = arriving.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.ext.Dedup.lshIndexProbe(idx, corpus, b, "doc_id", "text")
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Streaming CDC apply — MERGE with deletes as a stream: the event
     * log arrives as a change stream (purchase ⇒ tombstone, anything
     * else ⇒ upsert; event_id is the change sequence), each micro-batch

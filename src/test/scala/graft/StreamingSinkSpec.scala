@@ -46,6 +46,19 @@ class StreamingSinkSpec extends SparkSpec {
     assert(result.select("event_id").exceptAll(source.select("event_id")).isEmpty)
   }
 
+  test("streaming LSH index probe converges to the one-shot batch probe") {
+    // the arrival path (micro-batches probing the persisted posting
+    // index) must produce exactly the batch answer — same operator
+    // (Dedup.lshIndexProbe), different delivery
+    val streamed = Streams.lshDedupIncremental(spark, sf, batches = 3)
+      .select("doc_id", "lsh_match", "n_lsh")
+    val oneShot = graft.queries.TextQueries.dedupLshIndex(spark, sf)
+      .select("doc_id", "lsh_match", "n_lsh")
+    assert(streamed.count() === oneShot.count())
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty)
+  }
+
   test("dedup state is watermark-evicted; plain dropDuplicates would retain every key") {
     // The 100 TB posture behind dedupToMergeSink's
     // dropDuplicatesWithinWatermark: state per key expires once the

@@ -1,0 +1,80 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+
+/** Rendered data-quality report — the engine-side equivalent of the
+  * reference's `edr report` HTML dashboard (elementary renders the
+  * monitoring tables it maintains in the warehouse; the dbt profile
+  * wires it at /root/reference/dbt/profiles.yml:14-24). The inputs
+  * here are the same already-gated monitoring queries (`dq_summary`,
+  * `dq_column_anomalies`, `dq_history_anomalies`, schema drift), each
+  * one-row-per-check/column sized, so the driver-side render is
+  * kilobyte work — the distributed part is the checks themselves.
+  *
+  * Zero dependencies: a self-contained HTML string (inline CSS, all
+  * cell values escaped), written through the Hadoop filesystem so the
+  * report can land next to the data it describes.
+  */
+object Report {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c   => c.toString
+    }
+
+  private def cell(v: Any): String = v match {
+    case null      => """<td class="null">null</td>"""
+    case d: Double => f"<td>${esc(d.toString)}</td>"
+    case x         => s"<td>${esc(x.toString)}</td>"
+  }
+
+  /** One monitoring table → an HTML section. Rows are collected — every
+    * report input is a per-check / per-column / per-run summary, already
+    * aggregated by the distributed query that produced it.
+    */
+  def section(title: String, df: DataFrame, maxRows: Int = 1000): String = {
+    val cols = df.columns
+    val rows = df.limit(maxRows + 1).collect()
+    val truncated = rows.length > maxRows
+    val body = rows.take(maxRows).map { r =>
+      val failing = cols.contains("violations") &&
+        Option(r.getAs[Any]("violations")).exists(_.toString.toLong > 0)
+      val cls = if (failing) """ class="fail"""" else ""
+      s"<tr$cls>" + cols.map(c => cell(r.getAs[Any](c))).mkString + "</tr>"
+    }.mkString("\n")
+    s"""<section><h2>${esc(title)}</h2>
+       |<table><thead><tr>${cols.map(c => s"<th>${esc(c)}</th>").mkString}</tr></thead>
+       |<tbody>$body</tbody></table>
+       |${if (truncated) s"<p class=\"trunc\">first $maxRows rows shown</p>" else ""}
+       |</section>""".stripMargin
+  }
+
+  /** Assemble named monitoring tables into one self-contained page. */
+  def render(title: String, tables: Seq[(String, DataFrame)]): String = {
+    val style =
+      """body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+        |th,td{border:1px solid #ccc;padding:4px 8px;text-align:left}
+        |tr.fail{background:#fdd}td.null{color:#999;font-style:italic}
+        |p.trunc{color:#666;font-size:smaller}""".stripMargin
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+       |<title>${esc(title)}</title><style>$style</style></head>
+       |<body><h1>${esc(title)}</h1>
+       |${tables.map { case (t, df) => section(t, df) }.mkString("\n")}
+       |</body></html>""".stripMargin
+  }
+
+  /** Render and write to `path` (any Hadoop-visible filesystem). */
+  def write(spark: org.apache.spark.sql.SparkSession, path: String,
+      title: String, tables: Seq[(String, DataFrame)]): Unit = {
+    val html = render(title, tables)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

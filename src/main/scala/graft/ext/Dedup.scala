@@ -209,9 +209,16 @@ object Dedup {
     def sets(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
         .as(as + "_s"))
+    // candidate-bounded for real: restrict the corpus rows BY ID before
+    // shingling them — without the semi join the inner join below would
+    // still evaluate the shingle projection over every corpus row
+    // (a full corpus re-shingle per probe batch at scale; the id scan
+    // the semi join costs is the cheap part)
+    val corpusNeeded = corpusText.join(
+      cands.select(col("c_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val near = cands
       .join(sets(batch, idCol), idCol)
-      .join(sets(corpusText, "c_id"), "c_id")
+      .join(sets(corpusNeeded, "c_id"), "c_id")
       .withColumn("_i",
         size(array_intersect(col(idCol + "_s"), col("c_id_s"))))
       .filter(round(col("_i").cast("double") /

@@ -61,4 +61,27 @@ class LshIndexSpec extends SparkSpec {
     assert(cands.orderBy("doc_id", "c_id").collect().toSeq ===
       direct.orderBy("doc_id", "c_id").collect().toSeq)
   }
+
+  test("probe verify shingles only semi-join-restricted corpus rows") {
+    // the expensive corpus pass is the SHINGLING, not the id scan: the
+    // verify stage must restrict corpus rows by candidate id (left
+    // semi) BEFORE the shingle projection, or every probe batch pays a
+    // full corpus re-shingle at scale
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("lsh-semi").toString
+    Versioned.write(spark, s"$root/bands",
+      Dedup.minhashBands(corpus, "doc_id", "text")
+        .select(col("doc_id").as("c_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+    val result = Dedup.lshIndexProbe(Versioned.read(spark, s"$root/bands"),
+      corpus, batch, "doc_id", "text")
+    val semiJoins = result.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semiJoins.nonEmpty,
+      "corpus verify side must be candidate-restricted via left semi join")
+  }
 }

@@ -41,8 +41,11 @@ object Report {
     val rows = df.limit(maxRows + 1).collect()
     val truncated = rows.length > maxRows
     val body = rows.take(maxRows).map { r =>
+      // fail-marking is best-effort: a non-numeric `violations` column
+      // in a user-supplied table renders unmarked, never crashes
       val failing = cols.contains("violations") &&
-        Option(r.getAs[Any]("violations")).exists(_.toString.toLong > 0)
+        Option(r.getAs[Any]("violations")).exists(v =>
+          scala.util.Try(v.toString.trim.toLong > 0).getOrElse(false))
       val cls = if (failing) """ class="fail"""" else ""
       s"<tr$cls>" + cols.map(c => cell(r.getAs[Any](c))).mkString + "</tr>"
     }.mkString("\n")

@@ -58,6 +58,13 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("</html>"))
   }
 
+  test("non-numeric violations column renders unmarked, not a crash") {
+    import spark.implicits._
+    val odd = Seq(("c1", "not-a-number")).toDF("check_name", "violations")
+    val html = Report.render("odd", Seq(("t", odd)))
+    assert(html.contains("not-a-number") && !html.contains("class=\"fail\""))
+  }
+
   test("null cells render as styled nulls, not literal empties") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String])).toDF("k", "v")

@@ -368,16 +368,25 @@ object Streams {
     val out = s"$root/out"
     val arriving = documentsStream(spark, dir, batches)
       .filter(col("doc_id") % 5 === 0)
-    val q = arriving.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        graft.ext.Dedup.lshIndexProbe(idx, corpus, b, "doc_id", "text")
-          .write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-batch probe shuffles are micro-batch-sized, not corpus-sized:
+    // inherit-the-session-width (32+) partitions would pay ~10 task
+    // launches per row batch across the probe's join/agg stages (same
+    // sizing rationale as runToMergeSink's state partitions). At real
+    // batch volumes, raise with the batch size.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = arriving.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.ext.Dedup.lshIndexProbe(idx, corpus, b, "doc_id", "text")
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.read.parquet(out)
   }
 

@@ -120,4 +120,53 @@ object Sampling {
       .withColumn("epoch", col("epoch").cast("long"))
       .drop("_base", "_thr", "_reps")
   }
+
+  /** Corpus curation under a token budget: keep the best-scoring
+    * documents whose cumulative token count fits `budget` — the
+    * pretraining-mix constraint (you don't take a FRACTION of a
+    * source, you take the best documents that FIT the token budget).
+    * Global order is (`scoreCol` desc, `idCol` asc) — a total order,
+    * so the selected set and every `cum_tokens` value are exact and
+    * deterministic.
+    *
+    * The global running total is a TWO-LEVEL prefix sum, never a
+    * single-partition window (the orderBy-without-partitionBy window
+    * every naive cumsum reaches for serializes the corpus through one
+    * reducer): range-partition on the order key, per-partition local
+    * cumsum (partition-local sort only), plus per-partition OFFSETS
+    * from a driver-side running total of the per-partition sums
+    * (`numPartitions` rows — metadata-sized, like the touched-
+    * partition collect in MergeWriter). The materialization barrier is
+    * required for correctness, not speed: partition ids must be THE
+    * SAME rows in the totals pass and the cumsum pass, and a
+    * recomputed range exchange does not guarantee identical boundaries.
+    */
+  def selectTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokenCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.select(col(idCol), col(scoreCol), col(tokenCol))
+      .repartitionByRange(n, col(scoreCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("_pid"))
+      .agg(sum(col(tokenCol)).as("_t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }.toMap
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged
+      .withColumn("cum_tokens",
+        sum(col(tokenCol)).over(w) +
+          element_at(typedlit(offsets), col("_pid")))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_pid")
+  }
 }

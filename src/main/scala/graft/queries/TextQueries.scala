@@ -615,7 +615,26 @@ object TextQueries {
         isTarget = col("source") === "src0", quantile = 0.8)
       .orderBy("doc_id")
 
+  /** Token-budget corpus selection: the best-scoring documents (score
+    * = n_chars, ties by id) whose running token total fits half the
+    * corpus's tokens — the pretraining-mix constraint, computed as a
+    * two-level distributed prefix sum (range partition + local cumsum
+    * + driver offsets of partition totals; no global sort, no
+    * single-partition window — [[graft.ext.Sampling.selectTokenBudget]]).
+    * The budget itself is a 1-row aggregate (the watermark-style
+    * parameter pre-pass).
+    */
+  def selectTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).select(col("doc_id"),
+      col("n_chars"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val budget = t.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    Sampling.selectTokenBudget(t, "doc_id", "n_chars", "n_tokens", budget)
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
     "select_dsir" -> (selectDsir _),
     "dedup_lsh_index" -> (dedupLshIndex _),
@@ -661,6 +680,21 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // replays the selection as a plain windowed cumsum — the oracle
+    // proves the two-level prefix sum equals the single-window answer
+    "select_token_budget" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+        |c AS (SELECT doc_id, n_chars, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens, cum_tokens
+        |FROM c, b WHERE cum_tokens <= budget
+        |ORDER BY doc_id""".stripMargin,
     // Replays the persisted-index LSH probe: identical md5 minhash
     // signatures and 4x4 banding for corpus AND batch, band-bucket
     // join restricted to batch-vs-corpus, exact Jaccard verify,

@@ -152,4 +152,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad == 0)
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
+
+  test("token-budget selection == single-window cumsum, at any partition count") {
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 97) + 1, (i * 13 % 50) + 1))
+      .toDF("id", "score", "tok")
+    // reference: the naive single-partition window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = 1500L
+    val want = docs.withColumn("cum_tokens", sum(col("tok")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("id", "score", "tok", "cum_tokens")
+      .orderBy("id").collect().toSeq
+    for (n <- Seq(1, 3, 7)) {
+      val got = Sampling.selectTokenBudget(docs, "id", "score", "tok",
+          budget, partitions = n)
+        .select("id", "score", "tok", "cum_tokens")
+        .orderBy("id").collect().toSeq
+      assert(got === want, s"mismatch at partitions=$n")
+    }
+  }
+
+  test("token-budget selection never uses a global (unpartitioned) window") {
+    val docs = (1L to 50L).map(i => (i, i % 10, i % 7 + 1))
+      .toDF("id", "score", "tok")
+    val plan = Sampling.selectTokenBudget(docs, "id", "score", "tok", 50L)
+      .queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(globalWindows.isEmpty,
+      "cumsum must be partition-local + offsets, not one global window")
+  }
 }

@@ -27,9 +27,8 @@ object Report {
     }
 
   private def cell(v: Any): String = v match {
-    case null      => """<td class="null">null</td>"""
-    case d: Double => f"<td>${esc(d.toString)}</td>"
-    case x         => s"<td>${esc(x.toString)}</td>"
+    case null => """<td class="null">null</td>"""
+    case x    => s"<td>${esc(x.toString)}</td>"
   }
 
   /** One monitoring table → an HTML section. Rows are collected — every

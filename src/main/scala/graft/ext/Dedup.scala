@@ -231,6 +231,35 @@ object Dedup {
       .withColumn("n_lsh", coalesce(col("n_lsh"), lit(0L)))
   }
 
+  /** Persisted-LSH-index roots, keyed by corpus identity. The
+    * corpus-sized signing pass is the index BUILD — once per corpus
+    * version, like IVF centroid training — so every access path
+    * (one-shot batch probe, streaming arrival path) shares the same
+    * persisted posting table instead of each re-signing the corpus.
+    */
+  private val lshIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The build half of the persisted-index lifecycle: sign `corpus`
+    * into a versioned `(c_id, band_idx, band_key)` posting table
+    * (memoized per `cacheKey` for the process lifetime) and return the
+    * persisted postings for [[lshIndexProbe]].
+    */
+  def persistedLshIndex(spark: org.apache.spark.sql.SparkSession,
+      cacheKey: String, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val root = lshIndexRoots.computeIfAbsent(cacheKey, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
+        .toString
+      graft.operators.Versioned.write(spark, s"$r/bands",
+        minhashBands(corpus, idCol, textCol)
+          .select(col(idCol).as("c_id"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+      r
+    })
+    graft.operators.Versioned.read(spark, s"$root/bands")
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs on a bounded key prefix,
     * blocked like [[jaccardPairsBlocked]] — the entity-resolution
     * flavor of dedup (typo-level variants that shingle sets can miss).

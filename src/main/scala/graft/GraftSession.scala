@@ -29,6 +29,13 @@ object GraftSession {
     // Tables.events truncate to microseconds (matching DuckDB's
     // ns -> us truncation on read).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver-generated timestamps are naive parquet TIMESTAMP(MICROS)
+    // meaning UTC instants (the reference stamps UTC at ingest). Read
+    // them as session-TZ TIMESTAMP — not TIMESTAMP_NTZ — so every
+    // instant-based operation (unix_micros, watermarks, stream-batch
+    // joins) type-checks, and Spark/DuckDB agree on rendered values
+    // under the pinned UTC session.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {
@@ -45,6 +52,7 @@ object GraftSession {
     */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.plans.GraftExtensions.registerOn(spark)

@@ -102,11 +102,28 @@ object JdbcUpsert {
     * Replay caveat: drivers with AFFECTED-rows semantics (MySQL
     * without `CLIENT_FOUND_ROWS`) return 0 from an UPDATE that writes
     * identical values, sending a replayed row down the INSERT branch.
-    * The duplicate-key failure that causes is caught and treated as a
-    * no-op — the key provably exists, so the replayed row has already
-    * been applied. Connect with matched-rows semantics where available;
-    * the catch keeps replays idempotent either way.
+    * The duplicate-key failure that causes is caught — narrowly, by
+    * SQLState, so NOT NULL/CHECK/FK violations still fail loudly —
+    * and answered with one more UPDATE: a no-op for the replay, and
+    * the correct apply when a concurrent writer inserted the key
+    * between this row's UPDATE and INSERT. Connect with matched-rows
+    * semantics where available; the handling keeps replays idempotent
+    * either way.
     */
+  /** Duplicate-key test by SQLState, NOT exception class —
+    * SQLIntegrityConstraintViolationException covers NOT NULL/CHECK/FK
+    * too in most drivers. 23505 is the standard unique-violation state
+    * (Postgres/Derby/H2); the 23000 family is generic integrity, so it
+    * only counts with a known duplicate-key vendor code (MySQL 1062,
+    * SQL Server 2601/2627, Oracle 1).
+    */
+  private def isDuplicateKey(e: java.sql.SQLException): Boolean = {
+    val state = Option(e.getSQLState).getOrElse("")
+    state == "23505" ||
+      (state == "23000" &&
+        Set(1, 1062, 2601, 2627).contains(e.getErrorCode))
+  }
+
   def writeGeneric(df: DataFrame, url: String, table: String,
       keys: Seq[String]): Unit = {
     identTable(table)
@@ -138,10 +155,17 @@ object JdbcUpsert {
                   cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
                   try ins.executeUpdate()
                   catch {
-                    // affected-rows drivers report 0 for an identical
-                    // -value UPDATE; the key exists, the replayed row
-                    // is already applied — no-op (see Scaladoc)
-                    case _: java.sql.SQLIntegrityConstraintViolationException =>
+                    // ONLY duplicate-key means "the key exists" —
+                    // NOT NULL/CHECK/FK violations share the exception
+                    // type in most drivers and must still fail the
+                    // batch. A duplicate here is either an
+                    // affected-rows replay (already applied) or a
+                    // concurrent insert that won the race; re-running
+                    // the UPDATE applies THIS row's values in the
+                    // race case and is a same-value no-op in the
+                    // replay case, so both stay idempotent.
+                    case e: java.sql.SQLException if isDuplicateKey(e) =>
+                      upd.executeUpdate()
                   }
                 }
               }

@@ -65,13 +65,29 @@ object Anomaly {
       .orderBy("run_id")
   }
 
-  /** Persist a run's schema snapshot as (run_id, column, type) rows. */
+  /** Monotonic-per-process ingestion stamp: wall-clock millis scaled
+    * to leave room for a sequence tiebreak, so snapshots recorded
+    * within the same millisecond still order by call order. Across
+    * processes it degrades to wall-clock ordering — the right
+    * granularity for run-level drift monitoring.
+    */
+  private val recordSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def ingestStamp(): Long =
+    System.currentTimeMillis() * 1000000L + (recordSeq.getAndIncrement() % 1000000L)
+
+  /** Persist a run's schema snapshot as (run_id, column, type,
+    * recorded_at) rows. `recorded_at` (not the run_id string) orders
+    * the history — 'r9' vs 'r10' shows why lexicographic run ids
+    * cannot: [[schemaDrift]] would prune and diff the wrong runs.
+    */
   def recordSchema(spark: SparkSession, schemaDir: String, df: DataFrame,
       runId: String): Unit = {
     import spark.implicits._
+    val at = ingestStamp()
     graft.operators.MergeWriter.append(spark, schemaDir,
-      schemaSnapshot(df).map { case (c, t) => (runId, c, t) }
-        .toDF("run_id", "column_name", "column_type").coalesce(1))
+      schemaSnapshot(df).map { case (c, t) => (runId, c, t, at) }
+        .toDF("run_id", "column_name", "column_type", "recorded_at")
+        .coalesce(1))
   }
 
   /** Q6 across runs: diff every consecutive snapshot pair in the
@@ -86,14 +102,24 @@ object Anomaly {
   def schemaDrift(spark: SparkSession, schemaDir: String,
       lastRuns: Int = 50): Seq[(String, Seq[String])] = {
     val snaps = spark.read.parquet(schemaDir)
-    val keep = snaps.select("run_id").distinct()
-      .orderBy(col("run_id").desc).limit(lastRuns + 1)
-    val byRun = snaps.join(broadcast(keep), "run_id").collect()
-      .map(r => (r.getString(0), (r.getString(1), r.getString(2))))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
-    val runs = byRun.keys.toSeq.sorted
+    // prune AND order on the ingestion stamp, never the run_id string
+    // (lexicographic 'r9' > 'r10' would keep/diff the wrong runs);
+    // pre-stamp history (null recorded_at) sorts oldest, which is
+    // where un-stamped legacy snapshots belong
+    val keep = snaps.groupBy("run_id")
+      .agg(max(col("recorded_at")).as("_at"))
+      .orderBy(col("_at").desc_nulls_last).limit(lastRuns + 1)
+    val byRun = snaps.join(broadcast(keep), "run_id")
+      .select("run_id", "column_name", "column_type", "_at").collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2)),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+      .groupBy(_._1)
+    val cols = byRun.view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val runs = byRun.toSeq
+      .map { case (run, rows) => (run, rows.map(_._3).max) }
+      .sortBy { case (run, at) => (at, run) }.map(_._1)
     runs.zip(runs.drop(1)).map { case (prev, cur) =>
-      cur -> schemaDiff(byRun(prev), byRun(cur))
+      cur -> schemaDiff(cols(prev), cols(cur))
     }
   }
 

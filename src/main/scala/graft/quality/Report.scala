@@ -41,10 +41,16 @@ object Report {
     val truncated = rows.length > maxRows
     val body = rows.take(maxRows).map { r =>
       // fail-marking is best-effort: a non-numeric `violations` column
-      // in a user-supplied table renders unmarked, never crashes
+      // in a user-supplied table renders unmarked, never crashes.
+      // Numeric types compare directly; strings go through toDouble
+      // (with separators stripped) so "2.0" or "1,204" still mark.
       val failing = cols.contains("violations") &&
-        Option(r.getAs[Any]("violations")).exists(v =>
-          scala.util.Try(v.toString.trim.toLong > 0).getOrElse(false))
+        Option(r.getAs[Any]("violations")).exists {
+          case n: Number => n.doubleValue() > 0
+          case v => scala.util.Try(
+            v.toString.trim.replaceAll("[,_ ]", "").toDouble > 0)
+            .getOrElse(false)
+        }
       val cls = if (failing) """ class="fail"""" else ""
       s"<tr$cls>" + cols.map(c => cell(r.getAs[Any](c))).mkString + "</tr>"
     }.mkString("\n")

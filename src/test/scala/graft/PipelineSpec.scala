@@ -135,4 +135,16 @@ class PipelineSpec extends SparkSpec {
     assert(Anomaly.schemaDrift(spark, dir, lastRuns = 1) === Seq(
       "r3" -> Seq("added:y", "retyped:id:bigint->int")))
   }
+
+  test("schema drift orders by ingestion, not lexicographic run_id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-schema-lex").resolve("s").toString
+    // 'r10' > 'r9' chronologically but 'r10' < 'r9' lexicographically —
+    // a string-ordered prune would diff these backwards
+    Anomaly.recordSchema(spark, dir, Seq((1L, "a")).toDF("id", "x"), "r9")
+    Anomaly.recordSchema(spark, dir, Seq((1L, "a", 0.5)).toDF("id", "x", "y"), "r10")
+    assert(Anomaly.schemaDrift(spark, dir) === Seq("r10" -> Seq("added:y")))
+    assert(Anomaly.schemaDrift(spark, dir, lastRuns = 1) ===
+      Seq("r10" -> Seq("added:y")))
+  }
 }

@@ -153,7 +153,13 @@ object JdbcUpsert {
                 }
                 if (upd.executeUpdate() == 0) {
                   cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
-                  try ins.executeUpdate()
+                  // savepoint so the retry works on transaction-level-
+                  // abort databases too (PostgreSQL with autoCommit
+                  // off poisons the tx after ANY failed statement —
+                  // 25P02 — so without rolling back to a savepoint the
+                  // recovery UPDATE below could never run there)
+                  val sp = conn.setSavepoint()
+                  try { ins.executeUpdate(); conn.releaseSavepoint(sp) }
                   catch {
                     // ONLY duplicate-key means "the key exists" —
                     // NOT NULL/CHECK/FK violations share the exception
@@ -165,6 +171,7 @@ object JdbcUpsert {
                     // race case and is a same-value no-op in the
                     // replay case, so both stay idempotent.
                     case e: java.sql.SQLException if isDuplicateKey(e) =>
+                      conn.rollback(sp)
                       upd.executeUpdate()
                   }
                 }

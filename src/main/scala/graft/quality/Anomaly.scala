@@ -101,14 +101,22 @@ object Anomaly {
     */
   def schemaDrift(spark: SparkSession, schemaDir: String,
       lastRuns: Int = 50): Seq[(String, Seq[String])] = {
-    val snaps = spark.read.parquet(schemaDir)
+    // mergeSchema: history dirs are plain appends, so a pre-existing
+    // dir can mix legacy 3-column snapshot files with stamped 4-column
+    // ones — without schema merge, whichever file footer wins picks
+    // the schema and a legacy winner would drop `recorded_at` and
+    // break the max() below nondeterministically (K5's widened appends
+    // are null-filled at read time via mergeSchema, same as
+    // MergeWriter documents)
+    val snaps = spark.read.option("mergeSchema", "true").parquet(schemaDir)
     // prune AND order on the ingestion stamp, never the run_id string
     // (lexicographic 'r9' > 'r10' would keep/diff the wrong runs);
     // pre-stamp history (null recorded_at) sorts oldest, which is
-    // where un-stamped legacy snapshots belong
+    // where un-stamped legacy snapshots belong; run_id as secondary
+    // key makes the lastRuns+1 cut deterministic on stamp ties
     val keep = snaps.groupBy("run_id")
       .agg(max(col("recorded_at")).as("_at"))
-      .orderBy(col("_at").desc_nulls_last).limit(lastRuns + 1)
+      .orderBy(col("_at").desc_nulls_last, col("run_id")).limit(lastRuns + 1)
     val byRun = snaps.join(broadcast(keep), "run_id")
       .select("run_id", "column_name", "column_type", "_at").collect()
       .map(r => (r.getString(0), (r.getString(1), r.getString(2)),

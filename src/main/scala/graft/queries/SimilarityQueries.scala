@@ -60,15 +60,17 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** Multi-table sign-LSH near-dup pairs (4 tables x 8 bits) — the
-    * recall lever the `similarity_recall` gate motivated: the
-    * single-table variant misses any pair split across buckets; four
-    * independent tables recover most of them at 4x candidate cost,
-    * posting-discipline preserved.
+  /** Multi-table sign-LSH near-dup pairs ([[slshMultiTables]] tables ×
+    * [[slshMultiBits]] bits) — the recall lever the
+    * `similarity_recall` gate motivated: the single-table variant
+    * misses any pair split across buckets; independent tables recover
+    * most of them at `tables`× candidate cost, posting-discipline
+    * preserved.
     */
   def dedupEmbeddingLshMulti(spark: SparkSession, dir: String): DataFrame =
     SignLsh.nearDupPairsMulti(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", bits = 8, tables = 4, minCosine = 0.25, dim = embDim)
+        "embedding", bits = slshMultiBits, tables = slshMultiTables,
+        minCosine = 0.25, dim = embDim)
       .orderBy("id_a", "id_b")
 
   /** Embedding near-duplicate pairs within each label block. */
@@ -186,7 +188,8 @@ object SimilarityQueries {
       .unionByName(lsh.filter(col("id_b") < 100)
         .select(col("id_b").as("q_id"), col("id_a").as("neighbor_id")))
     val lshM = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
-      bits = 8, tables = 4, minCosine = 0.25, dim = embDim)
+      bits = slshMultiBits, tables = slshMultiTables, minCosine = 0.25,
+      dim = embDim)
     val lshMq = lshM.filter(col("id_a") < 100)
         .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
       .unionByName(lshM.filter(col("id_b") < 100)
@@ -222,6 +225,19 @@ object SimilarityQueries {
     * 1-row dim-probe job inside the PQ build.
     */
   private val embDim = 64
+
+  /** Multi-table sign-LSH defaults — the recall knob, tuned where the
+    * bench runs (sf0.1 sweep, `graft.tools.TuneSlsh`): 8 bits × 4
+    * tables certified only 0.06 recall at the 0.25-cosine floor;
+    * 6 bits × 12 tables measures 0.42 (0.424 at sf0.001). Fewer bits
+    * per table = denser buckets = higher per-table collision odds;
+    * more tables OR-amplify them. The candidate set stays posting-
+    * discipline bounded (18.6k candidate pairs vs 2M brute-force at
+    * sf0.1). At larger corpora raise `bits` with log2(N) to hold
+    * bucket occupancy, and `tables` with the recall target.
+    */
+  private val slshMultiBits = 6
+  private val slshMultiTables = 12
 
   /** Embedding-space quality diagnostics per label — the health check
     * a training-data pipeline runs on its vector corpus: class sizes,
@@ -424,16 +440,19 @@ object SimilarityQueries {
     * list_dot_product, the bit-identical formulation).
     */
   /** The per-plane sign CASEs of one LSH table, as DuckDB SQL. */
-  private def lshCases(seed: Long): String =
-    SignLsh.planesSql(SignLsh.hyperplanes(8, 64, seed)).map(p =>
+  private def lshCases(seed: Long, bits: Int = 8): String =
+    SignLsh.planesSql(SignLsh.hyperplanes(bits, 64, seed)).map(p =>
       s"CASE WHEN round(list_dot_product(uv, $p), 9) >= 0 THEN '1' ELSE '0' END")
       .mkString(",\n    ")
 
-  /** Multi-table signature CTE `sgm` (4 tables, seeds 42..45). */
+  /** Multi-table signature CTE `sgm` ([[slshMultiTables]] tables,
+    * seeds 42, 43, … — the same seed schedule
+    * [[graft.ext.SignLsh.nearDupPairsMulti]] uses).
+    */
   private def lshMultiSig: String =
-    (0 until 4).map(t =>
+    (0 until slshMultiTables).map(t =>
       s"""SELECT vec_id, uv, $t AS t, concat(
-         |    ${lshCases(42L + t)}) AS bucket FROM u""".stripMargin)
+         |    ${lshCases(42L + t, slshMultiBits)}) AS bucket FROM u""".stripMargin)
       .mkString("sgm AS (\n", "\n  UNION ALL ", ")")
 
   private def recallOracle: String = {
@@ -500,7 +519,7 @@ object SimilarityQueries {
        |FROM r ORDER BY method""".stripMargin
   }
 
-  /** Replays the 4-table signature union, candidate dedup, and exact
+  /** Replays the multi-table signature union, candidate dedup, and exact
     * cosine verify of `nearDupPairsMulti`.
     */
   private def lshMultiOracle: String =

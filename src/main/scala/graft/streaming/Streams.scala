@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Events schema as the parquet reader sees it (ts = raw TIMESTAMP
-    * NANOS int64, converted after read — see graft.Tables).
+  /** Events schema as the stream's parquet reader sees the STAGED
+    * landing-zone files (ts = INT64 micros — normalized at staging
+    * time from whichever flavor the source parquet used; see
+    * [[eventsStream]] and graft.Tables).
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -70,39 +72,41 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String, batches: Int = 1,
       flushSentinel: Boolean = false, duplicated: Boolean = false): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stagedDirs.computeIfAbsent((dir, batches, flushSentinel, duplicated), { _ =>
       val out = Files.createTempDirectory("graft-stream-src")
-      if (duplicated) {
-        Seq("a0", "a1").zipWithIndex.foreach { case (n, i) =>
-          val dst = out.resolve(s"$n.parquet")
-          Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
-          Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
-      } else if (batches <= 1) {
-        Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          out.resolve("events.parquet"))
-      } else {
+      // Normalize ts to long MICROS at staging time, going through the
+      // same loader the batch queries use (graft.Tables.events handles
+      // both driver parquet flavors — TIMESTAMP(NANOS)-as-long and
+      // TIMESTAMP(MICROS)). Staged files then always carry INT64
+      // micros, so the stream's fixed read schema (`eventsRawSchema`)
+      // never depends on which flavor the landing zone was written in.
+      val ev = graft.Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")))
+      def copyParts(src: DataFrame, names: Seq[String]): Unit = {
         val tmp = Files.createTempDirectory("graft-stream-split").toString
-        spark.read.parquet(s"$dir/events.parquet")
-          .repartitionByRange(batches, col("ts"))
-          .write.mode("overwrite").parquet(tmp)
+        src.write.mode("overwrite").parquet(tmp)
         val parts = new java.io.File(tmp).listFiles()
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dst = out.resolve(f"b$i%03d.parquet")
-          Files.copy(f.toPath, dst)
+        names.zipWithIndex.foreach { case (n, i) =>
+          val dst = out.resolve(n)
+          Files.copy(parts(i % parts.length).toPath, dst)
           // deterministic arrival order regardless of copy speed
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
         }
       }
+      if (duplicated) {
+        // the whole log staged twice = at-least-once replay shape
+        copyParts(ev.coalesce(1), Seq("a0.parquet", "a1.parquet"))
+      } else if (batches <= 1) {
+        copyParts(ev.coalesce(1), Seq("events.parquet"))
+      } else {
+        copyParts(ev.repartitionByRange(batches, col("ts")),
+          (0 until batches).map(i => f"b$i%03d.parquet"))
+      }
       if (flushSentinel) {
         import spark.implicits._
-        val maxTs = spark.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts"))).head().getLong(0)
+        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
         // two sentinel micro-batches: the watermark a batch runs with
         // comes from the PREVIOUS batch's max event time, so the first
         // sentinel advances it and the second triggers the batch that
@@ -110,7 +114,7 @@ object Streams {
         Seq(10L, 20L).zipWithIndex.foreach { case (days, i) =>
           val sentTmp = Files.createTempDirectory("graft-stream-sent")
             .resolve("d").toString
-          Seq((-1L - i, maxTs + days * 86400L * 1000000000L, -1L, "sentinel",
+          Seq((-1L - i, maxTs + days * 86400L * 1000000L, -1L, "sentinel",
               0.0, null.asInstanceOf[String]))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.parquet(sentTmp)
@@ -129,7 +133,7 @@ object Streams {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
   }
 
   /** Production sink shape: the stream runs in append/update mode

@@ -147,4 +147,19 @@ class PipelineSpec extends SparkSpec {
     assert(Anomaly.schemaDrift(spark, dir, lastRuns = 1) ===
       Seq("r10" -> Seq("added:y")))
   }
+
+  test("schema drift reads mixed legacy/stamped history files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-schema-legacy").resolve("s").toString
+    // a pre-stamp deployment appended 3-column snapshots (no
+    // recorded_at); later stamped 4-column files land in the same dir.
+    // Schema resolution must MERGE the footers — if the legacy file's
+    // footer won, recorded_at would be unresolvable and the prune
+    // would throw; legacy rows sort oldest (null stamp).
+    Seq(("r0", "id", "bigint"), ("r0", "x", "string"))
+      .toDF("run_id", "column_name", "column_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Anomaly.recordSchema(spark, dir, Seq((1L, "a", 0.5)).toDF("id", "x", "y"), "r1")
+    assert(Anomaly.schemaDrift(spark, dir) === Seq("r1" -> Seq("added:y")))
+  }
 }

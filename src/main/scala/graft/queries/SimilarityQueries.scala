@@ -123,15 +123,16 @@ object SimilarityQueries {
       .orderBy("vec_id")
 
   /** Product-quantization ADC search — the second ANN scale path
-    * beside IVF: corpus stored as 16 sub-codes, queries probe via
-    * broadcast lookup tables (16 lookups + adds per candidate instead
-    * of a 64-dim dot). Approximate by design, deterministic by
+    * beside IVF: corpus stored as [[pqM]] sub-codes, queries probe via
+    * broadcast lookup tables ([[pqM]] lookups + adds per candidate
+    * instead of a 64-dim dot). Approximate by design, deterministic by
     * construction, so exactly oracle-checked end to end.
     */
   def similarityPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Pq.adcTopK(emb.filter(col("vec_id") < 100), emb, "vec_id", "vec_id",
-        "embedding", blockCol = "label", m = pqM, k = 3, dim = embDim)
+    Pq.adcTopK(emb.filter(col("vec_id") < 100), pqCorpus(emb), "vec_id",
+        "vec_id", "embedding", blockCol = "_pqcell", m = pqM, k = 3,
+        dim = embDim)
       .orderBy("q_id", "rank")
   }
 
@@ -146,7 +147,8 @@ object SimilarityQueries {
   def similarityPqProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val root = Files.createTempDirectory("graft-pqindex").toString
-    val codebook = Pq.trainCodebook(emb, "embedding", "label", pqM, embDim)
+    val codebook = Pq.trainCodebook(pqCorpus(emb), "embedding", "_pqcell",
+      pqM, embDim)
     Versioned.write(spark, s"$root/codebook", codebook)
     val cb = Versioned.read(spark, s"$root/codebook")
     Versioned.write(spark, s"$root/codes",
@@ -176,8 +178,8 @@ object SimilarityQueries {
     val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "vec_id",
         "embedding", blockCol = "label", k = k, nprobe = 3)
       .select("q_id", "neighbor_id")
-    val pq = Pq.adcTopK(queries, emb, "vec_id", "vec_id", "embedding",
-        blockCol = "label", m = pqM, k = k, dim = embDim)
+    val pq = Pq.adcTopK(queries, pqCorpus(emb), "vec_id", "vec_id",
+        "embedding", blockCol = "_pqcell", m = pqM, k = k, dim = embDim)
       .select("q_id", "neighbor_id")
     // sign-LSH emits undirected pairs; orient them around the query
     // side so recall is measured against the exact directed pair set
@@ -214,11 +216,30 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
-  /** 16 subspaces × 4 dims: on loosely clustered 64-dim data, coarser
-    * splits (4×16) quantize away most neighborhood signal — measured
-    * recall@3 vs brute force: 0.05 at m=4 vs 0.19 at m=16.
+  /** 32 subspaces × 2 dims, codebooks trained on 40 cells (the 10
+    * labels deterministically split 4 ways — [[pqCorpus]]). Tuned
+    * where the bench runs (`graft.tools.TunePq` sf0.1 sweep of
+    * m × cell-split): recall@10 vs brute force is 0.17 at the old
+    * 16 × 10-cell defaults, 0.373 at 32 × 40 (0.496 at sf0.001).
+    * Finer subspaces quantize less away per slice; more codewords cut
+    * within-cell variance — both stay fully deterministic (rounded
+    * means, id tie-breaks), so the whole pipeline remains exactly
+    * oracle-replayable. Index cost: 32 byte-codes/vector = 8× smaller
+    * than the raw float32 vector; LUTs are 32 × 40 doubles per query,
+    * still broadcast-tiny.
     */
-  private val pqM = 16
+  private val pqM = 32
+
+  /** Deterministic 4-way refinement of the label cells used as PQ
+    * training blocks: cell = label × 4 + (vec_id mod 4). Any stable
+    * row attribute works — the split only diversifies the codeword
+    * pool (encoding always searches ALL codewords per subspace);
+    * vec_id mod is SQL-replayable and skew-free by construction.
+    */
+  private val pqCellSplit = 4
+  private def pqCorpus(emb: DataFrame): DataFrame =
+    emb.withColumn("_pqcell",
+      col("label") * pqCellSplit + pmod(col("vec_id"), lit(pqCellSplit)))
 
   /** Embedding dimensionality of the `embeddings` table (TESTDATA
     * contract; the oracles hardcode it too). Passing it saves the
@@ -393,13 +414,14 @@ object SimilarityQueries {
     val w = 64 / pqM
     val adcSum = (1 to pqM).map(s => s"lt[$s][cds[$s] + 1]")
       .mkString(" + ")
-    s"""sub AS (SELECT vec_id, label, s,
+    s"""sub AS (SELECT vec_id, label,
+       |    label * $pqCellSplit + vec_id % $pqCellSplit AS cell, s,
        |    list_slice(uv, s * $w + 1, s * $w + $w) AS sv
        |  FROM u CROSS JOIN (SELECT unnest(range(0, $pqM)) AS s) g),
-       |cb AS (SELECT s, label AS cw, pos, round(avg(x), 4) AS mv FROM (
-       |    SELECT s, label, unnest(range(1, len(sv) + 1)) AS pos,
+       |cb AS (SELECT s, cell AS cw, pos, round(avg(x), 4) AS mv FROM (
+       |    SELECT s, cell, unnest(range(1, len(sv) + 1)) AS pos,
        |      unnest(sv) AS x FROM sub)
-       |  GROUP BY s, label, pos),
+       |  GROUP BY s, cell, pos),
        |cbl AS (SELECT s, cw, list(mv ORDER BY pos) AS cwv FROM cb GROUP BY s, cw),
        |enc AS (SELECT vec_id, s, cw FROM (
        |    SELECT c.vec_id, c.s, b.cw,

@@ -79,6 +79,54 @@ class MergeWriterSpec extends SparkSpec {
     assert(got.filter(col("id") === 2).select("v").head().getLong(0) === 11L)
   }
 
+  test("partitioned upsert partition-PRUNES the target scan (plan guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = tmp()
+    val b1 = Seq((1L, "2024-01-01", 10L), (2L, "2024-01-02", 10L),
+      (3L, "2024-01-03", 10L)).toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b1, Seq("id"), Seq("v"), "day")
+    // capture every plan the merge executes; the guard is on the scan
+    // of the TARGET dir inside the merge write — at 100 TB a refactor
+    // that drops the isInCollection prune (e.g. to a non-pushable join)
+    // silently full-scans the mart, and only the plan can prove it
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val dirName = new java.io.File(dir).getName
+    spark.listenerManager.register(ql)
+    try {
+      val b2 = Seq((2L, "2024-01-02", 11L)).toDF("id", "day", "v")
+      MergeWriter.upsertPartitioned(spark, dir, b2, Seq("id"), Seq("v"), "day")
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      // AQE hides materialized stages behind QueryStageExec leaves, so
+      // a plain collect never reaches the scan — recurse through them
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains(dirName)) => Seq(s)
+      }.flatten
+      val scans = plans.toArray(Array.empty[SparkPlan]).flatMap(scansOf)
+      assert(scans.nonEmpty, "merge executed no captured scan of the target")
+      scans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"target scan lost its PartitionFilters: ${s.simpleString(120)}")
+        val selected = s.selectedPartitions.partitionCount
+        assert(selected === 1,
+          s"expected 1 pruned partition (day=2024-01-02), scan listed $selected")
+      }
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("hot-partition fan-out: filesPerPartition spreads a day over key-salted files") {
     import spark.implicits._
     val dir = tmp()
@@ -100,6 +148,34 @@ class MergeWriterSpec extends SparkSpec {
     assert(got.count() === 90)
     // every key took the b2 version exactly once — fan-out kept keys disjoint
     assert(got.filter(col("v") % 10 === 1).count() === 90)
+  }
+
+  test("fan-out under skew: hot day splits wide, latest-per-key survives the mix") {
+    import spark.implicits._
+    val dir = tmp()
+    // skewed volume: one hot day carrying 400 keys next to a 2-key day
+    // — the shape that motivates the knob (at 100 TB the hot day is
+    // bigger than any single task should be)
+    val hot = (1L to 400L).map(id => (id, "2024-01-01", id))
+    val cold = Seq((1001L, "2024-01-02", 1L), (1002L, "2024-01-02", 2L))
+    MergeWriter.upsertPartitioned(spark, dir, (hot ++ cold).toDF("id", "day", "v"),
+      Seq("id"), Seq("v"), "day", filesPerPartition = 4)
+    // second batch bumps every hot key — the merge must keep exactly
+    // one (latest) version per key across the salted files
+    MergeWriter.upsertPartitioned(spark, dir,
+      hot.map { case (id, d, v) => (id, d, v + 1000L) }.toDF("id", "day", "v"),
+      Seq("id"), Seq("v"), "day", filesPerPartition = 4)
+    def parts(day: String) = new java.io.File(dir, s"day=$day").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    // (day, salt) hash-partitions into n=4 tasks; two salts can share a
+    // task, so the guarantee is "spread wide", not "exactly 4 files"
+    assert(parts("2024-01-01").length >= 2 && parts("2024-01-01").length <= 4,
+      s"hot day should fan out to 2-4 files, got ${parts("2024-01-01").length}")
+    assert(parts("2024-01-02").length <= 2) // 2 keys can't need more
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 402)
+    assert(got.filter(col("day") === "2024-01-01" && col("v") > 1000L)
+      .count() === 400) // every hot key took the second version exactly once
   }
 
   /** Recursive (path, size, mtime, checksum-ish first bytes) listing of

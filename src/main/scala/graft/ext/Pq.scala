@@ -83,16 +83,29 @@ object Pq {
       codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val w = dim / m
-    val encW = Window.partitionBy(col("c_id"), col("sub"))
-      .orderBy(round(col("_d2"), 9).asc, col("cw").asc)
+    // Arg-min codeword per (row, subspace) as min(packed long), NOT a
+    // row_number window: the window sorts |corpus|·m·|codewords| rows
+    // on one exchange, while min(long) partial-aggregates map-side
+    // through a HashAggregate (min(struct) would force SortAggregate —
+    // same packing trick as record_linkage). The 9-decimal-quantized
+    // distance occupies the high bits, the dense code the low 16, so
+    // packed order == (round(d2,9) asc, code asc) — and code order ==
+    // cw order by construction ([[trainCodebook]]), matching the
+    // documented (d2, cw) tie-break exactly. d2 of unit-vector slices
+    // is ≤ 4, so the pack stays far inside Long range; codebooks are
+    // bounded to 2^16 codewords per subspace.
     subs(Vectors.unitized(corpus, vecCol, cId -> "c_id"), "c_id", m, w)
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("_d2",
         Vectors.dot(col("_sv"), col("_sv"))
           - lit(2) * Vectors.dot(col("_sv"), col("_cw"))
           + Vectors.dot(col("_cw"), col("_cw")))
-      .withColumn("_rn", row_number().over(encW))
-      .filter(col("_rn") === 1)
+      .withColumn("_pk",
+        greatest(round(col("_d2") * lit(1e9)), lit(0.0)).cast("long")
+          * lit(65536L) + col("code"))
+      .groupBy(col("c_id"), col("sub"))
+      .agg(min(col("_pk")).as("_pk"))
+      .withColumn("code", (col("_pk") % 65536L).cast("int"))
       .groupBy(col("c_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
       .select(col("c_id"),

@@ -89,15 +89,35 @@ object SignLsh {
       bits: Int, tables: Int, minCosine: Double, dim: Int = -1): DataFrame = {
     require(tables >= 1, "need at least one hash table")
     val d = resolveDim(df, vecCol, dim)
+    val spark = df.sparkSession
+    import spark.implicits._
     val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", Vectors.norm(col("_v")))
       .withColumn("_u",
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
           .otherwise(col("_v")))
-    val sig = e.select(col(idCol),
-      posexplode(array((0 until tables).map(t =>
-        signature(col("_u"), hyperplanes(bits, d, 42L + t))): _*))
-        .as(Seq("_t", "_bucket")))
+    // Hyperplanes as broadcast ROWS (one native dot per (vector,
+    // plane)), not as per-plane literal expression trees: tables ×
+    // bits inlined [[signature]] columns blow the signature stage out
+    // of whole-stage codegen — measured 4.5× slower than this
+    // data-driven form at 12 × 6 (`graft.tools.ProfileSlshM`). The
+    // groupBy collapses map-side (each vector's plane rows are
+    // partition-local under the cross join, so partial collect_list
+    // finishes before the exchange) — the shuffle moves exactly the
+    // (id, table, bucket) postings the bucket join needs anyway.
+    val planes = (for {
+      t <- 0 until tables
+      (p, i) <- hyperplanes(bits, d, 42L + t).zipWithIndex
+    } yield (t, i, p)).toDF("_t", "_p", "_plane")
+    val sig = e.select(col(idCol), col("_u"))
+      .crossJoin(broadcast(planes))
+      .withColumn("_bit",
+        when(round(Vectors.dot(col("_u"), col("_plane")), 9) >= 0, lit("1"))
+          .otherwise(lit("0")))
+      .groupBy(col(idCol), col("_t"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("_p"), col("_bit")))),
+        s => s.getField("_bit"))).as("_bucket"))
     val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
     val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
     val cands = a.join(b, Seq("_t", "_bucket"))

@@ -30,6 +30,23 @@ class PqIndexSpec extends SparkSpec {
     assert(probe.orderBy("q_id", "rank").collect().toSeq === oneShot)
   }
 
+  test("encode plan: arg-min is a partial-aggregating hash agg, no window sort") {
+    // the packed-long min keeps encoding map-side combinable; a
+    // refactor back to the row_number window would sort corpus ×
+    // subspaces × codewords rows on one exchange at 100 TB
+    val cb = Pq.trainCodebook(emb, "embedding", "label", 16, 64)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, 16, 64)
+    val phys = codes.queryExecution.executedPlan.toString
+    // the codebook subtree keeps its tiny dense-code window (over
+    // codewords); the guard is that no window is keyed on the CORPUS
+    val corpusWindows = phys.linesIterator
+      .filter(l => l.contains("Window") && l.contains("c_id")).toSeq
+    assert(corpusWindows.isEmpty,
+      s"encode must not window-sort the corpus: $corpusWindows")
+    assert(phys.contains("partial_min"),
+      s"encode arg-min must partial-aggregate map-side:\n${phys.take(2000)}")
+  }
+
   test("probe over a PERSISTED index matches and rebuilds nothing") {
     import graft.operators.Versioned
     val q = emb.filter(col("vec_id") < 10)

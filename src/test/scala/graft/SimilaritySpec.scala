@@ -137,6 +137,20 @@ class SimilaritySpec extends SparkSpec {
     assert(multiDim.count() >= withDim.count()) // multi-table only adds recall
   }
 
+  test("multi-table LSH plan: planes join as broadcast rows, no expression explode") {
+    // the data-driven signature build keeps the stage inside
+    // whole-stage codegen; a refactor back to inlined per-plane
+    // literal columns (posexplode over tables × bits expressions)
+    // re-creates the 4.5×-slower interpreted stage
+    val df = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+      bits = 4, tables = 2, minCosine = 0.25, dim = 64)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"),
+      s"hyperplanes must join as a broadcast relation:\n${phys.take(2000)}")
+    assert(!phys.contains("Generate"),
+      s"signatures must not posexplode per-table expressions:\n${phys.take(2000)}")
+  }
+
   test("fast-hash minhash LSH also catches the planted duplicate") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -169,4 +169,53 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("_pid")
   }
+
+  /** Deterministic global corpus shuffle into fixed-size training
+    * shards — the last step before a pretraining run: every document
+    * gets a pseudorandom but REPRODUCIBLE position (a pure function of
+    * (seed, id) — stable across re-runs, engines and repartitioning,
+    * like every sampler in this object), and positions pack into
+    * shards of `docsPerShard` documents ((shard, pos_in_shard) tell a
+    * data loader exactly where each document lands).
+    *
+    * The shuffle key is the md5-derived 60-bit integer of "seed|id"
+    * (the [[sample]]/`sampleWeighted` idiom, so the DuckDB oracle
+    * replays it bit-for-bit); the GLOBAL rank over (key, id) is the
+    * same two-level prefix pattern as [[selectTokenBudget]] — range
+    * partition on the key (hash keys are uniform, so ranges balance by
+    * construction), partition-local row_number, driver offsets from
+    * the `numPartitions`-row count table. No global sort through one
+    * reducer, no single-partition window; the barrier pins partition
+    * ids across the counts and rank passes.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, docsPerShard: Int,
+      seed: String, partitions: Int = 0): DataFrame = {
+    require(docsPerShard >= 1, "need a positive shard size")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val key = conv(substring(md5(
+        concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val ranged = df.select(col(idCol)).withColumn("_k", key)
+      .repartitionByRange(n, col("_k"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_k"), col(idCol))
+    ranged
+      .withColumn("_pos",
+        row_number().over(w).cast("long") +
+          element_at(typedlit(offsets), col("_pid")) - 1L)
+      .select(col(idCol), col("_k").as("shuffle_key"),
+        floor(col("_pos") / docsPerShard).cast("long").as("shard"),
+        pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
+  }
 }

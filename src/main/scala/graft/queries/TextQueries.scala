@@ -629,7 +629,20 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global corpus shuffle into 100-document training
+    * shards ([[graft.ext.Sampling.shuffleShards]]): pseudorandom but
+    * reproducible positions from md5("e0|doc_id"), global rank via the
+    * two-level prefix pattern (no global sort, no single-partition
+    * window). The oracle IS the naive global window — the distributed
+    * rank must be bit-identical to it.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(Tables.documents(spark, dir), "doc_id",
+        docsPerShard = 100, seed = "e0")
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "corpus_shuffle" -> (corpusShuffle _),
     "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
     "select_dsir" -> (selectDsir _),
@@ -678,6 +691,27 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     // replays the selection as a plain windowed cumsum — the oracle
     // proves the two-level prefix sum equals the single-window answer
+    // The two-level distributed rank must be bit-identical to the
+    // serial global numbering (same md5-hex-to-int idiom as
+    // sample_weighted's oracle).
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    substr(md5(concat('e0|', CAST(doc_id AS VARCHAR))), 1, 15)
+        |      AS hs
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 15), i ->
+        |        CAST(strpos('0123456789abcdef', substr(hs, i, 1)) - 1
+        |          AS BIGINT))), (a, x) -> a * 16 + x) AS shuffle_key
+        |  FROM h),
+        |r AS (SELECT doc_id, shuffle_key,
+        |    row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+        |  FROM k)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(pos // 100 AS BIGINT) AS shard,
+        |  CAST(pos % 100 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "select_token_budget" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

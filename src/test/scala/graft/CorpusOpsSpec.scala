@@ -175,6 +175,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus shuffle is a permutation into full shards, at any partition count") {
+    val docs = (1L to 250L).map(Tuple1(_)).toDF("id")
+    val ref = Sampling.shuffleShards(docs, "id", docsPerShard = 50,
+        seed = "t0", partitions = 1)
+      .orderBy("id").collect().toSeq
+    // positions form exactly 0..N-1 (a permutation, nothing dropped or
+    // duplicated), packed into full 50-doc shards
+    val pos = ref.map(r => r.getLong(2) * 50 + r.getLong(3)).sorted
+    assert(pos === (0L until 250L))
+    for (n <- Seq(3, 7)) {
+      val got = Sampling.shuffleShards(docs, "id", docsPerShard = 50,
+          seed = "t0", partitions = n)
+        .orderBy("id").collect().toSeq
+      assert(got === ref, s"shuffle must be partition-count invariant at n=$n")
+    }
+    // a different seed gives a different permutation (same shard sizes)
+    val other = Sampling.shuffleShards(docs, "id", 50, seed = "t1", partitions = 3)
+      .orderBy("id").collect().toSeq
+    assert(other !== ref)
+  }
+
+  test("corpus shuffle never uses a global (unpartitioned) window") {
+    val docs = (1L to 50L).map(Tuple1(_)).toDF("id")
+    val plan = Sampling.shuffleShards(docs, "id", 10, seed = "t0")
+      .queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(globalWindows.isEmpty,
+      "global rank must be partition-local + offsets, not one global window")
+  }
+
   test("token-budget selection never uses a global (unpartitioned) window") {
     val docs = (1L to 50L).map(i => (i, i % 10, i % 7 + 1))
       .toDF("id", "score", "tok")

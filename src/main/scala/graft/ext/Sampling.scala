@@ -218,4 +218,23 @@ object Sampling {
         floor(col("_pos") / docsPerShard).cast("long").as("shard"),
         pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
   }
+
+  /** Materialize a shuffled corpus as on-disk training shards: one
+    * parquet file per `shard=N` directory, rows inside each file in
+    * `pos_in_shard` order — the layout a pretraining data loader
+    * streams sequentially (shard dirs shard-parallel across loader
+    * workers, in-file order IS the sample order). [[shuffleShards]]
+    * supplies the deterministic coordinates; the write repartitions on
+    * the shard id (each shard = one task = one file, shards are
+    * equal-sized by construction so the write is skew-free) and
+    * sortWithinPartitions pins the in-file row order.
+    */
+  def writeShards(df: DataFrame, idCol: String, dir: String,
+      docsPerShard: Int, seed: String, partitions: Int = 0): Unit = {
+    val coords = shuffleShards(df, idCol, docsPerShard, seed, partitions)
+    df.join(coords, idCol)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos_in_shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
 }

@@ -196,6 +196,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(other !== ref)
   }
 
+  test("shard write: one file per shard dir, rows in sample order") {
+    val docs = (1L to 250L).map(i => (i, s"doc-$i")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+      .resolve("s").toString
+    Sampling.writeShards(docs, "id", dir, docsPerShard = 50, seed = "t0")
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 5)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      assert(files.length === 1, s"${d.getName}: one file per shard")
+      // in-file row order IS the sample order (no re-sort needed by a
+      // sequential reader)
+      val pos = spark.read.parquet(files.head.getPath)
+        .select("pos_in_shard").collect().map(_.getLong(0)).toSeq
+      assert(pos === (0L until 50L), s"${d.getName} not in sample order")
+    }
+    // nothing lost or duplicated across the shard layout
+    assert(spark.read.parquet(dir).select("id").distinct().count() === 250)
+  }
+
   test("corpus shuffle never uses a global (unpartitioned) window") {
     val docs = (1L to 50L).map(Tuple1(_)).toDF("id")
     val plan = Sampling.shuffleShards(docs, "id", 10, seed = "t0")

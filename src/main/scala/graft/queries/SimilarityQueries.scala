@@ -412,6 +412,10 @@ object SimilarityQueries {
     */
   private def pqCtes: String = {
     val w = 64 / pqM
+    // cds holds DENSE positional codes (row_number over cw, exactly
+    // what Pq.trainCodebook assigns), and the LUT lists are ordered by
+    // cw — so lt[s][code+1] is well-defined even if a training cell
+    // were empty (no reliance on cell values being dense 0..n-1)
     val adcSum = (1 to pqM).map(s => s"lt[$s][cds[$s] + 1]")
       .mkString(" + ")
     s"""sub AS (SELECT vec_id, label,
@@ -422,15 +426,18 @@ object SimilarityQueries {
        |    SELECT s, cell, unnest(range(1, len(sv) + 1)) AS pos,
        |      unnest(sv) AS x FROM sub)
        |  GROUP BY s, cell, pos),
-       |cbl AS (SELECT s, cw, list(mv ORDER BY pos) AS cwv FROM cb GROUP BY s, cw),
-       |enc AS (SELECT vec_id, s, cw FROM (
-       |    SELECT c.vec_id, c.s, b.cw,
+       |cbl0 AS (SELECT s, cw, list(mv ORDER BY pos) AS cwv FROM cb GROUP BY s, cw),
+       |cbl AS (SELECT s, cw, cwv,
+       |    row_number() OVER (PARTITION BY s ORDER BY cw) - 1 AS code
+       |  FROM cbl0),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT c.vec_id, c.s, b.code,
        |      row_number() OVER (PARTITION BY c.vec_id, c.s
        |        ORDER BY round(list_dot_product(c.sv, c.sv)
        |          - 2 * list_dot_product(c.sv, b.cwv)
        |          + list_dot_product(b.cwv, b.cwv), 9) ASC, b.cw ASC) AS rn
        |    FROM sub c JOIN cbl b ON b.s = c.s) WHERE rn = 1),
-       |codes AS (SELECT vec_id, list(cw ORDER BY s) AS cds FROM enc GROUP BY vec_id),
+       |codes AS (SELECT vec_id, list(code ORDER BY s) AS cds FROM enc GROUP BY vec_id),
        |lut0 AS (SELECT q.vec_id AS q_id, q.s, b.cw,
        |    list_dot_product(q.sv, b.cwv) AS dp
        |  FROM sub q JOIN cbl b ON b.s = q.s WHERE q.vec_id < 100),

@@ -82,27 +82,37 @@ object Streams {
       // never depends on which flavor the landing zone was written in.
       val ev = graft.Tables.events(spark, dir)
         .withColumn("ts", unix_micros(col("ts")))
-      def copyParts(src: DataFrame, names: Seq[String]): Unit = {
+      // write `src`, return its part files in name (= partition) order
+      def writeParts(src: DataFrame): Seq[java.nio.file.Path] = {
         val tmp = Files.createTempDirectory("graft-stream-split").toString
         src.write.mode("overwrite").parquet(tmp)
-        val parts = new java.io.File(tmp).listFiles()
+        new java.io.File(tmp).listFiles()
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        names.zipWithIndex.foreach { case (n, i) =>
+          .map(_.toPath).toSeq
+      }
+      def stage(files: Seq[(java.nio.file.Path, String)]): Unit =
+        files.zipWithIndex.foreach { case ((src, n), i) =>
           val dst = out.resolve(n)
-          Files.copy(parts(i % parts.length).toPath, dst)
+          Files.copy(src, dst)
           // deterministic arrival order regardless of copy speed
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
         }
-      }
       if (duplicated) {
-        // the whole log staged twice = at-least-once replay shape
-        copyParts(ev.coalesce(1), Seq("a0.parquet", "a1.parquet"))
+        // the whole log staged TWICE on purpose = at-least-once replay
+        val p = writeParts(ev.coalesce(1))
+        require(p.length == 1, s"coalesce(1) wrote ${p.length} files")
+        stage(Seq(p.head -> "a0.parquet", p.head -> "a1.parquet"))
       } else if (batches <= 1) {
-        copyParts(ev.coalesce(1), Seq("events.parquet"))
+        val p = writeParts(ev.coalesce(1))
+        require(p.length == 1, s"coalesce(1) wrote ${p.length} files")
+        stage(Seq(p.head -> "events.parquet"))
       } else {
-        copyParts(ev.repartitionByRange(batches, col("ts")),
-          (0 until batches).map(i => f"b$i%03d.parquet"))
+        // one staged file PER part actually written — a range split
+        // with an empty partition yields fewer files, never replayed
+        // content (each part is copied exactly once)
+        val p = writeParts(ev.repartitionByRange(batches, col("ts")))
+        stage(p.zipWithIndex.map { case (f, i) => f -> f"b$i%03d.parquet" })
       }
       if (flushSentinel) {
         import spark.implicits._

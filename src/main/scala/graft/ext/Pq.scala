@@ -101,8 +101,14 @@ object Pq {
           - lit(2) * Vectors.dot(col("_sv"), col("_cw"))
           + Vectors.dot(col("_cw"), col("_cw")))
       .withColumn("_pk",
-        greatest(round(col("_d2") * lit(1e9)), lit(0.0)).cast("long")
-          * lit(65536L) + col("code"))
+        // round(_d2, 9) FIRST — the exact quantization the oracle (and
+        // the old window) ranked by; the outer round only recovers the
+        // integer from (k/1e9)*1e9's last-ulp wobble. Rounding the
+        // scaled product directly could land one quantum off the
+        // 9-decimal half-up boundary and pick a different codeword
+        // than the SQL replay.
+        greatest(round(round(col("_d2"), 9) * lit(1e9)), lit(0.0))
+          .cast("long") * lit(65536L) + col("code"))
       .groupBy(col("c_id"), col("sub"))
       .agg(min(col("_pk")).as("_pk"))
       .withColumn("code", (col("_pk") % 65536L).cast("int"))

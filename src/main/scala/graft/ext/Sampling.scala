@@ -187,6 +187,11 @@ object Sampling {
     * the `numPartitions`-row count table. No global sort through one
     * reducer, no single-partition window; the barrier pins partition
     * ids across the counts and rank passes.
+    *
+    * PRECONDITION: `idCol` must be unique (it is the document key).
+    * Duplicate ids would share a shuffle key but receive distinct
+    * positions, and [[writeShards]]'s join-back would then multiply
+    * rows — dedup first (`dedup_exact` is the operator for that).
     */
   def shuffleShards(df: DataFrame, idCol: String, docsPerShard: Int,
       seed: String, partitions: Int = 0): DataFrame = {

@@ -142,6 +142,7 @@ object JdbcUpsert {
       (it: Iterator[Row]) =>
         if (it.hasNext) {
           val conn = java.sql.DriverManager.getConnection(url)
+          var savepoints = true
           try {
             conn.setAutoCommit(false)
             val upd = conn.prepareStatement(updateSql)
@@ -157,10 +158,24 @@ object JdbcUpsert {
                   // abort databases too (PostgreSQL with autoCommit
                   // off poisons the tx after ANY failed statement —
                   // 25P02 — so without rolling back to a savepoint the
-                  // recovery UPDATE below could never run there)
-                  val sp = conn.setSavepoint()
-                  try { ins.executeUpdate(); conn.releaseSavepoint(sp) }
-                  catch {
+                  // recovery UPDATE below could never run there).
+                  // Feature-detected once per partition: drivers
+                  // without savepoints keep the statement-level-
+                  // rollback recovery they always had instead of
+                  // failing every fresh insert.
+                  val sp =
+                    if (savepoints)
+                      try conn.setSavepoint()
+                      catch {
+                        case _: java.sql.SQLFeatureNotSupportedException
+                            | _: UnsupportedOperationException =>
+                          savepoints = false; null
+                      }
+                    else null
+                  try {
+                    ins.executeUpdate()
+                    if (sp != null) conn.releaseSavepoint(sp)
+                  } catch {
                     // ONLY duplicate-key means "the key exists" —
                     // NOT NULL/CHECK/FK violations share the exception
                     // type in most drivers and must still fail the
@@ -171,7 +186,15 @@ object JdbcUpsert {
                     // race case and is a same-value no-op in the
                     // replay case, so both stay idempotent.
                     case e: java.sql.SQLException if isDuplicateKey(e) =>
-                      conn.rollback(sp)
+                      if (sp != null) {
+                        conn.rollback(sp)
+                        // rollback keeps the savepoint alive; release
+                        // it so subtransactions don't pile up until
+                        // commit (best-effort — some drivers disallow
+                        // release-after-rollback)
+                        try conn.releaseSavepoint(sp)
+                        catch { case _: java.sql.SQLException => () }
+                      }
                       upd.executeUpdate()
                   }
                 }

@@ -689,8 +689,6 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // replays the selection as a plain windowed cumsum — the oracle
-    // proves the two-level prefix sum equals the single-window answer
     // The two-level distributed rank must be bit-identical to the
     // serial global numbering (same md5-hex-to-int idiom as
     // sample_weighted's oracle).
@@ -712,6 +710,8 @@ object TextQueries {
         |  CAST(pos // 100 AS BIGINT) AS shard,
         |  CAST(pos % 100 AS BIGINT) AS pos_in_shard
         |FROM r ORDER BY doc_id""".stripMargin,
+    // replays the selection as a plain windowed cumsum — the oracle
+    // proves the two-level prefix sum equals the single-window answer
     "select_token_budget" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -45,6 +45,24 @@ object Streams {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean, Boolean), String]()
 
+  /** Memoize `build` under `key` WITHOUT holding the map's bin lock
+    * while it runs — staging executes multi-second Spark jobs, and
+    * `computeIfAbsent` would serialize unrelated keys sharing a bin
+    * (and deadlock on any re-entrant staging). Losing the putIfAbsent
+    * race just means one redundant temp-dir staging; the winner's dir
+    * is what every caller reads.
+    */
+  private def memoStage[K](map: java.util.concurrent.ConcurrentHashMap[K, String],
+      key: K)(build: => String): String = {
+    val hit = map.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = map.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** Streaming read of the events table (micro-batched file source).
     * The file source requires a directory, so the parquet data is
     * staged into a temp dir (in production the landing zone IS a
@@ -72,7 +90,7 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String, batches: Int = 1,
       flushSentinel: Boolean = false, duplicated: Boolean = false): DataFrame = {
-    val staged = stagedDirs.computeIfAbsent((dir, batches, flushSentinel, duplicated), { _ =>
+    val staged = memoStage(stagedDirs, (dir, batches, flushSentinel, duplicated)) {
       val out = Files.createTempDirectory("graft-stream-src")
       // Normalize ts to long MICROS at staging time, going through the
       // same loader the batch queries use (graft.Tables.events handles
@@ -138,7 +156,7 @@ object Streams {
         }
       }
       out.toString
-    })
+    }
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -335,7 +353,7 @@ object Streams {
     */
   def documentsStream(spark: SparkSession, dir: String,
       batches: Int): DataFrame = {
-    val staged = stagedDocDirs.computeIfAbsent((dir, batches), { _ =>
+    val staged = memoStage(stagedDocDirs, (dir, batches)) {
       val out = Files.createTempDirectory("graft-doc-src")
       val tmp = Files.createTempDirectory("graft-doc-split").toString
       spark.read.parquet(s"$dir/documents.parquet")
@@ -351,7 +369,7 @@ object Streams {
             1700000000000L + i * 60000L))
       }
       out.toString
-    })
+    }
     spark.readStream
       .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .option("maxFilesPerTrigger", "1")

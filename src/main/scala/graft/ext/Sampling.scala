@@ -224,6 +224,52 @@ object Sampling {
         pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
   }
 
+  /** Mixture-weighted deterministic corpus order → training shards:
+    * like [[shuffleShards]], but each document races with an
+    * EXPONENTIAL key `ln(u)/w` (u = md5-uniform in (0,1], w =
+    * `weightCol` > 0) — the weighted-sampling-without-replacement
+    * trick `sampleQuota`/`sampleWeighted` already use, applied to the
+    * WHOLE corpus order: every prefix of the resulting order is a
+    * weighted sample, so a data loader walking shards front-to-back
+    * consumes sources in proportion to their weights from step one
+    * (the pretraining mixture schedule, not just a mixture total).
+    * Same two-level global rank, same reproducibility story, same
+    * id-uniqueness precondition as [[shuffleShards]].
+    */
+  def mixtureShards(df: DataFrame, idCol: String, weightCol: String,
+      docsPerShard: Int, seed: String, partitions: Int = 0): DataFrame = {
+    require(docsPerShard >= 1, "need a positive shard size")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val h = conv(substring(md5(
+        concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double")
+    val u = (h + 1.0) / lit(1.152921504606847e18) // (0, 1], 2^60 scale
+    val key = log(u) / col(weightCol)
+    val ranged = df.select(col(idCol), col(weightCol))
+      .withColumn("_k", key)
+      .repartitionByRange(n, col("_k").desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_k").desc, col(idCol))
+    ranged
+      .withColumn("_pos",
+        row_number().over(w).cast("long") +
+          element_at(typedlit(offsets), col("_pid")) - 1L)
+      .select(col(idCol), round(col("_k"), 6).as("mix_key"),
+        floor(col("_pos") / docsPerShard).cast("long").as("shard"),
+        pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
+  }
+
   /** Materialize a shuffled corpus as on-disk training shards: one
     * parquet file per `shard=N` directory, rows inside each file in
     * `pos_in_shard` order — the layout a pretraining data loader

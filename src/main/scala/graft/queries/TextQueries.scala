@@ -641,7 +641,23 @@ object TextQueries {
         docsPerShard = 100, seed = "e0")
       .orderBy("doc_id")
 
+  /** Mixture-weighted corpus order ([[graft.ext.Sampling
+    * .mixtureShards]]): `src0` documents weighted 3×, everything else
+    * 1× — any prefix of the shard order then samples src0 at 3:1 odds
+    * per document. Exponential-race keys (ln(u)/w, the
+    * `sample_weighted` idiom) make the weighted order deterministic
+    * and SQL-replayable; the oracle is the global window over the
+    * same keys.
+    */
+  def mixtureShards(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureShards(
+        Tables.documents(spark, dir).withColumn("_w",
+          when(col("source") === "src0", 3.0).otherwise(1.0)),
+        "doc_id", "_w", docsPerShard = 100, seed = "m0")
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "mixture_shards" -> (mixtureShards _),
     "corpus_shuffle" -> (corpusShuffle _),
     "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
@@ -689,6 +705,29 @@ object TextQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The weighted order replayed as one global window over the same
+    // exponential keys (ln/division double math matches across
+    // engines — the sample_weighted precedent).
+    "mixture_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |    CASE WHEN source = 'src0' THEN 3.0 ELSE 1.0 END AS w,
+        |    substr(md5(concat('m0|', CAST(doc_id AS VARCHAR))), 1, 15)
+        |      AS hs
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, 15), i ->
+        |          CAST(strpos('0123456789abcdef', substr(hs, i, 1)) - 1
+        |            AS BIGINT))), (a, x) -> a * 16 + x) AS DOUBLE) + 1.0)
+        |      / 1.152921504606847e18) / w AS mk
+        |  FROM h),
+        |r AS (SELECT doc_id, mk,
+        |    row_number() OVER (ORDER BY mk DESC, doc_id) - 1 AS pos
+        |  FROM k)
+        |SELECT doc_id, round(mk, 6) AS mix_key,
+        |  CAST(pos // 100 AS BIGINT) AS shard,
+        |  CAST(pos % 100 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     // The two-level distributed rank must be bit-identical to the
     // serial global numbering (same md5-hex-to-int idiom as
     // sample_weighted's oracle).

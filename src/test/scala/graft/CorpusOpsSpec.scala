@@ -196,6 +196,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(other !== ref)
   }
 
+  test("mixture shards: weighted source front-loads, invariant to partitions") {
+    // two equal-size sources, weights 9:1 — every prefix of the order
+    // is a weighted sample, so the heavy source dominates early slots
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) 9.0 else 1.0))
+      .toDF("id", "w")
+    val ref = Sampling.mixtureShards(docs, "id", "w", docsPerShard = 100,
+        seed = "t0", partitions = 1)
+      .orderBy("id").collect().toSeq
+    val pos = ref.map(r => (r.getLong(0), r.getLong(2) * 100 + r.getLong(3)))
+    assert(pos.map(_._2).sorted === (0L until 400L)) // a permutation
+    // E[heavy share of first 100] ≈ 0.9 under the exponential race;
+    // 70 is ~6 sigma below — a broken weighting lands near 50
+    val firstQ = pos.filter(_._2 < 100).count(_._1 <= 200)
+    assert(firstQ > 70, s"heavy source got only $firstQ of the first 100 slots")
+    for (n <- Seq(3, 7)) {
+      val got = Sampling.mixtureShards(docs, "id", "w", 100, "t0",
+          partitions = n)
+        .orderBy("id").collect().toSeq
+      assert(got === ref, s"mixture order must be partition-count invariant at n=$n")
+    }
+  }
+
   test("shard write: one file per shard dir, rows in sample order") {
     val docs = (1L to 250L).map(i => (i, s"doc-$i")).toDF("id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards")

@@ -234,7 +234,9 @@ object Sampling {
     * consumes sources in proportion to their weights from step one
     * (the pretraining mixture schedule, not just a mixture total).
     * Same two-level global rank, same reproducibility story, same
-    * id-uniqueness precondition as [[shuffleShards]].
+    * id-uniqueness precondition as [[shuffleShards]]; weights must be
+    * strictly positive (ln(u) < 0 — a zero/negative weight would
+    * flip or degenerate the race instead of failing loudly).
     */
   def mixtureShards(df: DataFrame, idCol: String, weightCol: String,
       docsPerShard: Int, seed: String, partitions: Int = 0): DataFrame = {

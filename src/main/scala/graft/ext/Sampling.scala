@@ -196,14 +196,32 @@ object Sampling {
   def shuffleShards(df: DataFrame, idCol: String, docsPerShard: Int,
       seed: String, partitions: Int = 0): DataFrame = {
     require(docsPerShard >= 1, "need a positive shard size")
-    val spark = df.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val key = conv(substring(md5(
         concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    val ranged = df.select(col(idCol)).withColumn("_k", key)
-      .repartitionByRange(n, col("_k"), col(idCol))
+    globalRank(df.select(col(idCol)).withColumn("_k", key),
+        Seq(col("_k"), col(idCol)), partitions)
+      .select(col(idCol), col("_k").as("shuffle_key"),
+        floor(col("_pos") / docsPerShard).cast("long").as("shard"),
+        pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
+  }
+
+  /** The two-level distributed global rank both shard builders share
+    * (and [[selectTokenBudget]] mirrors with a sum): range-partition
+    * on the total order, partition-local row_number, driver offsets
+    * from the per-partition counts. The localCheckpoint barrier is
+    * correctness-critical — partition ids must be the SAME rows in the
+    * counts pass and the rank pass, and a recomputed range exchange
+    * does not guarantee identical boundaries. Emits `_pos` (0-based
+    * global rank) alongside the input columns.
+    */
+  private def globalRank(df: DataFrame, order: Seq[Column],
+      partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(n, order: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     val counts = ranged.groupBy(col("_pid"))
@@ -214,14 +232,12 @@ object Sampling {
       counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col("_k"), col(idCol))
+      .partitionBy(col("_pid")).orderBy(order: _*)
     ranged
       .withColumn("_pos",
         row_number().over(w).cast("long") +
           element_at(typedlit(offsets), col("_pid")) - 1L)
-      .select(col(idCol), col("_k").as("shuffle_key"),
-        floor(col("_pos") / docsPerShard).cast("long").as("shard"),
-        pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
+      .drop("_pid")
   }
 
   /** Mixture-weighted deterministic corpus order → training shards:
@@ -241,32 +257,20 @@ object Sampling {
   def mixtureShards(df: DataFrame, idCol: String, weightCol: String,
       docsPerShard: Int, seed: String, partitions: Int = 0): DataFrame = {
     require(docsPerShard >= 1, "need a positive shard size")
-    val spark = df.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val h = conv(substring(md5(
         concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("double")
     val u = (h + 1.0) / lit(1.152921504606847e18) // (0, 1], 2^60 scale
-    val key = log(u) / col(weightCol)
-    val ranged = df.select(col(idCol), col(weightCol))
-      .withColumn("_k", key)
-      .repartitionByRange(n, col("_k").desc, col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_c")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col("_k").desc, col(idCol))
-    ranged
-      .withColumn("_pos",
-        row_number().over(w).cast("long") +
-          element_at(typedlit(offsets), col("_pid")) - 1L)
+    // fail LOUDLY on a non-positive weight: ln(u)/0 is ±Infinity/NaN
+    // and a negative weight flips the race — silent order corruption
+    val key = when(col(weightCol) > 0, log(u) / col(weightCol))
+      .otherwise(raise_error(concat(
+        lit("mixtureShards: non-positive weight for id "),
+        col(idCol).cast("string"))))
+    // weightCol is consumed by the key expression BEFORE the range
+    // shuffle — only (id, _k) travel through the exchange/checkpoint
+    globalRank(df.select(col(idCol), key.as("_k")),
+        Seq(col("_k").desc, col(idCol)), partitions)
       .select(col(idCol), round(col("_k"), 6).as("mix_key"),
         floor(col("_pos") / docsPerShard).cast("long").as("shard"),
         pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))

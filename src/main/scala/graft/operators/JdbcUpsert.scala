@@ -174,7 +174,18 @@ object JdbcUpsert {
                     else null
                   try {
                     ins.executeUpdate()
-                    if (sp != null) conn.releaseSavepoint(sp)
+                    // guarded like the rollback-path release: a driver
+                    // can accept setSavepoint yet reject release
+                    // (Oracle) — that must disable the optimization,
+                    // not fail a successful insert
+                    if (sp != null)
+                      try conn.releaseSavepoint(sp)
+                      catch {
+                        case _: java.sql.SQLFeatureNotSupportedException
+                            | _: UnsupportedOperationException =>
+                          savepoints = false
+                        case _: java.sql.SQLException => ()
+                      }
                   } catch {
                     // ONLY duplicate-key means "the key exists" —
                     // NOT NULL/CHECK/FK violations share the exception

@@ -252,6 +252,31 @@ class CorpusOpsSpec extends SparkSpec {
       "global rank must be partition-local + offsets, not one global window")
   }
 
+  test("mixture shards never use a global (unpartitioned) window") {
+    val docs = (1L to 50L).map(i => (i, 1.0 + i % 3)).toDF("id", "w")
+    val plan = Sampling.mixtureShards(docs, "id", "w", 10, seed = "t0")
+      .queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(globalWindows.isEmpty,
+      "weighted rank must be partition-local + offsets, not one global window")
+  }
+
+  test("mixture shards raise on non-positive weights instead of corrupting order") {
+    val docs = (1L to 20L).map(i => (i, if (i == 13) 0.0 else 1.0))
+      .toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.mixtureShards(docs, "id", "w", 10, seed = "t0").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("non-positive weight")),
+      s"expected the raise_error message, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("token-budget selection never uses a global (unpartitioned) window") {
     val docs = (1L to 50L).map(i => (i, i % 10, i % 7 + 1))
       .toDF("id", "score", "tok")

@@ -92,10 +92,22 @@ object Pq {
     // packed order == (round(d2,9) asc, code asc) — and code order ==
     // cw order by construction ([[trainCodebook]]), matching the
     // documented (d2, cw) tie-break exactly. d2 of unit-vector slices
-    // is ≤ 4, so the pack stays far inside Long range; codebooks are
-    // bounded to 2^16 codewords per subspace.
+    // is ≤ 4, so the pack stays far inside Long range; the 2^16
+    // codewords-per-subspace capacity is ENFORCED below (raise_error
+    // on the broadcast codebook), not merely assumed.
+    // fail LOUDLY past the pack's 16-bit code capacity: a codebook
+    // with >= 2^16 codewords in one subspace would bleed code bits
+    // into the distance bits and `_pk % 65536` would recover the
+    // WRONG code — silent corruption. Guarded on the tiny broadcast
+    // side (per codebook row, not per corpus row), mirroring
+    // mixtureShards' weight guard.
+    val guarded = codebook.withColumn("code",
+      when(col("code") < 65536, col("code"))
+        .otherwise(raise_error(concat(
+          lit("Pq.encode: codebook exceeds 65536 codewords in subspace "),
+          col("sub").cast("string")))))
     subs(Vectors.unitized(corpus, vecCol, cId -> "c_id"), "c_id", m, w)
-      .join(broadcast(codebook), Seq("sub"))
+      .join(broadcast(guarded), Seq("sub"))
       .withColumn("_d2",
         Vectors.dot(col("_sv"), col("_sv"))
           - lit(2) * Vectors.dot(col("_sv"), col("_cw"))

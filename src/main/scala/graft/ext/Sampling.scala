@@ -285,11 +285,25 @@ object Sampling {
     * the shard id (each shard = one task = one file, shards are
     * equal-sized by construction so the write is skew-free) and
     * sortWithinPartitions pins the in-file row order.
+    *
+    * `shard` and `pos_in_shard` are RESERVED names — they become the
+    * loader-facing coordinate columns of the written layout (`shard`
+    * the directory key, `pos_in_shard` stored per row), so the input
+    * must not already use them (nor the internal `shuffle_key`,
+    * which is dropped before the write — the hash key is a shuffle
+    * implementation detail, not part of the shard schema). Enforced
+    * loudly: the coords join-back would otherwise produce ambiguous
+    * columns or silently multiply rows.
     */
   def writeShards(df: DataFrame, idCol: String, dir: String,
       docsPerShard: Int, seed: String, partitions: Int = 0): Unit = {
+    val reserved = Set("shard", "pos_in_shard", "shuffle_key")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"writeShards reserves column name(s) ${clash.mkString(", ")} " +
+        "for the shard layout — rename them in the input")
     val coords = shuffleShards(df, idCol, docsPerShard, seed, partitions)
-    df.join(coords, idCol)
+    df.join(coords.drop("shuffle_key"), idCol)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos_in_shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)

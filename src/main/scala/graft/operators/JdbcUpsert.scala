@@ -181,10 +181,15 @@ object JdbcUpsert {
                     if (sp != null)
                       try conn.releaseSavepoint(sp)
                       catch {
-                        case _: java.sql.SQLFeatureNotSupportedException
+                        // ANY release failure disables the
+                        // optimization, not just the not-supported
+                        // signals: a driver that persistently rejects
+                        // release with a generic SQLException would
+                        // otherwise accumulate one live savepoint per
+                        // inserted row until commit
+                        case _: java.sql.SQLException
                             | _: UnsupportedOperationException =>
                           savepoints = false
-                        case _: java.sql.SQLException => ()
                       }
                   } catch {
                     // ONLY duplicate-key means "the key exists" —

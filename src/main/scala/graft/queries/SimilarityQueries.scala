@@ -79,10 +79,21 @@ object SimilarityQueries {
         blockCol = "label", minCosine = 0.3)
       .orderBy("label", "id_a", "id_b")
 
-  /** Unblocked near-dup via sign-random-projection LSH buckets. */
+  /** Unblocked near-dup via sign-random-projection LSH buckets —
+    * single table at [[slshBits]] bits. One table cannot match the
+    * multi-table recall ([[dedupEmbeddingLshMulti]] supersedes it for
+    * production dedup), but at 4 bits it certifies a USABLE bar: the
+    * per-pair collision odds at cosine 0.25 are P(bit-agree)^4 ≈
+    * 0.58^4 ≈ 0.11, vs the near-noise 0.58^8 ≈ 0.013 the old 8-bit
+    * default measured — the `sign_lsh` recall floor is pinned at 0.08
+    * accordingly. Cost moves the other way: 2^4 buckets make the
+    * candidate set ~n²/16 verified dots, fine at bench scale and
+    * still far under all-pairs; corpora that need both recall AND a
+    * sparse candidate set use the multi-table operator.
+    */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     SignLsh.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        bits = 8, minCosine = 0.25, dim = embDim)
+        bits = slshBits, minCosine = 0.25, dim = embDim)
       .orderBy("id_a", "id_b")
 
   /** Deterministic distributed k-means (2 Lloyd rounds from the
@@ -184,7 +195,7 @@ object SimilarityQueries {
     // sign-LSH emits undirected pairs; orient them around the query
     // side so recall is measured against the exact directed pair set
     val lsh = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
-      bits = 8, minCosine = 0.25, dim = embDim)
+      bits = slshBits, minCosine = 0.25, dim = embDim)
     val lshq = lsh.filter(col("id_a") < 100)
         .select(col("id_a").as("q_id"), col("id_b").as("neighbor_id"))
       .unionByName(lsh.filter(col("id_b") < 100)
@@ -260,6 +271,15 @@ object SimilarityQueries {
   private val slshMultiBits = 6
   private val slshMultiTables = 12
 
+  /** Single-table sign-LSH default (the banding BASELINE
+    * [[dedupEmbeddingLshMulti]] supersedes): 4 bits, chosen so the
+    * certified `sign_lsh` recall is a number a user could act on
+    * (~0.11 by the collision arithmetic, floor pinned 0.08) instead
+    * of the 8-bit default's 0.013 near-noise. See
+    * [[dedupEmbeddingLsh]] for the cost trade.
+    */
+  private val slshBits = 4
+
   /** Embedding-space quality diagnostics per label — the health check
     * a training-data pipeline runs on its vector corpus: class sizes,
     * mean vector norm, centroid norm and mean cosine-to-centroid
@@ -322,7 +342,7 @@ object SimilarityQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
   private def lshOracle: String = {
-    val cases = SignLsh.planesSql(SignLsh.hyperplanes(8, 64)).map(p =>
+    val cases = SignLsh.planesSql(SignLsh.hyperplanes(slshBits, 64)).map(p =>
       s"CASE WHEN round(list_dot_product(uv, $p), 9) >= 0 THEN '1' ELSE '0' END")
       .mkString(",\n    ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -469,7 +489,7 @@ object SimilarityQueries {
     * list_dot_product, the bit-identical formulation).
     */
   /** The per-plane sign CASEs of one LSH table, as DuckDB SQL. */
-  private def lshCases(seed: Long, bits: Int = 8): String =
+  private def lshCases(seed: Long, bits: Int = slshBits): String =
     SignLsh.planesSql(SignLsh.hyperplanes(bits, 64, seed)).map(p =>
       s"CASE WHEN round(list_dot_product(uv, $p), 9) >= 0 THEN '1' ELSE '0' END")
       .mkString(",\n    ")

@@ -238,6 +238,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
     // nothing lost or duplicated across the shard layout
     assert(spark.read.parquet(dir).select("id").distinct().count() === 250)
+    // the internal shuffle_key must NOT leak into the shard schema —
+    // the written layout is (input columns + shard + pos_in_shard)
+    assert(spark.read.parquet(dir).columns.sorted ===
+      Array("id", "pos_in_shard", "shard", "text"))
+  }
+
+  test("shard write rejects reserved coordinate column names") {
+    val docs = (1L to 10L).map(i => (i, i % 3)).toDF("id", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-r")
+      .resolve("s").toString
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.writeShards(docs, "id", dir, docsPerShard = 5, seed = "t0")
+    }
+    assert(ex.getMessage.contains("shard"))
   }
 
   test("corpus shuffle never uses a global (unpartitioned) window") {

@@ -74,6 +74,25 @@ class PqIndexSpec extends SparkSpec {
       "probe plan must not re-train the codebook (found an avg aggregate)")
   }
 
+  test("encode fails loudly past the 16-bit code capacity") {
+    import spark.implicits._
+    // the packed-long arg-min stores the code in the low 16 bits; a
+    // codebook claiming code 70000 would silently corrupt every
+    // recovered code — the broadcast-side guard must raise instead
+    val w = 4 // dim 64 / m 16
+    val cb = Seq((0, 0L, Seq.fill(w)(0.1), 70000))
+      .toDF("sub", "cw", "_cw", "code")
+    val ex = intercept[Exception] {
+      Pq.encode(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cb, 16, 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("65536")),
+      s"expected the capacity raise_error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("one-shot adcTopK with dim given launches no sizing job (no count/head)") {
     val q = emb.filter(col("vec_id") < 10)
     val (_, _, sites) = jobsDuring {

@@ -54,13 +54,13 @@ class SimilaritySpec extends SparkSpec {
     // the property determinism checks cannot see: answer QUALITY.
     // Floors sit below the measured sf0.001 values (ivf 0.405,
     // pq 0.496 at the tuned 32-subspace × 40-cell defaults,
-    // sign_lsh 0.022, sign_lsh_multi 0.424 at the tuned 6-bit ×
-    // 12-table defaults) with headroom for data-scale wiggle —
-    // a silent quality collapse (bad codebook, broken bucketing)
-    // lands far below them.
+    // sign_lsh 0.126 at the 4-bit single-table default,
+    // sign_lsh_multi 0.424 at the tuned 6-bit × 12-table defaults)
+    // with headroom for data-scale wiggle — a silent quality collapse
+    // (bad codebook, broken bucketing) lands far below them.
     val recalls = graft.queries.SimilarityQueries.similarityRecall(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
-    val floors = Map("ivf" -> 0.25, "pq" -> 0.3, "sign_lsh" -> 0.005,
+    val floors = Map("ivf" -> 0.25, "pq" -> 0.3, "sign_lsh" -> 0.08,
       "sign_lsh_multi" -> 0.3)
     floors.foreach { case (method, floor) =>
       assert(recalls(method) >= floor,
@@ -78,13 +78,13 @@ class SimilaritySpec extends SparkSpec {
     // buckets, coarser cells relative to the data) — gate it where the
     // bench runs. Floors sit under the measured sf0.1 values (ivf
     // 0.383, pq 0.373 at the tuned 32-subspace × 40-cell defaults,
-    // sign_lsh 0.014, sign_lsh_multi 0.418 at the tuned 6-bit ×
-    // 12-table defaults) with the same collapse-vs-wiggle margin as
-    // the toy-SF floors.
+    // sign_lsh 0.123 at the 4-bit single-table default,
+    // sign_lsh_multi 0.418 at the tuned 6-bit × 12-table defaults)
+    // with the same collapse-vs-wiggle margin as the toy-SF floors.
     val recalls = graft.queries.SimilarityQueries
       .similarityRecall(spark, "/root/testdata/sf0.1")
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
-    val floors = Map("ivf" -> 0.25, "pq" -> 0.25, "sign_lsh" -> 0.005,
+    val floors = Map("ivf" -> 0.25, "pq" -> 0.25, "sign_lsh" -> 0.08,
       "sign_lsh_multi" -> 0.3)
     floors.foreach { case (method, floor) =>
       assert(recalls(method) >= floor,

@@ -45,23 +45,13 @@ object Pq {
       posexplode(array((0 until m).map(s =>
         slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
 
-  /** Train the codebook: per (subspace, block) positional mean, rounded
-    * to 4 decimals so the codewords are deterministic across
-    * partitionings/engines, plus a dense positional `code` per
-    * subspace (block ids are any orderable values, not 0..n-1).
-    *
-    * Pure plan — no action; callers materialize (checkpoint/persist)
-    * as their lifecycle requires. Schema: (sub, cw, _cw, code).
+  /** Codebook training from pre-sliced (_cell, sub, _sv) rows — the
+    * shared core of [[trainCodebook]] and the slice-reusing
+    * [[adcTopK]] path. Semantics (4-decimal codeword rounding, dense
+    * positional codes) are byte-identical either way.
     */
-  def trainCodebook(corpus: DataFrame, vecCol: String, blockCol: String,
-      m: Int, dim: Int): DataFrame = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val w = dim / m
-    Vectors.unitized(corpus, vecCol, blockCol -> "_cell")
-      .select(col("_cell"),
-        posexplode(array((0 until m).map(s =>
-          slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
-      .select(col("_cell"), col("sub"),
+  private def trainFromSubs(sl: DataFrame): DataFrame =
+    sl.select(col("_cell"), col("sub"),
         posexplode(col("_sv")).as(Seq("_pos", "_x")))
       .groupBy(col("sub"), col("_cell").as("cw"), col("_pos"))
       .agg(round(avg(col("_x")), 4).as("_mv"))
@@ -73,28 +63,11 @@ object Pq {
       // cw, so lookups must use the cw's POSITION, not its raw value
       .withColumn("code", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("cw"))) - 1)
-  }
 
-  /** Encode the corpus against a trained codebook: nearest codeword per
-    * (row, subspace) by L2 on the subvector, codes packed into one
-    * array per row in subspace order. Pure plan. Schema: (c_id, _codes).
+  /** Encoding from pre-sliced (c_id, sub, _sv) rows — the shared core
+    * of [[encode]] and the slice-reusing [[adcTopK]] path.
     */
-  def encode(corpus: DataFrame, cId: String, vecCol: String,
-      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val w = dim / m
-    // Arg-min codeword per (row, subspace) as min(packed long), NOT a
-    // row_number window: the window sorts |corpus|·m·|codewords| rows
-    // on one exchange, while min(long) partial-aggregates map-side
-    // through a HashAggregate (min(struct) would force SortAggregate —
-    // same packing trick as record_linkage). The 9-decimal-quantized
-    // distance occupies the high bits, the dense code the low 16, so
-    // packed order == (round(d2,9) asc, code asc) — and code order ==
-    // cw order by construction ([[trainCodebook]]), matching the
-    // documented (d2, cw) tie-break exactly. d2 of unit-vector slices
-    // is ≤ 4, so the pack stays far inside Long range; the 2^16
-    // codewords-per-subspace capacity is ENFORCED below (raise_error
-    // on the broadcast codebook), not merely assumed.
+  private def encodeFromSubs(sl: DataFrame, codebook: DataFrame): DataFrame = {
     // fail LOUDLY past the pack's 16-bit code capacity: a codebook
     // with >= 2^16 codewords in one subspace would bleed code bits
     // into the distance bits and `_pk % 65536` would recover the
@@ -106,12 +79,20 @@ object Pq {
         .otherwise(raise_error(concat(
           lit("Pq.encode: codebook exceeds 65536 codewords in subspace "),
           col("sub").cast("string")))))
-    subs(Vectors.unitized(corpus, vecCol, cId -> "c_id"), "c_id", m, w)
-      .join(broadcast(guarded), Seq("sub"))
+    // |sv|² varies per (row, sub) and |cw|² per codebook row — hoist
+    // both OUT of the (row, sub) × codewords joined hot path, which
+    // then computes only the one cross-term dot per candidate. The
+    // combination (a - 2b) + c keeps the exact float-op order of the
+    // inline form, so every _d2 bit (and the 9-decimal rounding on it)
+    // is unchanged.
+    val cb2 = broadcast(guarded.withColumn("_cw2",
+      Vectors.dot(col("_cw"), col("_cw"))))
+    sl.withColumn("_sv2", Vectors.dot(col("_sv"), col("_sv")))
+      .join(cb2, Seq("sub"))
       .withColumn("_d2",
-        Vectors.dot(col("_sv"), col("_sv"))
+        col("_sv2")
           - lit(2) * Vectors.dot(col("_sv"), col("_cw"))
-          + Vectors.dot(col("_cw"), col("_cw")))
+          + col("_cw2"))
       .withColumn("_pk",
         // round(_d2, 9) FIRST — the exact quantization the oracle (and
         // the old window) ranked by; the outer round only recovers the
@@ -128,6 +109,67 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
       .select(col("c_id"),
         transform(col("_sc"), s => s.getField("code")).as("_codes"))
+  }
+
+  /** Train the codebook: per (subspace, block) positional mean, rounded
+    * to 4 decimals so the codewords are deterministic across
+    * partitionings/engines, plus a dense positional `code` per
+    * subspace (block ids are any orderable values, not 0..n-1).
+    *
+    * Pure plan — no action; callers materialize (checkpoint/persist)
+    * as their lifecycle requires. Schema: (sub, cw, _cw, code).
+    */
+  def trainCodebook(corpus: DataFrame, vecCol: String, blockCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    trainFromSubs(Vectors.unitized(corpus, vecCol, blockCol -> "_cell")
+      .select(col("_cell"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv"))))
+  }
+
+  /** Slice-stream partition count for the encode stage, from plan
+    * statistics (ZERO jobs): the nearest-codeword search fans every
+    * slice row out to |codewords| candidates map-side, so balance is
+    * set by SLICE partitioning, not by however few splits the corpus
+    * scan produced (a single parquet file would otherwise run the
+    * whole candidate scan on one core — measured 2× the entire encode
+    * at bench scale). Target ~2k slice rows per partition, capped at
+    * the session shuffle width; the clamp keeps a bad estimate
+    * harmless.
+    */
+  private def sliceParts(corpus: DataFrame, m: Int, cap: Long): Int =
+    math.max(1L, math.min(cap,
+      Joins.estimatedRows(corpus) * m / 2000L)).toInt
+
+  /** Encode the corpus against a trained codebook: nearest codeword per
+    * (row, subspace) by L2 on the subvector, codes packed into one
+    * array per row in subspace order. Pure plan. Schema: (c_id, _codes).
+    */
+  def encode(corpus: DataFrame, cId: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    val parts = sliceParts(corpus, m,
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong)
+    // Arg-min codeword per (row, subspace) as min(packed long), NOT a
+    // row_number window: the window sorts |corpus|·m·|codewords| rows
+    // on one exchange, while min(long) partial-aggregates map-side
+    // through a HashAggregate (min(struct) would force SortAggregate —
+    // same packing trick as record_linkage). The 9-decimal-quantized
+    // distance occupies the high bits, the dense code the low 16, so
+    // packed order == (round(d2,9) asc, code asc) — and code order ==
+    // cw order by construction ([[trainCodebook]]), matching the
+    // documented (d2, cw) tie-break exactly. d2 of unit-vector slices
+    // is ≤ 4, so the pack stays far inside Long range; the 2^16
+    // codewords-per-subspace capacity is ENFORCED in
+    // [[encodeFromSubs]] (raise_error on the broadcast codebook), not
+    // merely assumed.
+    encodeFromSubs(
+      subs(Vectors.unitized(corpus, vecCol, cId -> "c_id"), "c_id", m, w)
+        .repartition(parts),
+      codebook)
   }
 
   /** Probe a prebuilt index: query LUTs against the broadcast codebook,
@@ -158,11 +200,14 @@ object Pq {
       .select(col("q_id"),
         transform(col("_sl"), s => s.getField("_l")).as("_lut"))
     // ADC: m lookups + adds per (query, corpus row), fixed subspace
-    // order so the float sum is bit-reproducible
-    val adc: Column = (0 until m).map(s =>
-        element_at(element_at(col("_lut"), s + 1),
-          element_at(col("_codes"), s + 1).cast("int") + 1))
-      .reduce(_ + _)
+    // order so the float sum is bit-reproducible. ONE codegen'd loop
+    // expression ([[graft.plans.PqAdc]]), NOT an unrolled m-term
+    // element_at chain: at m = 32 the chain's ~64 call sites in one
+    // generated method blow past the JIT/Janino limits and drop the
+    // whole scoring stage out of whole-stage codegen into interpreted
+    // eval (~6 µs/pair measured — the 2×-gate miss this replaces;
+    // PqSpec pins the compiled form).
+    val adc: Column = call_function("graft_pq_adc", col("_codes"), col("_lut"))
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(round(col("_adc"), 9).desc, col("c_id").asc)
     codes.join(broadcast(qlut), col("q_id") =!= col("c_id"))
@@ -174,22 +219,36 @@ object Pq {
   }
 
   /** One-shot convenience: train + encode (materialized under
-    * graph-sized shuffles) + probe.
+    * graph-sized shuffles) + probe. The unitized subspace slices are
+    * computed ONCE and shared by training and encoding (the separable
+    * [[trainCodebook]]/[[encode]] path pays that explode twice — fine
+    * when the index is built once and persisted, waste inside a
+    * single call).
     *
     * @param dim embedding dimensionality; pass it when known (the
     *            usual case — it is part of the table contract) so the
     *            call launches NO pre-shuffle sizing jobs. Left at -1,
     *            a 1-row probe job reads it from the data.
+    * @param trainHex non-empty → train the codebook on the
+    *            deterministic md5 hash-sample of the corpus whose
+    *            [[Sampling.hashBucket]] is <= this hex threshold
+    *            (e.g. "32" ≈ 20%) — the codebook is a set of per-cell
+    *            MEANS, so a uniform sample moves the 4-decimal-rounded
+    *            codewords little while cutting the training explode by
+    *            the sample rate; encoding/probing always cover the
+    *            FULL corpus. SQL-replayable (the `Sampling.sample`
+    *            idiom), so the oracle samples identically.
     * @return (q_id, rank, neighbor_id, adc_cosine) — approximate
     *         cosine top-k per query via asymmetric distance computation.
     */
   def adcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, blockCol: String, m: Int,
-      k: Int, dim: Int = -1): DataFrame = {
+      k: Int, dim: Int = -1, trainHex: String = ""): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim
       else corpus.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val w = d / m
     // the index-build shuffles move (id, sub, code/dot) triples — size
     // them to corpus × m, not the session-wide batch setting. Sizing
     // comes from plan statistics (Joins.estimatedRows): ZERO jobs, and
@@ -200,12 +259,29 @@ object Pq {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(4L, math.min(savedParts.toLong, nRows * m / 100000L)).toString)
     try {
-      // materialized: these ARE the PQ index — built once under the
-      // right-sized shuffles, probed many times
-      val codebook = trainCodebook(corpus, vecCol, blockCol, m, d)
+      // ONE explode serves both train and encode: (c_id, _cell, sub,
+      // _sv) slices, materialized — this barrier is also the index
+      // build's working set, so it is corpus × m rows by construction.
+      // Repartitioned to the candidate-balanced width ([[sliceParts]])
+      // BEFORE the barrier, so the nearest-codeword map stage never
+      // inherits a narrow corpus scan's split count.
+      val sl = Vectors.unitized(corpus, vecCol, cId -> "c_id",
+          blockCol -> "_cell")
+        .select(col("c_id"), col("_cell"),
+          posexplode(array((0 until m).map(s =>
+            slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
+        .repartition(sliceParts(corpus, m, savedParts.toLong))
         .localCheckpoint()
-      val codes = encode(corpus, cId, vecCol, codebook, m, d)
-        .localCheckpoint()
+      val trainSl = if (trainHex.isEmpty) sl
+        else sl.filter(Sampling.hashBucket(col("c_id")) <= lit(trainHex))
+      // the codebook is materialized (consumed twice: encode join +
+      // query LUTs); codes are NOT — the one-shot probe consumes them
+      // exactly once, so a barrier there would buy nothing and cost a
+      // full extra job. Callers that probe repeatedly persist the
+      // separable [[trainCodebook]]/[[encode]] outputs instead.
+      val codebook = trainFromSubs(trainSl).localCheckpoint()
+      val codes = encodeFromSubs(sl.select(col("c_id"), col("sub"),
+        col("_sv")), codebook)
       adcProbe(queries, qId, vecCol, codebook, codes, m, d, k)
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }

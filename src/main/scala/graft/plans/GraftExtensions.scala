@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotFunction)
+    e.injectFunction(GraftExtensions.pqAdcFunction)
     e.injectFunction(GraftExtensions.minhashFunction)
     e.injectFunction(GraftExtensions.shinglesFunction)
     e.injectFunction(GraftExtensions.collapseFunction)
@@ -39,6 +40,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       requireArity(children, 2, "graft_dot(a, b)")
       DotProduct(children(0), children(1))
+    })
+
+  private val pqAdcFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_adc"),
+    new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_pq_adc(codes, lut)")
+      PqAdc(children(0), children(1))
     })
 
   /** `graft_minhash(shingles, k, family)` — k and family must be
@@ -198,6 +207,8 @@ object GraftExtensions {
   def registerOn(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", buildMinhash _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

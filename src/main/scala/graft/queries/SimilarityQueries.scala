@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, KMeans, Pq, SignLsh, Similarity}
+import graft.ext.{Dedup, KMeans, Pq, Sampling, SignLsh, Similarity}
 import graft.functions.Vectors
 import graft.operators.Versioned
 
@@ -143,7 +143,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     Pq.adcTopK(emb.filter(col("vec_id") < 100), pqCorpus(emb), "vec_id",
         "vec_id", "embedding", blockCol = "_pqcell", m = pqM, k = 3,
-        dim = embDim)
+        dim = embDim, trainHex = pqTrainHex)
       .orderBy("q_id", "rank")
   }
 
@@ -158,8 +158,9 @@ object SimilarityQueries {
   def similarityPqProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val root = Files.createTempDirectory("graft-pqindex").toString
-    val codebook = Pq.trainCodebook(pqCorpus(emb), "embedding", "_pqcell",
-      pqM, embDim)
+    val codebook = Pq.trainCodebook(
+      Sampling.sample(pqCorpus(emb), col("vec_id"), lit(pqTrainHex)),
+      "embedding", "_pqcell", pqM, embDim)
     Versioned.write(spark, s"$root/codebook", codebook)
     val cb = Versioned.read(spark, s"$root/codebook")
     Versioned.write(spark, s"$root/codes",
@@ -190,7 +191,8 @@ object SimilarityQueries {
         "embedding", blockCol = "label", k = k, nprobe = 3)
       .select("q_id", "neighbor_id")
     val pq = Pq.adcTopK(queries, pqCorpus(emb), "vec_id", "vec_id",
-        "embedding", blockCol = "_pqcell", m = pqM, k = k, dim = embDim)
+        "embedding", blockCol = "_pqcell", m = pqM, k = k, dim = embDim,
+        trainHex = pqTrainHex)
       .select("q_id", "neighbor_id")
     // sign-LSH emits undirected pairs; orient them around the query
     // side so recall is measured against the exact directed pair set
@@ -228,16 +230,16 @@ object SimilarityQueries {
   }
 
   /** 32 subspaces × 2 dims, codebooks trained on 40 cells (the 10
-    * labels deterministically split 4 ways — [[pqCorpus]]). Tuned
-    * where the bench runs (`graft.tools.TunePq` sf0.1 sweep of
-    * m × cell-split): recall@10 vs brute force is 0.17 at the old
-    * 16 × 10-cell defaults, 0.373 at 32 × 40 (0.496 at sf0.001).
-    * Finer subspaces quantize less away per slice; more codewords cut
-    * within-cell variance — both stay fully deterministic (rounded
-    * means, id tie-breaks), so the whole pipeline remains exactly
-    * oracle-replayable. Index cost: 32 byte-codes/vector = 8× smaller
-    * than the raw float32 vector; LUTs are 32 × 40 doubles per query,
-    * still broadcast-tiny.
+    * labels deterministically split 4 ways — [[pqCorpus]]), on the
+    * [[pqTrainHex]] hash-sample of the corpus. Tuned where the bench
+    * runs (`graft.tools.TunePq`/`TunePqSample` sf0.1 sweeps): recall@10
+    * vs brute force is 0.17 at the old 16 × 10-cell defaults, 0.416 at
+    * sampled 32 × 40 (0.624 at sf0.001). Finer subspaces quantize less
+    * away per slice; more codewords cut within-cell variance — both
+    * stay fully deterministic (rounded means, id tie-breaks), so the
+    * whole pipeline remains exactly oracle-replayable. Index cost: 32
+    * byte-codes/vector = 8× smaller than the raw float32 vector; LUTs
+    * are 32 × 40 doubles per query, still broadcast-tiny.
     */
   private val pqM = 32
 
@@ -251,6 +253,17 @@ object SimilarityQueries {
   private def pqCorpus(emb: DataFrame): DataFrame =
     emb.withColumn("_pqcell",
       col("label") * pqCellSplit + pmod(col("vec_id"), lit(pqCellSplit)))
+
+  /** Codebook-training hash-sample threshold (md5 buckets 00..32 ≈
+    * 20% — the [[graft.ext.Sampling]] idiom, SQL-replayable so the
+    * oracle samples identically). Codewords are per-cell MEANS, so a
+    * uniform sample barely moves them — measured recall@10 actually
+    * RISES (sf0.1 0.373 → 0.416, sf0.001 0.496 → 0.624 on the TunePq
+    * sweep: less regression-to-the-mean spreads the codeword pool) —
+    * while the training explode shrinks 5×. Encoding and probing
+    * always cover the FULL corpus.
+    */
+  private val pqTrainHex = "32"
 
   /** Embedding dimensionality of the `embeddings` table (TESTDATA
     * contract; the oracles hardcode it too). Passing it saves the
@@ -444,7 +457,8 @@ object SimilarityQueries {
        |  FROM u CROSS JOIN (SELECT unnest(range(0, $pqM)) AS s) g),
        |cb AS (SELECT s, cell AS cw, pos, round(avg(x), 4) AS mv FROM (
        |    SELECT s, cell, unnest(range(1, len(sv) + 1)) AS pos,
-       |      unnest(sv) AS x FROM sub)
+       |      unnest(sv) AS x FROM sub
+       |    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) <= '$pqTrainHex')
        |  GROUP BY s, cell, pos),
        |cbl0 AS (SELECT s, cw, list(mv ORDER BY pos) AS cwv FROM cb GROUP BY s, cw),
        |cbl AS (SELECT s, cw, cwv,

@@ -30,6 +30,25 @@ class PqIndexSpec extends SparkSpec {
     assert(probe.orderBy("q_id", "rank").collect().toSeq === oneShot)
   }
 
+  test("probe plan: ADC scoring is the single codegen'd loop expression") {
+    // a refactor back to the unrolled m-term element_at chain blows
+    // the generated method past JIT/Janino limits at m = 32 and drops
+    // the scoring stage out of whole-stage codegen (measured ~6 µs per
+    // pair interpreted vs the loop's compiled form — the 2×-gate miss
+    // PqAdc fixed)
+    val cb = Pq.trainCodebook(emb, "embedding", "label", 16, 64)
+      .localCheckpoint()
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, 16, 64)
+      .localCheckpoint()
+    val probe = Pq.adcProbe(emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", cb, codes, 16, 64, k = 3)
+    val phys = probe.queryExecution.executedPlan.toString
+    assert(phys.contains("graft_pq_adc"),
+      s"ADC must score through the PqAdc loop expression:\n${phys.take(2000)}")
+    assert(!phys.contains("element_at(element_at"),
+      "ADC must not be an unrolled element_at chain")
+  }
+
   test("encode plan: arg-min is a partial-aggregating hash agg, no window sort") {
     // the packed-long min keeps encoding map-side combinable; a
     // refactor back to the row_number window would sort corpus ×

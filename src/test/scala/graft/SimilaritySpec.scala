@@ -53,7 +53,7 @@ class SimilaritySpec extends SparkSpec {
   test("recall gate: every approximate ANN operator clears its pinned floor") {
     // the property determinism checks cannot see: answer QUALITY.
     // Floors sit below the measured sf0.001 values (ivf 0.405,
-    // pq 0.496 at the tuned 32-subspace × 40-cell defaults,
+    // pq 0.624 at the tuned sampled-training 32 × 40-cell defaults,
     // sign_lsh 0.126 at the 4-bit single-table default,
     // sign_lsh_multi 0.424 at the tuned 6-bit × 12-table defaults)
     // with headroom for data-scale wiggle — a silent quality collapse
@@ -77,7 +77,8 @@ class SimilaritySpec extends SparkSpec {
     // approximate-search quality can degrade with corpus growth (denser
     // buckets, coarser cells relative to the data) — gate it where the
     // bench runs. Floors sit under the measured sf0.1 values (ivf
-    // 0.383, pq 0.373 at the tuned 32-subspace × 40-cell defaults,
+    // 0.383, pq 0.416 at the tuned sampled-training 32 × 40-cell
+    // defaults,
     // sign_lsh 0.123 at the 4-bit single-table default,
     // sign_lsh_multi 0.418 at the tuned 6-bit × 12-table defaults)
     // with the same collapse-vs-wiggle margin as the toy-SF floors.

@@ -641,6 +641,39 @@ object TextQueries {
         docsPerShard = 100, seed = "e0")
       .orderBy("doc_id")
 
+  /** The ON-DISK shard contract ([[graft.ext.Sampling.writeShards]]):
+    * materialize the shuffled corpus as `shard=N` parquet dirs, then
+    * read the layout back and gate it BY VALUE against the same window
+    * oracle as `corpus_shuffle` — `file_pos` is the row's physical
+    * index within its file (parquet `_metadata.row_index`, an observed
+    * fact of the written bytes, not a recomputation) and must equal
+    * `pos_in_shard`; `n_files` counts distinct files under each shard
+    * dir and must be 1. A wrong in-file order, a split shard, or a
+    * bad coordinate join-back all shift these values and break the
+    * hash match. The on-disk layout IS the data-loader interface: one
+    * file per shard (shard-parallel workers), in-file order = sample
+    * order (sequential read, no re-sort).
+    */
+  def shardLayout(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-shardlayout")
+      .resolve("shards").toString
+    Sampling.writeShards(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", tmp, docsPerShard = 100, seed = "e0")
+    val back = spark.read.parquet(tmp).select(
+      col("shard").cast("long").as("shard"),
+      col("doc_id"), col("source"), col("n_chars"), col("pos_in_shard"),
+      col("_metadata.row_index").as("file_pos"),
+      col("_metadata.file_path").as("_f"))
+    // |shards| = |corpus|/docsPerShard rows — an aggregate over file
+    // METADATA, broadcast back onto the per-document rows
+    val filesPerShard = back.groupBy(col("shard"))
+      .agg(countDistinct(col("_f")).as("n_files"))
+    back.drop("_f")
+      .join(broadcast(filesPerShard), Seq("shard"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture-weighted corpus order ([[graft.ext.Sampling
     * .mixtureShards]]): `src0` documents weighted 3×, everything else
     * 1× — any prefix of the shard order then samples src0 at 3:1 odds
@@ -659,6 +692,7 @@ object TextQueries {
   val defs: Map[String, Q] = Map(
     "mixture_shards" -> (mixtureShards _),
     "corpus_shuffle" -> (corpusShuffle _),
+    "shard_layout" -> (shardLayout _),
     "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
     "select_dsir" -> (selectDsir _),
@@ -727,6 +761,31 @@ object TextQueries {
         |SELECT doc_id, round(mk, 6) AS mix_key,
         |  CAST(pos // 100 AS BIGINT) AS shard,
         |  CAST(pos % 100 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // The written layout replayed from first principles: the same
+    // md5 window as corpus_shuffle supplies the expected coordinates,
+    // and the physical facts the Spark side OBSERVES from the parquet
+    // bytes (in-file row index, files per shard dir) must equal the
+    // contract's constants — file_pos = pos_in_shard, n_files = 1.
+    "shard_layout" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    substr(md5(concat('e0|', CAST(doc_id AS VARCHAR))), 1, 15)
+        |      AS hs
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 15), i ->
+        |        CAST(strpos('0123456789abcdef', substr(hs, i, 1)) - 1
+        |          AS BIGINT))), (a, x) -> a * 16 + x) AS sk
+        |  FROM h),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (ORDER BY sk, doc_id) - 1 AS pos
+        |  FROM k)
+        |SELECT CAST(pos // 100 AS BIGINT) AS shard, doc_id, source,
+        |  n_chars,
+        |  CAST(pos % 100 AS BIGINT) AS pos_in_shard,
+        |  CAST(pos % 100 AS BIGINT) AS file_pos,
+        |  CAST(1 AS BIGINT) AS n_files
         |FROM r ORDER BY doc_id""".stripMargin,
     // The two-level distributed rank must be bit-identical to the
     // serial global numbering (same md5-hex-to-int idiom as

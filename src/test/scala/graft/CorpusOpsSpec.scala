@@ -218,6 +218,48 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture shards: prefix share tracks the weights across configs") {
+    // Sweep weight ratios on two equal 300-doc sources and check the
+    // first-100-slot share against the exponential-race expectation
+    // share ≈ wA·nA / (wA·nA + wB·nB): degenerate 1:1 must NOT
+    // front-load, and heavier ratios must front-load monotonically.
+    // Guards the key expression ln(u)/w against a silent skew (e.g. a
+    // dropped sign or a swapped operand would pass the single-config
+    // 9:1 test direction but break proportionality / the 1:1 case).
+    def shareOfA(wA: Double, wB: Double): Double = {
+      val docs = (1L to 600L).map(i => (i, if (i <= 300) wA else wB))
+        .toDF("id", "w")
+      val pos = Sampling.mixtureShards(docs, "id", "w", docsPerShard = 100,
+          seed = "t0", partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2) * 100 + r.getLong(3)))
+      pos.filter(_._2 < 100).count(_._1 <= 300) / 100.0
+    }
+    val s1 = shareOfA(1.0, 1.0)   // expected ≈ 0.50
+    val s3 = shareOfA(3.0, 1.0)   // expected ≈ 0.75
+    val s10 = shareOfA(10.0, 1.0) // expected ≈ 0.91
+    assert(s1 > 0.35 && s1 < 0.65, s"1:1 prefix share drifted: $s1")
+    assert(math.abs(s3 - 0.75) < 0.13, s"3:1 prefix share drifted: $s3")
+    assert(s10 > 0.78, s"10:1 prefix share drifted: $s10")
+    assert(s1 < s3 && s3 < s10,
+      s"shares must be monotone in the weight ratio: $s1, $s3, $s10")
+  }
+
+  test("shard_layout query: observed disk facts equal the contract") {
+    // the gated read-back query: every row's physical in-file index
+    // (parquet _metadata.row_index) equals its pos_in_shard, each
+    // shard dir holds exactly one file, and the coordinates equal the
+    // in-memory shuffleShards answer for the same seed
+    val got = graft.queries.TextQueries.shardLayout(spark, sf)
+    assert(got.filter(col("file_pos") =!= col("pos_in_shard")).count() === 0)
+    assert(got.filter(col("n_files") =!= 1L).count() === 0)
+    val coords = got.select("doc_id", "shard", "pos_in_shard")
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.queries.TextQueries.corpusShuffle(spark, sf)
+      .select("doc_id", "shard", "pos_in_shard")
+      .orderBy("doc_id").collect().toSeq
+    assert(coords === want)
+  }
+
   test("shard write: one file per shard dir, rows in sample order") {
     val docs = (1L to 250L).map(i => (i, s"doc-$i")).toDF("id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards")

@@ -629,6 +629,65 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer-training statistic ([[graft.ext.Bpe]]): the top-20
+    * adjacent character pairs by frequency-weighted count over the
+    * distinct-word table — what the first BPE merge is chosen from.
+    * The corpus is touched exactly once (the word-count groupBy);
+    * pair counting runs on the vocab-sized word table, and the
+    * ranking is a distributed top-k over the pair aggregate (the
+    * `vocab_topk` idiom: TakeOrderedAndProject + a window over just
+    * the k survivors).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ext.Bpe.pairCounts(
+      graft.ext.Bpe.wordCounts(Tables.documents(spark, dir), "text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_count").desc, col("pair"))
+    pairs.orderBy(col("pair_count").desc, col("pair")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("rank")
+  }
+
+  /** Kneser–Ney count tables — the LM-training producer side
+    * complementing [[textPerplexity]]'s scoring side (Kneser & Ney
+    * 1995; the KN unigram backoff weights a word by how many DISTINCT
+    * contexts it follows, not how often it occurs — "Francisco" is
+    * frequent but only ever follows "San"). Top-30 words by
+    * continuation count N1+(·,w) with the raw unigram count and the
+    * KN continuation probability N1+(·,w) / |distinct bigrams|.
+    *
+    * Scale shape: one corpus pass explodes bigrams, `countDistinct`
+    * over (w1,w2) is a partial-agg'd distinct on short string pairs,
+    * the probability denominator is a 1-row broadcast aggregate, and
+    * the ranking is the distributed top-k idiom.
+    */
+  def lmKnCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("_t")
+    val toks = Tables.documents(spark, dir)
+      .select(Text.tokens(col("text")).as("_t"))
+    val bg = toks.filter(size(t) >= 2)
+      .select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val cont = bg.groupBy(col("w2").as("word"))
+      .agg(countDistinct(col("w1")).as("cont_count"))
+    val uni = toks.select(explode(t).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("uni_count"))
+    val totalBigrams = bg.select(col("w1"), col("w2")).distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cont_count").desc, col("word"))
+    cont.join(uni, "word")
+      .crossJoin(broadcast(totalBigrams))
+      .orderBy(col("cont_count").desc, col("word")).limit(30)
+      .select(col("word"), col("cont_count"), col("uni_count"),
+        round(col("cont_count").cast("double") / col("_nb"), 6)
+          .as("kn_prob"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("rank")
+  }
+
   /** Deterministic global corpus shuffle into 100-document training
     * shards ([[graft.ext.Sampling.shuffleShards]]): pseudorandom but
     * reproducible positions from md5("e0|doc_id"), global rank via the
@@ -693,6 +752,8 @@ object TextQueries {
     "mixture_shards" -> (mixtureShards _),
     "corpus_shuffle" -> (corpusShuffle _),
     "shard_layout" -> (shardLayout _),
+    "bpe_merges" -> (bpeMerges _),
+    "lm_kn_counts" -> (lmKnCounts _),
     "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
     "select_dsir" -> (selectDsir _),
@@ -762,6 +823,42 @@ object TextQueries {
         |  CAST(pos // 100 AS BIGINT) AS shard,
         |  CAST(pos % 100 AS BIGINT) AS pos_in_shard
         |FROM r ORDER BY doc_id""".stripMargin,
+    // KN continuation counts replayed serially: bigrams via
+    // list_zip(word[1:-1], word[2:]), distinct-left-context count per
+    // word, unigram counts, the distinct-bigram denominator, top-30.
+    "lm_kn_counts" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT u.w[1] AS w1, u.w[2] AS w2 FROM (
+        |    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS w
+        |    FROM toks WHERE len(t) >= 2) u),
+        |cont AS (SELECT w2 AS word,
+        |    CAST(count(DISTINCT w1) AS BIGINT) AS cont_count
+        |  FROM bg GROUP BY w2),
+        |uni AS (SELECT word, count(*) AS uni_count FROM (
+        |    SELECT unnest(t) AS word FROM toks) GROUP BY word),
+        |nb AS (SELECT count(*) AS _nb FROM
+        |    (SELECT DISTINCT w1, w2 FROM bg))
+        |SELECT word, cont_count, uni_count,
+        |  round(cont_count / _nb, 6) AS kn_prob,
+        |  row_number() OVER (ORDER BY cont_count DESC, word) AS rank
+        |FROM cont JOIN uni USING (word), nb
+        |ORDER BY cont_count DESC, word LIMIT 30""".stripMargin,
+    // BPE first-merge statistic replayed serially: word counts →
+    // per-word adjacent 2-grams weighted by word frequency → top-20.
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back to BIGINT.
+    "bpe_merges" ->
+      """WITH w AS (SELECT word, count(*) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) WHERE len(word) >= 1 GROUP BY word),
+        |p AS (SELECT substr(word, i, 2) AS pair,
+        |    CAST(sum(wf) AS BIGINT) AS pair_count
+        |  FROM (SELECT word, wf,
+        |      unnest(generate_series(1, len(word) - 1)) AS i
+        |    FROM w WHERE len(word) >= 2)
+        |  GROUP BY 1)
+        |SELECT pair, pair_count,
+        |  row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+        |FROM p ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
     // The written layout replayed from first principles: the same
     // md5 window as corpus_shuffle supplies the expected coordinates,
     // and the physical facts the Spark side OBSERVES from the parquet

@@ -35,7 +35,13 @@ object Dedup {
       fastHash: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val sh = array_distinct(Text.shingles(Text.tokens(col(textCol)), shingleN))
-    val base = df.select(col(idCol), sh.as("shingle_set"))
+    // signed at shuffle width ([[signingWidth]]): the signature is the
+    // dominant per-row cost of every minhash path, and inheriting a
+    // narrow file-split would run it near-serially; the exchange also
+    // gets REUSED when a caller consumes the banded frame twice
+    // (candidates + verify), replacing two file scans + shingle passes
+    // with one
+    val base = signingWidth(df).select(col(idCol), sh.as("shingle_set"))
     if (fastHash)
       base.withColumn("sig", MinHash.signatureFast(col("shingle_set"), numHashes))
         .withColumn("bands", MinHash.bandsFast(col("sig"), numBands, rowsPerBand))
@@ -205,7 +211,7 @@ object Dedup {
     // count: a batch arrives as one file, and the md5 signing pass is
     // the probe's dominant per-row cost — inheriting the 1-partition
     // scan would run it on one core (same fix as the index build).
-    val probe = minhashBands(signingWidth(batch), idCol, textCol, shingleN)
+    val probe = minhashBands(batch, idCol, textCol, shingleN)
       .select(col(idCol),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cands = probe.join(idx, Seq("band_idx", "band_key"))
@@ -268,7 +274,7 @@ object Dedup {
       val r = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
         .toString
       graft.operators.Versioned.write(spark, s"$r/bands",
-        minhashBands(signingWidth(corpus), idCol, textCol)
+        minhashBands(corpus, idCol, textCol)
           .select(col(idCol).as("c_id"),
             posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
       r

@@ -125,7 +125,21 @@ object PipelineQueries {
       .select("doc_id", "lsh_match", "n_lsh")
       .orderBy("doc_id")
 
+  /** Incremental training-shard building on streaming arrival
+    * ([[graft.streaming.Streams.shardAppendStream]]): three
+    * deterministic document batches (doc_id % 3) each shuffle
+    * internally and seal NEW shards continuing the previous batch's
+    * ids — no re-shuffle of existing data, manifests drive the
+    * offsets, replay overwrites only itself. The result is the
+    * read-back DISK layout with the physical facts as values
+    * (in-file position, files per shard, stamped arrival batch), all
+    * replayed from first principles by the oracle.
+    */
+  def streamingShardAppend(spark: SparkSession, dir: String): DataFrame =
+    Streams.shardAppendStream(spark, dir, batches = 3, docsPerShard = 100)
+
   val defs: Map[String, Q] = Map(
+    "streaming_shard_append" -> (streamingShardAppend _),
     "streaming_dedup_lsh" -> (streamingDedupLsh _),
     "streaming_cdc" -> (streamingCdc _),
     "streaming_ivm" -> (streamingIvm _),
@@ -176,6 +190,40 @@ object PipelineQueries {
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the appended shard layout replayed from first principles:
+    // per-batch md5 ranking (same key as corpus_shuffle), cumulative
+    // shard offsets over the batch order, and the physical constants
+    // the read-back must observe (file_pos = pos_in_shard, one file
+    // per shard dir, stamped batch id = the staging rule doc_id % 3)
+    "streaming_shard_append" ->
+      """WITH h AS (SELECT doc_id, CAST(doc_id % 3 AS BIGINT)
+        |      AS arrival_batch,
+        |    substr(md5(concat('e0|', CAST(doc_id AS VARCHAR))), 1, 15)
+        |      AS hs
+        |  FROM documents),
+        |k AS (SELECT doc_id, arrival_batch,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 15), i ->
+        |        CAST(strpos('0123456789abcdef', substr(hs, i, 1)) - 1
+        |          AS BIGINT))), (a, x) -> a * 16 + x) AS sk
+        |  FROM h),
+        |r AS (SELECT doc_id, arrival_batch, row_number() OVER (
+        |      PARTITION BY arrival_batch ORDER BY sk, doc_id) - 1 AS pos
+        |  FROM k),
+        |c AS (SELECT arrival_batch,
+        |    CAST(ceil(count(*) / 100.0) AS BIGINT) AS sh
+        |  FROM k GROUP BY arrival_batch),
+        |o AS (SELECT arrival_batch,
+        |    coalesce(sum(sh) OVER (ORDER BY arrival_batch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM c)
+        |SELECT CAST(o.off + pos // 100 AS BIGINT) AS shard, r.doc_id,
+        |  r.arrival_batch,
+        |  CAST(pos % 100 AS BIGINT) AS pos_in_shard,
+        |  CAST(pos % 100 AS BIGINT) AS file_pos,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM r JOIN o USING (arrival_batch) ORDER BY doc_id""".stripMargin,
     // the streaming index probe must converge to the one-shot batch
     // probe — literally the same oracle as dedup_lsh_index
     "streaming_dedup_lsh" -> TextQueries.oracles("dedup_lsh_index"),

@@ -376,6 +376,132 @@ object Streams {
       .parquet(staged)
   }
 
+  /** Deterministic mod-split staging for the shard-append stream: the
+    * oracle must be able to name each batch's membership, so batch b =
+    * documents with `doc_id % batches == b` (not a range split, whose
+    * sampled boundaries an oracle cannot replay).
+    */
+  private val stagedModDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Incremental training-shard building on streaming arrival — the
+    * production path for a corpus that keeps growing: you do NOT
+    * re-shuffle 100 TB when a new crawl lands; each arriving batch is
+    * shuffled internally ([[graft.ext.Sampling.shuffleShards]], same
+    * reproducible md5 permutation) and sealed into NEW shards whose
+    * ids continue where the previous batch stopped, so the on-disk
+    * layout is loader-consumable at every point in time and existing
+    * shards are never rewritten.
+    *
+    * Mechanics: shard offsets come from a tiny per-batch MANIFEST
+    * (`counts/b=<id>`: shards sealed by that batch) — Σ over committed
+    * earlier batches, recomputed per batch, nothing driver-resident
+    * between batches. Exactly-once without a transactional store:
+    * both the data write and the manifest write use DYNAMIC partition
+    * overwrite keyed by ids unique to the batch (its shard range, its
+    * manifest partition), so a batch replayed after a crash between
+    * sink write and checkpoint commit overwrites exactly ITSELF.
+    * Within a batch the write discipline is [[graft.ext.Sampling
+    * .writeShards]]'s: repartition on the shard id, sort by
+    * (shard, pos), one file per shard dir, in-file order = sample
+    * order.
+    *
+    * Returns the read-back layout with the physical facts as values
+    * (`file_pos` = parquet `_metadata.row_index`, `n_files` per shard
+    * dir, `arrival_batch` as stamped by the sink) — the same
+    * observe-the-bytes gate as the batch `shard_layout` query.
+    */
+  /** The shard-append sink's per-batch apply — exposed so the replay
+    * spec can drive it directly. Deterministic in (batch content, id,
+    * committed earlier manifests): the shard offset is Σ shards sealed
+    * by batches with a SMALLER id, and both writes use dynamic
+    * partition overwrite keyed by ids unique to this batch (its shard
+    * range, its manifest partition), so re-applying the same batch —
+    * the crash-between-sink-and-checkpoint replay — overwrites exactly
+    * itself and the layout is byte-stable.
+    */
+  private[graft] def applyShardBatch(b: DataFrame, id: Long, data: String,
+      counts: String, docsPerShard: Int, seed: String): Unit = {
+    val s = b.sparkSession
+    val offset =
+      if (!new java.io.File(counts).exists()) 0L
+      else s.read.parquet(counts)
+        .filter(col("b") < id)
+        .agg(coalesce(sum(col("shards")), lit(0L)))
+        .head().getLong(0)
+    val coords = graft.ext.Sampling.shuffleShards(
+      b.select("doc_id"), "doc_id", docsPerShard, seed)
+    val nSealed = coords.agg(
+        coalesce(max(col("shard")) + 1L, lit(0L)).as("shards"))
+      .head().getLong(0)
+    b.join(coords.drop("shuffle_key"), "doc_id")
+      .withColumn("shard", col("shard") + lit(offset))
+      .withColumn("arrival_batch", lit(id))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos_in_shard"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(data)
+    import s.implicits._
+    Seq((id, nSealed)).toDF("b", "shards")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(counts)
+  }
+
+  def shardAppendStream(spark: SparkSession, dir: String,
+      batches: Int = 3, docsPerShard: Int = 100,
+      seed: String = "e0"): DataFrame = {
+    val staged = memoStage(stagedModDirs, (dir, batches)) {
+      val out = Files.createTempDirectory("graft-shard-src")
+      (0 until batches).foreach { b =>
+        val tmp = Files.createTempDirectory("graft-shard-split").toString
+        graft.Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(batches)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = out.resolve(f"b$b%03d.parquet")
+        Files.copy(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + b * 60000L))
+      }
+      out.toString
+    }
+    val root = Files.createTempDirectory("graft-shard-append").toString
+    val data = s"$root/data"
+    val counts = s"$root/counts"
+    val arriving = spark.readStream
+      .schema(graft.Tables.documents(spark, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    // batch-sized shuffles (see lshDedupIncremental's sizing note)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = arriving.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyShardBatch(b, id, data, counts, docsPerShard, seed)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val back = spark.read.parquet(data).select(
+      col("shard").cast("long").as("shard"),
+      col("doc_id"), col("arrival_batch"), col("pos_in_shard"),
+      col("_metadata.row_index").as("file_pos"),
+      col("_metadata.file_path").as("_f"))
+    val filesPerShard = back.groupBy(col("shard"))
+      .agg(countDistinct(col("_f")).as("n_files"))
+    back.drop("_f")
+      .join(broadcast(filesPerShard), Seq("shard"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental corpus dedup as a stream — the arrival path of the
     * persisted-LSH-index lifecycle: the already-deduped corpus is
     * signed ONCE into a versioned `(band_idx, band_key, c_id)` posting

@@ -423,8 +423,12 @@ object Streams {
   private[graft] def applyShardBatch(b: DataFrame, id: Long, data: String,
       counts: String, docsPerShard: Int, seed: String): Unit = {
     val s = b.sparkSession
+    // Hadoop FS existence check, not java.io.File: the manifest lives
+    // wherever the shard layout lives (HDFS/S3 on a cluster)
+    val countsPath = new org.apache.hadoop.fs.Path(counts)
+    val fs = countsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val offset =
-      if (!new java.io.File(counts).exists()) 0L
+      if (!fs.exists(countsPath)) 0L
       else s.read.parquet(counts)
         .filter(col("b") < id)
         .agg(coalesce(sum(col("shards")), lit(0L)))

@@ -68,16 +68,19 @@ object Pq {
     * of [[encode]] and the slice-reusing [[adcTopK]] path.
     */
   private def encodeFromSubs(sl: DataFrame, codebook: DataFrame): DataFrame = {
-    // fail LOUDLY past the pack's 16-bit code capacity: a codebook
+    // fail LOUDLY outside the pack's 16-bit code capacity: a codebook
     // with >= 2^16 codewords in one subspace would bleed code bits
     // into the distance bits and `_pk % 65536` would recover the
-    // WRONG code — silent corruption. Guarded on the tiny broadcast
-    // side (per codebook row, not per corpus row), mirroring
-    // mixtureShards' weight guard.
+    // WRONG code — and a NEGATIVE code (only possible from a
+    // caller-supplied codebook; [[trainFromSubs]] emits row_number-1
+    // >= 0) corrupts the same way from the other side (d2*65536 - 1
+    // recovers code 65535 and shifts the distance bits). Guarded on
+    // the tiny broadcast side (per codebook row, not per corpus row),
+    // mirroring mixtureShards' weight guard.
     val guarded = codebook.withColumn("code",
-      when(col("code") < 65536, col("code"))
+      when(col("code") >= 0 && col("code") < 65536, col("code"))
         .otherwise(raise_error(concat(
-          lit("Pq.encode: codebook exceeds 65536 codewords in subspace "),
+          lit("Pq.encode: codebook code outside [0, 65536) in subspace "),
           col("sub").cast("string")))))
     // |sv|² varies per (row, sub) and |cw|² per codebook row — hoist
     // both OUT of the (row, sub) × codewords joined hot path, which
@@ -140,8 +143,12 @@ object Pq {
     * harmless.
     */
   private def sliceParts(corpus: DataFrame, m: Int, cap: Long): Int =
-    math.max(1L, math.min(cap,
-      Joins.estimatedRows(corpus) * m / 2000L)).toInt
+    // BigInt: estimatedRows clamps to Long.MaxValue on degenerate
+    // stats, and `rows * m` would overflow NEGATIVE — collapsing the
+    // encode stage to 1 partition, the exact serial pathology this
+    // sizing exists to fix
+    ((BigInt(Joins.estimatedRows(corpus)) * m / 2000)
+      .min(BigInt(cap)).max(BigInt(1))).toInt
 
   /** Encode the corpus against a trained codebook: nearest codeword per
     * (row, subspace) by L2 on the subvector, codes packed into one
@@ -255,9 +262,10 @@ object Pq {
     // both clamps keep a bad estimate harmless (floor 4, cap = session
     // setting).
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val nRows = Joins.estimatedRows(corpus)
+    // BigInt for the same overflow reason as [[sliceParts]]
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(savedParts.toLong, nRows * m / 100000L)).toString)
+      (BigInt(Joins.estimatedRows(corpus)) * m / 100000)
+        .min(BigInt(savedParts.toLong)).max(BigInt(4)).toString)
     try {
       // ONE explode serves both train and encode: (c_id, _cell, sub,
       // _sv) slices, materialized — this barrier is also the index
@@ -274,11 +282,19 @@ object Pq {
         .localCheckpoint()
       val trainSl = if (trainHex.isEmpty) sl
         else sl.filter(Sampling.hashBucket(col("c_id")) <= lit(trainHex))
-      // the codebook is materialized (consumed twice: encode join +
-      // query LUTs); codes are NOT — the one-shot probe consumes them
-      // exactly once, so a barrier there would buy nothing and cost a
-      // full extra job. Callers that probe repeatedly persist the
-      // separable [[trainCodebook]]/[[encode]] outputs instead.
+      // SCOPE of the sized conf: shuffle.partitions is read at
+      // EXECUTION time, so the sizing covers exactly the two barriers
+      // that run inside this window — the slice checkpoint above
+      // (whose width [[sliceParts]] sets explicitly anyway) and the
+      // codebook build. The lazy encode + probe stages execute after
+      // the finally restores the session width — deliberately: the
+      // sizing only ever SHRINKS below the session setting, so
+      // session width is never under-parallel for them, AQE coalesces
+      // the over-split tails, and a codes barrier here would cost a
+      // full extra job for a result the one-shot probe consumes
+      // exactly once (measured +0.5–1 s on the pq family at sf0.1).
+      // Callers that probe repeatedly persist the separable
+      // [[trainCodebook]]/[[encode]] outputs instead.
       val codebook = trainFromSubs(trainSl).localCheckpoint()
       val codes = encodeFromSubs(sl.select(col("c_id"), col("sub"),
         col("_sv")), codebook)

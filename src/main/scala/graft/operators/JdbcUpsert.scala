@@ -143,6 +143,7 @@ object JdbcUpsert {
         if (it.hasNext) {
           val conn = java.sql.DriverManager.getConnection(url)
           var savepoints = true
+          var releaseFails = 0
           try {
             conn.setAutoCommit(false)
             val upd = conn.prepareStatement(updateSql)
@@ -179,17 +180,28 @@ object JdbcUpsert {
                     // (Oracle) — that must disable the optimization,
                     // not fail a successful insert
                     if (sp != null)
-                      try conn.releaseSavepoint(sp)
+                      try { conn.releaseSavepoint(sp); releaseFails = 0 }
                       catch {
-                        // ANY release failure disables the
-                        // optimization, not just the not-supported
-                        // signals: a driver that persistently rejects
-                        // release with a generic SQLException would
-                        // otherwise accumulate one live savepoint per
-                        // inserted row until commit
-                        case _: java.sql.SQLException
+                        // not-supported signals disable the
+                        // optimization immediately; a GENERIC
+                        // SQLException disables it only after 3
+                        // CONSECUTIVE failures — a driver that
+                        // persistently rejects release would
+                        // otherwise accumulate one live savepoint
+                        // per inserted row until commit, while a
+                        // one-off transient failure must NOT
+                        // permanently strip the tx-abort protection
+                        // the savepoint exists for (PostgreSQL
+                        // poisons the tx after any failed statement;
+                        // without the savepoint a later lost
+                        // duplicate-key race would abort the whole
+                        // partition write)
+                        case _: java.sql.SQLFeatureNotSupportedException
                             | _: UnsupportedOperationException =>
                           savepoints = false
+                        case _: java.sql.SQLException =>
+                          releaseFails += 1
+                          if (releaseFails >= 3) savepoints = false
                       }
                   } catch {
                     // ONLY duplicate-key means "the key exists" —

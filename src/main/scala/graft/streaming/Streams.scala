@@ -423,6 +423,15 @@ object Streams {
   private[graft] def applyShardBatch(b: DataFrame, id: Long, data: String,
       counts: String, docsPerShard: Int, seed: String): Unit = {
     val s = b.sparkSession
+    // same reserved-name contract as the batch writer
+    // ([[graft.ext.Sampling.writeShards]]), plus the arrival stamp
+    // this sink adds: the coords join-back would otherwise produce
+    // ambiguous columns or silently wrong coordinates in the layout
+    val reserved = Set("shard", "pos_in_shard", "shuffle_key", "arrival_batch")
+    val clash = b.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"applyShardBatch reserves column name(s) ${clash.mkString(", ")} " +
+        "for the shard layout — rename them in the input")
     // Hadoop FS existence check, not java.io.File: the manifest lives
     // wherever the shard layout lives (HDFS/S3 on a cluster)
     val countsPath = new org.apache.hadoop.fs.Path(counts)
@@ -435,9 +444,14 @@ object Streams {
         .head().getLong(0)
     val coords = graft.ext.Sampling.shuffleShards(
       b.select("doc_id"), "doc_id", docsPerShard, seed)
-    val nSealed = coords.agg(
-        coalesce(max(col("shard")) + 1L, lit(0L)).as("shards"))
-      .head().getLong(0)
+    // shards sealed = ceil(n / docsPerShard) by construction (positions
+    // are dense 0..n-1, shard = pos / docsPerShard) — one cheap count
+    // of the batch, NOT an aggregate over coords, which would run the
+    // whole two-pass global rank a second time before the join below
+    // recomputes it (per-batch fixed cost is the streaming family's
+    // dominant floor; see the COVERAGE adjudication)
+    val nSealed =
+      (b.count() + docsPerShard - 1) / docsPerShard
     b.join(coords.drop("shuffle_key"), "doc_id")
       .withColumn("shard", col("shard") + lit(offset))
       .withColumn("arrival_batch", lit(id))

@@ -44,10 +44,8 @@ object Clusters {
     // is taken BEFORE the checkpoint (a checkpointed plan has no file
     // stats) and both clamps bound a bad estimate.
     val edgeCount = graft.operators.Joins.estimatedRows(edgesPlan)
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    val p = math.max(4L, math.min(saved.toLong, edgeCount / 50000L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", p)
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark,
+        s => math.max(4L, math.min(s, edgeCount / 50000L))) {
       val edges = edgesPlan.localCheckpoint()
       // fused round 1: with every node initially labeled by itself,
       // the first propagation round is exactly least(self, min
@@ -78,7 +76,17 @@ object Clusters {
         labels = updated.drop("_prev")
         i += 1
       }
+      // fail LOUDLY on an unconverged exit (graph diameter > maxIter):
+      // labels mid-propagation split one true component across several
+      // cluster ids, and downstream keep-one-canonical-per-cluster
+      // dedup would silently keep several copies of the same duplicate
+      // family. Near-dup graphs are clique-ish (diameter ~2-3), so a
+      // trip here means the input is not the expected pair graph —
+      // raise maxIter deliberately, don't mask it.
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds maxIter; labels would be partial")
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
   }
 }

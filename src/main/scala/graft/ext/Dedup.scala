@@ -206,12 +206,18 @@ object Dedup {
     */
   def lshIndexProbe(idx: DataFrame, corpusText: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      numHashes: Int = 16, numBands: Int = 4): DataFrame = {
     // Sign the batch at shuffle width, not at the landing file's split
     // count: a batch arrives as one file, and the md5 signing pass is
     // the probe's dominant per-row cost — inheriting the 1-partition
     // scan would run it on one core (same fix as the index build).
-    val probe = minhashBands(batch, idCol, textCol, shingleN)
+    // shingleN/numHashes/numBands MUST match the values the probed
+    // index was built with ([[persistedLshIndex]] takes the same
+    // parameters with the same defaults) — mismatched band keys would
+    // not error, they would silently produce zero candidates.
+    val probe = minhashBands(batch, idCol, textCol, shingleN, numHashes,
+      numBands)
       .select(col(idCol),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cands = probe.join(idx, Seq("band_idx", "band_key"))
@@ -269,16 +275,24 @@ object Dedup {
     */
   def persistedLshIndex(spark: org.apache.spark.sql.SparkSession,
       cacheKey: String, corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val root = lshIndexRoots.computeIfAbsent(cacheKey, { _ =>
-      val r = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
-        .toString
-      graft.operators.Versioned.write(spark, s"$r/bands",
-        minhashBands(corpus, idCol, textCol)
-          .select(col(idCol).as("c_id"),
-            posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
-      r
-    })
+      textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      numBands: Int = 4): DataFrame = {
+    // signature parameters are part of the index IDENTITY: they join
+    // the memo key (two configs must never alias to one persisted
+    // index) and must be repeated to [[lshIndexProbe]] — same
+    // defaults there, so default callers stay coherent by
+    // construction
+    val root = lshIndexRoots.computeIfAbsent(
+      s"$cacheKey|$shingleN|$numHashes|$numBands", { _ =>
+        val r = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
+          .toString
+        graft.operators.Versioned.write(spark, s"$r/bands",
+          minhashBands(corpus, idCol, textCol, shingleN, numHashes,
+            numBands)
+            .select(col(idCol).as("c_id"),
+              posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+        r
+      })
     graft.operators.Versioned.read(spark, s"$root/bands")
   }
 
@@ -309,12 +323,12 @@ object Dedup {
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
-    // unit-normalize once per row; the pairwise stage is then one dot
-    val e = df.select(col(idCol), col(blockCol), Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .withColumn("_u",
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")))
+    // unit-normalize once per row ([[Vectors.unitized]], the ONE
+    // definition of this oracle-sensitive arithmetic); the pairwise
+    // stage is then one dot
+    val e = Vectors.unitized(df, vecCol, idCol -> idCol,
+        blockCol -> blockCol)
+      .withColumnRenamed("_uv", "_u")
     val a = e.select(col(blockCol), col(idCol).as("id_a"), col("_u").as("_va"))
     val b = e.select(col(blockCol), col(idCol).as("id_b"), col("_u").as("_vb"))
     a.join(b, Seq(blockCol))

@@ -86,10 +86,8 @@ object Graph {
     // shuffle-hash join instead of OOMing the executors (same enforced
     // regime switch as triangleCounts' closing side)
     val fits = n * BytesPerRow <= broadcastCapBytes
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    val p = math.max(4L, math.min(saved.toLong, n / 50000L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", p)
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark,
+        s => math.max(4L, math.min(s, n / 50000L))) {
       for (_ <- 1 to iters) {
         val inflow = nodeJoin(e, pr.withColumnRenamed("node", "src"),
             Seq("src"), "inner", fits)
@@ -109,7 +107,7 @@ object Graph {
           .localCheckpoint()
       }
       pr
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
   }
 
   /** Exact per-vertex triangle counts by degree orientation — the

@@ -47,7 +47,12 @@ object HeavyHitters {
     val candidates = pass1.filter(!col("is_count")).select("item").distinct()
     val total = pass1.filter(col("is_count")).agg(sum(col("cnt")).as("_n"))
     items.toDF("item")
-      .join(broadcast(candidates), Seq("item"), "left_semi")
+      // NULL-SAFE semi join: a null item counts toward n and can be a
+      // true heavy hitter (the MG map tracks it like any value), but a
+      // plain equi-join would drop it here (null = null is never true)
+      // and silently omit it from the "exact" output
+      .join(broadcast(candidates.withColumnRenamed("item", "_cand")),
+        col("item") <=> col("_cand"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))
       .filter(col("freq") * k > col("_n"))

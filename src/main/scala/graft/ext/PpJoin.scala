@@ -103,6 +103,16 @@ object PpJoin {
   /** All pairs with shingle-set Jaccard >= `minJaccard`, global (no
     * blocking column) — exact results through provably-safe pruning.
     * Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * PRECISION CAVEAT: the final compare quantizes Jaccard to 4
+    * decimals (the engine-portability convention every dedup verify in
+    * this repo shares — the DuckDB oracle replays the identical
+    * round). "Exact" therefore means exact AT THAT QUANTIZATION: with
+    * a threshold that is itself not 4-decimal-representable (e.g.
+    * 1/3), a pair whose true J lies in [t, round-up boundary) can
+    * round below t and be dropped. Use 4-decimal-representable
+    * thresholds (0.5, 0.3333) — the pruning stages are strictly safe
+    * either way; only the last compare quantizes.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       minJaccard: Double): DataFrame = {

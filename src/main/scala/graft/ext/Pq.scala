@@ -253,7 +253,16 @@ object Pq {
       k: Int, dim: Int = -1, trainHex: String = ""): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+      else {
+        // probe a NON-NULL vector (size(null) = -1; same guard as
+        // SignLsh.resolveDim — a failed-embedding first row must not
+        // poison the subspace split)
+        val probed = corpus.filter(col(vecCol).isNotNull)
+          .select(size(col(vecCol))).take(1)
+        require(probed.nonEmpty,
+          s"cannot resolve embedding dim: no non-null $vecCol rows")
+        probed.head.getInt(0)
+      }
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val w = d / m
     // the index-build shuffles move (id, sub, code/dot) triples — size
@@ -261,12 +270,11 @@ object Pq {
     // comes from plan statistics (Joins.estimatedRows): ZERO jobs, and
     // both clamps keep a bad estimate harmless (floor 4, cap = session
     // setting).
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionWidth = graft.operators.ShuffleWidth.session(spark)
     // BigInt for the same overflow reason as [[sliceParts]]
-    spark.conf.set("spark.sql.shuffle.partitions",
-      (BigInt(Joins.estimatedRows(corpus)) * m / 100000)
-        .min(BigInt(savedParts.toLong)).max(BigInt(4)).toString)
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark, s =>
+        ((BigInt(Joins.estimatedRows(corpus)) * m / 100000)
+          .min(BigInt(s)).max(BigInt(4))).toLong) {
       // ONE explode serves both train and encode: (c_id, _cell, sub,
       // _sv) slices, materialized — this barrier is also the index
       // build's working set, so it is corpus × m rows by construction.
@@ -278,7 +286,7 @@ object Pq {
         .select(col("c_id"), col("_cell"),
           posexplode(array((0 until m).map(s =>
             slice(col("_uv"), s * w + 1, w)): _*)).as(Seq("sub", "_sv")))
-        .repartition(sliceParts(corpus, m, savedParts.toLong))
+        .repartition(sliceParts(corpus, m, sessionWidth))
         .localCheckpoint()
       val trainSl = if (trainHex.isEmpty) sl
         else sl.filter(Sampling.hashBucket(col("c_id")) <= lit(trainHex))
@@ -299,6 +307,6 @@ object Pq {
       val codes = encodeFromSubs(sl.select(col("c_id"), col("sub"),
         col("_sv")), codebook)
       adcProbe(queries, qId, vecCol, codebook, codes, m, d, k)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
   }
 }

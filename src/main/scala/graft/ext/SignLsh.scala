@@ -41,9 +41,20 @@ object SignLsh {
     * driver-blocking job per call, the pattern the index specs guard
     * against everywhere else.
     */
-  private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
-    if (dim > 0) dim
-    else df.select(size(col(vecCol)).as("_d")).head().getInt(0)
+  private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int = {
+    if (dim > 0) return dim
+    // probe a NON-NULL vector: size(null) = -1, and a -1 dim would
+    // build empty hyperplanes → every row signs to the same bucket →
+    // the bucket self-join silently degenerates to the full n² cross
+    // join the LSH exists to avoid. Empty/all-null input fails loudly.
+    val probed = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("_d")).take(1)
+    require(probed.nonEmpty,
+      s"cannot resolve embedding dim: no non-null $vecCol rows")
+    val d = probed.head.getInt(0)
+    require(d > 0, s"cannot resolve embedding dim: first $vecCol is empty")
+    d
+  }
 
   /** Near-duplicate pairs above `minCosine`, candidates from shared
     * LSH buckets (pairs in different buckets are missed — that is the
@@ -55,11 +66,10 @@ object SignLsh {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, minCosine: Double, dim: Int = -1): DataFrame = {
     val planes = hyperplanes(bits, resolveDim(df, vecCol, dim))
-    val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .withColumn("_u",
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")))
+    // [[Vectors.unitized]] is the ONE definition of the oracle-
+    // sensitive normalize-with-zero-passthrough arithmetic
+    val e = Vectors.unitized(df, vecCol, idCol -> idCol)
+      .withColumnRenamed("_uv", "_u")
       .withColumn("_bucket", signature(col("_u"), planes))
     val a = e.select(col("_bucket"), col(idCol).as("id_a"), col("_u").as("_ua"))
     val b = e.select(col("_bucket"), col(idCol).as("id_b"), col("_u").as("_ub"))
@@ -91,11 +101,8 @@ object SignLsh {
     val d = resolveDim(df, vecCol, dim)
     val spark = df.sparkSession
     import spark.implicits._
-    val e = df.select(col(idCol), Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .withColumn("_u",
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")))
+    val e = Vectors.unitized(df, vecCol, idCol -> idCol)
+      .withColumnRenamed("_uv", "_u")
     // Hyperplanes as broadcast ROWS (one native dot per (vector,
     // plane)), not as per-plane literal expression trees: tables ×
     // bits inlined [[signature]] columns blow the signature stage out

@@ -33,11 +33,10 @@ object Similarity {
     */
   private[ext] def unitized(df: DataFrame, id: String, vecCol: String,
       idAs: String, vecAs: String): DataFrame =
-    df.select(col(id).as(idAs), Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .select(col(idAs),
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")).as(vecAs))
+    // delegates to [[Vectors.unitized]] — the ONE definition of the
+    // oracle-sensitive normalize-with-zero-passthrough arithmetic
+    Vectors.unitized(df, vecCol, id -> idAs)
+      .withColumnRenamed("_uv", vecAs)
 
   /** (_cell, c_id, _cv): cell tag + id + unit vector per corpus row —
     * deliberately NOT cached or materialized: normalizing is cheap map
@@ -47,13 +46,8 @@ object Similarity {
     */
   private def cellVectors(corpus: DataFrame, cId: String, vecCol: String,
       blockCol: String): DataFrame =
-    corpus
-      .select(col(blockCol).as("_cell"), col(cId).as("c_id"),
-        Vectors.asDouble(col(vecCol)).as("_v"))
-      .withColumn("_n", Vectors.norm(col("_v")))
-      .select(col("_cell"), col("c_id"),
-        when(col("_n") > 0, transform(col("_v"), x => x / col("_n")))
-          .otherwise(col("_v")).as("_cv"))
+    Vectors.unitized(corpus, vecCol, blockCol -> "_cell", cId -> "c_id")
+      .withColumnRenamed("_uv", "_cv")
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int): DataFrame = {

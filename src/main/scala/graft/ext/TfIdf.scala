@@ -30,7 +30,13 @@ object TfIdf {
     */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+    // drop the empty-string pseudo-term a cleaned-to-empty document
+    // emits (split("", " ") = [""]): it would otherwise acquire a df
+    // and rank as a "term" (same convention as Bpe.wordCounts; dl
+    // deliberately stays size(tokens) on both engine and oracle sides)
+    val toks = docs.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= 1)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
     val dl = docs.select(col(idCol), size(Text.tokens(col(textCol))).cast("long").as("dl"))
@@ -52,7 +58,10 @@ object TfIdf {
 
   /** Top-k terms per document by `tf * ln(N / df)`. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+    // same empty-pseudo-term guard as [[bm25TopTerms]]
+    val toks = docs.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= 1)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))

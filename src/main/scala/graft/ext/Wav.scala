@@ -62,7 +62,11 @@ object Wav {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(bytes, off)
       val size = le32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // bound check in LONG arithmetic: a crafted/corrupt size near
+      // Int.MaxValue would overflow `off + 8 + size` negative and slip
+      // past an Int compare — then OOM on the sample-array alloc or
+      // AIOOBE mid-read instead of this readable error
+      require(size >= 0 && off + 8 + size.toLong <= bytes.length,
         s"truncated $id chunk")
       id match {
         case "fmt " =>

@@ -349,6 +349,9 @@ object TextQueries {
   def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      // same empty-pseudo-term guard as TfIdf/Bpe (split("", " ") =
+      // [""] — an empty doc must not mint a "" vocab entry)
+      .filter(length(col("term")) >= 1)
     val agg = toks.groupBy("term")
       .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1192,8 +1195,9 @@ object TextQueries {
         |GROUP BY item, n.c HAVING count(*) * 200 > n.c
         |ORDER BY item""".stripMargin,
     "vocab_topk" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
+        |t AS (SELECT * FROM t0 WHERE len(term) >= 1),
         |a AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
         |  FROM t GROUP BY 1),
         |r AS (SELECT term, cf, df,
@@ -1345,8 +1349,9 @@ object TextQueries {
         |  (node = min(r)) AS is_canonical
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
-      """WITH toks AS (
+      """WITH toks0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |toks AS (SELECT * FROM toks0 WHERE len(term) >= 1),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
@@ -1362,8 +1367,9 @@ object TextQueries {
         |SELECT doc_id, rank, term, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_bm25" ->
-      """WITH toks AS (
+      """WITH toks0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |toks AS (SELECT * FROM toks0 WHERE len(term) >= 1),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl

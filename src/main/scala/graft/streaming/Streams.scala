@@ -182,9 +182,8 @@ object Streams {
     // micro-batch pays a per-partition state commit, so 32 partitions
     // for a few thousand keys is pure overhead (measured 2.7x on the
     // declared queries). At 100 TB key cardinality, raise it.
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark,
+        _ => statePartitions.toLong) {
       val q = df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
@@ -195,7 +194,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
   }
 
   /** Changelog sink: each micro-batch appends its emissions (stamped
@@ -216,9 +215,8 @@ object Streams {
       Files.createTempDirectory("graft-stream-sink").resolve("log").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     // see runToMergeSink for why state partitions are sized per stream
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark,
+        _ => statePartitions.toLong) {
       val q = df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
@@ -229,7 +227,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     // compaction: the latest emission per key wins (_batch_id breaks
     // ties between re-emissions that share version values)
     graft.operators.LatestPerKey(spark.read.parquet(log),
@@ -495,9 +493,7 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
     // batch-sized shuffles (see lshDedupIncremental's sizing note)
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark, _ => 8L) {
       val q = arriving.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$root/ckpt")
@@ -507,7 +503,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     val back = spark.read.parquet(data).select(
       col("shard").cast("long").as("shard"),
       col("doc_id"), col("arrival_batch"), col("pos_in_shard"),
@@ -559,9 +555,7 @@ object Streams {
     // launches per row batch across the probe's join/agg stages (same
     // sizing rationale as runToMergeSink's state partitions). At real
     // batch volumes, raise with the batch size.
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark, _ => 8L) {
       val q = arriving.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$root/ckpt")
@@ -578,7 +572,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     spark.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
@@ -670,9 +664,7 @@ object Streams {
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents")))
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    graft.operators.ShuffleWidth.withWidth(spark, _ => 4L) {
       val q = eventsStream(spark, dir, batches = 3).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -691,7 +683,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     spark.read.parquet(view).orderBy("day", "event_type")
   }
 

@@ -18,6 +18,22 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components fails loudly when maxIter is too small") {
+    import spark.implicits._
+    // a 5-node chain has diameter 4; 2 propagation rounds cannot
+    // settle it — partial labels must throw, not silently split the
+    // component across several cluster ids
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    // the same graph converges with room to iterate
+    val cc = Clusters.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(1L))
+  }
+
   test("connected components sizing launches no count() job (stats-based)") {
     import spark.implicits._
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -138,6 +138,28 @@ class SimilaritySpec extends SparkSpec {
     assert(multiDim.count() >= withDim.count()) // multi-table only adds recall
   }
 
+  test("sign-LSH dim probe skips null vectors and fails loudly on all-null input") {
+    import spark.implicits._
+    // first row's embedding is null: size(null) = -1 would build empty
+    // hyperplanes and bucket the whole corpus together — the probe
+    // must resolve dim from a NON-null row instead
+    val mixed = Seq((1L, None), (2L, Some(Seq(1.0f, 0.0f))),
+        (3L, Some(Seq(1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ext.SignLsh.nearDupPairs(mixed, "vec_id",
+        "embedding", bits = 2, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((2L, 3L)))
+    // all-null (and empty) inputs cannot resolve a dim — loud error,
+    // not a degenerate single-bucket n^2 self-join
+    val allNull = Seq((1L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ext.SignLsh.nearDupPairs(allNull, "vec_id", "embedding",
+        bits = 2, minCosine = 0.9)
+    }
+  }
+
   test("multi-table LSH plan: planes join as broadcast rows, no expression explode") {
     // the data-driven signature build keeps the stage inside
     // whole-stage codegen; a refactor back to inlined per-plane

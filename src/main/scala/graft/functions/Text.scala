@@ -106,11 +106,15 @@ object Text {
     call_function("graft_collapse", toks)
 
   /** Builtin-HOF collapse (no extension registration needed): keeps
-    * each token not null-safe-equal to its predecessor (`get` is
-    * 0-based and null out-of-bounds, so the first token always stays).
+    * each token not null-safe-equal to its predecessor. The position-0
+    * disjunct is NOT redundant: `get` is null out-of-bounds, so for a
+    * NULL first token `t <=> get(toks, -1)` is `null <=> null` = TRUE
+    * and the bare predicate would drop the run's first element — the
+    * native [[graft.plans.CollapseRepeats]] (correctly) keeps the
+    * first element of every run, null runs included.
     */
   def collapseRepeatsHof(toks: Column): Column =
-    filter(toks, (t, i) => !(t <=> get(toks, i - lit(1))))
+    filter(toks, (t, i) => (i === lit(0)) || !(t <=> get(toks, i - lit(1))))
 
   /** One-pass native token statistics
     * ([[graft.plans.TextStats]]): struct(n_tokens, n_distinct,

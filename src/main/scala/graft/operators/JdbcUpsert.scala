@@ -229,7 +229,13 @@ object JdbcUpsert {
               }
               conn.commit()
             } catch {
-              case e: Throwable => conn.rollback(); throw e
+              case e: Throwable =>
+                // a rollback on a dead/poisoned connection throws too —
+                // it must not REPLACE the original write error in the
+                // task failure (suppress it instead)
+                try conn.rollback()
+                catch { case r: Throwable => e.addSuppressed(r) }
+                throw e
             } finally { upd.close(); ins.close() }
           } finally conn.close()
         }
@@ -266,7 +272,13 @@ object JdbcUpsert {
               ps.executeBatch()
               conn.commit()
             } catch {
-              case e: Throwable => conn.rollback(); throw e
+              case e: Throwable =>
+                // a rollback on a dead/poisoned connection throws too —
+                // it must not REPLACE the original write error in the
+                // task failure (suppress it instead)
+                try conn.rollback()
+                catch { case r: Throwable => e.addSuppressed(r) }
+                throw e
             } finally ps.close()
           } finally conn.close()
         }

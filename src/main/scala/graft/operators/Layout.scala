@@ -73,8 +73,32 @@ object Layout {
     // Spark's _metadata.file_path (file:///x): compare on the
     // scheme-free path component
     def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val current = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString)
+    // RECURSIVE file listing: on a Hive-partitioned layout the
+    // top-level entries are `col=value` DIRECTORIES (no .parquet
+    // suffix) — a flat listStatus would see zero current files, drop
+    // every index entry, and commit an EMPTY index that prunedRead
+    // would then silently read as "no overlapping files"
+    val current = {
+      // skip hidden path components (swap staging `.X.old` /
+      // `.X.tmp-*`, metadata `_` dirs): listFiles does NOT filter them
+      // the way partition discovery does, and indexing a crash
+      // leftover would make prunedRead read a partition's rows twice
+      val rootPath = norm(p.toString)
+      def hiddenComponent(f: org.apache.hadoop.fs.Path): Boolean = {
+        val rel = norm(f.toString).stripPrefix(rootPath)
+        rel.split('/').exists(c =>
+          c.startsWith(".") || c.startsWith("_"))
+      }
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet") &&
+            !hiddenComponent(s.getPath))
+          out += s.getPath.toUri.toString
+      }
+      out.toArray
+    }
     val currentNorm = current.map(norm).toSet
     spark.catalog.refreshByPath(idxPath)
     val allOld = spark.read.parquet(idxPath)
@@ -86,7 +110,12 @@ object Layout {
     val fresh = current.filterNot(f => knownNorm.contains(norm(f))).toSeq.sorted
     val merged =
       if (fresh.isEmpty) old
-      else old.unionByName(fileStats(spark.read.parquet(fresh: _*), cols))
+      // basePath keeps partition columns resolvable when the fresh
+      // files are leaves of a hive layout (a bare leaf-file read has
+      // no `col=value` context and an index over a partition column
+      // would fail UNRESOLVED_COLUMN on refresh)
+      else old.unionByName(fileStats(
+        spark.read.option("basePath", path).parquet(fresh: _*), cols))
     MergeWriter.replace(spark, idxPath, merged.repartition(1))
   }
 

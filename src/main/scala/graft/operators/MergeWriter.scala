@@ -101,8 +101,19 @@ object MergeWriter {
     val unioned = touched match {
       case None => incoming
       case Some(vals) =>
+        // a NULL partition value needs its own predicate: isInCollection
+        // evaluates to NULL (never true) against null rows, so a batch
+        // touching the null partition would stage a fresh
+        // __HIVE_DEFAULT_PARTITION__ dir WITHOUT the target's existing
+        // null-partition rows — and the swap below would then silently
+        // drop them
+        val nonNull = vals.filter(_ != null)
+        val pred =
+          if (nonNull.size == vals.size) col(partCol).isInCollection(nonNull)
+          else if (nonNull.isEmpty) col(partCol).isNull
+          else col(partCol).isInCollection(nonNull) || col(partCol).isNull
         spark.read.parquet(dir)
-          .filter(col(partCol).isInCollection(vals))
+          .filter(pred)
           .withColumn("_src", lit(0))
           .unionByName(incoming, allowMissingColumns = true)
     }
@@ -119,7 +130,7 @@ object MergeWriter {
         // undoing the fan-out. Pinned to touched-dirs × fan-out (fresh
         // bulk loads fall back to the session shuffle setting).
         val n = touched.map(_.size * filesPerPartition)
-          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(ShuffleWidth.session(spark).toInt)
           .max(filesPerPartition)
         merged0.repartition(n, col(partCol),
           pmod(hash(keys.map(col): _*), lit(filesPerPartition)))

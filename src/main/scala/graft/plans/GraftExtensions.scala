@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shingleExplodeFunction)
     e.injectFunction(GraftExtensions.removeSpansFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // the optimizer rule must ride the production path too: without it
+    // a cluster configured via spark.sql.extensions would run the
+    // rn=1-window form at full shuffle width — the exact regression
+    // the rewrite exists to prevent (registerOn adds the same rule via
+    // experimental.extraOptimizations)
+    e.injectOptimizerRule(_ => LatestWindowToMaxBy)
   }
 }
 
@@ -203,30 +209,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RemoveSpans].getName, "graft_remove_spans"),
     buildRemoveSpans _)
 
-  /** Idempotent registration on an already-built session. */
+  /** Idempotent registration on an already-built session. Builders are
+    * the SAME values the injectFunction path ships — the arity checks
+    * (requireArity's readable signature errors) must not differ
+    * between the two registration paths.
+    */
   def registerOn(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", buildMinhash _, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", buildShingles _, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_collapse", exprs => CollapseRepeats(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_textstats", buildTextStats _, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_pos", buildBloomPos _, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_might", buildBloomMight _, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hll", exprs => HllAgg(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_explode", buildShingleExplode _, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_remove_spans", buildRemoveSpans _, "built-in")
+    Seq(dotFunction, pqAdcFunction, minhashFunction, shinglesFunction,
+        collapseFunction, textstatsFunction, bloomPosFunction,
+        bloomMightFunction, hllAggFunction, shingleExplodeFunction,
+        removeSpansFunction)
+      .foreach { case (ident, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          ident.funcName, builder, "built-in")
+      }
     if (!spark.experimental.extraOptimizations.contains(LatestWindowToMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LatestWindowToMaxBy

@@ -23,6 +23,26 @@ class AsofNativeSpec extends SparkSpec {
     AsofJoin.native(l, r, keys = Seq("k"), leftTs = "ts", rightTs = "ts",
       rightValue = "v", rightTieBreak = Seq("tb"), asofCol = "asof")
 
+  test("type mismatch on key or ts fails loudly (no analyzer coercion on a native node)") {
+    import spark.implicits._
+    val l = Seq((1, 10L)).toDF("k", "ts")           // k: INT
+    val rLongKey = Seq((1L, 5L, 7L, 0L)).toDF("k", "ts", "v", "tb") // k: BIGINT
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.native(l, rLongKey, keys = Seq("k"), leftTs = "ts",
+        rightTs = "ts", rightValue = "v", rightTieBreak = Seq("tb"),
+        asofCol = "asof")
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    val lL = Seq((1L, 10)).toDF("k", "ts")          // ts: INT
+    val rTs = Seq((1L, 5L, 7L, 0L)).toDF("k", "ts", "v", "tb") // ts: BIGINT
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.native(lL, rTs, keys = Seq("k"), leftTs = "ts",
+        rightTs = "ts", rightValue = "v", rightTieBreak = Seq("tb"),
+        asofCol = "asof")
+    }
+    assert(e2.getMessage.contains("timestamp type mismatch"))
+  }
+
   test("native == composed on the events table (purchases vs signups)") {
     val a = queries.AnalyticsQueries.asofSignup(spark, sf).collect()
     val b = queries.AnalyticsQueries.asofNative(spark, sf).collect()

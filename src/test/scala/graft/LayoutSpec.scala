@@ -140,4 +140,43 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.prunedRead(spark, dir, Seq(("zx", 12L, 14L)))
       .count() === (100L until 160L).count(i => (10 + i % 5) >= 12 && (10 + i % 5) <= 14))
   }
+
+  test("refreshStatsIndex survives a hive-partitioned layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-refresh-part").toString + "/t"
+    // data files live two levels down (day=X/part-*.parquet): a flat
+    // top-level listing sees only directories, would treat every
+    // indexed file as vanished, and commit an EMPTY index — prunedRead
+    // would then silently return zero files for a table full of data
+    (0L until 100L).map(i => (i, i % 10, s"2024-01-0${i % 3 + 1}"))
+      .toDF("id", "zx", "day")
+      .write.partitionBy("day").parquet(dir)
+    Layout.writeStatsIndex(spark, dir, Seq("zx"))
+    val n0 = spark.read.parquet(dir + "_stats").count()
+    assert(n0 > 0)
+    // a crash-leftover hidden staging dir with a stale parquet copy:
+    // partition discovery ignores it, so the refresh listing must too
+    // (indexing it would make prunedRead read those rows twice)
+    val root = new java.io.File(dir)
+    val hidden = new java.io.File(root, ".day=2024-01-01.old")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(root, "day=2024-01-01"), hidden)
+    Layout.refreshStatsIndex(spark, dir, Seq("zx"))
+    val after = spark.read.parquet(dir + "_stats")
+    assert(after.count() === n0, "refresh emptied a partitioned index")
+    assert(after.agg(sum(col("n_rows"))).head().getLong(0) === 100L)
+    assert(after.filter(col("file").contains(".old")).count() === 0,
+      "hidden staging leftovers were indexed")
+    // appending and indexing THE PARTITION COLUMN itself must survive
+    // refresh: fresh leaf files carry no day column, so the read needs
+    // the basePath context
+    Layout.writeStatsIndex(spark, dir, Seq("zx", "day"))
+    (100L until 130L).map(i => (i, 10L, "2024-01-09"))
+      .toDF("id", "zx", "day")
+      .write.mode("append").partitionBy("day").parquet(dir)
+    Layout.refreshStatsIndex(spark, dir, Seq("zx", "day"))
+    val after2 = spark.read.parquet(dir + "_stats")
+    assert(after2.agg(sum(col("n_rows"))).head().getLong(0) === 130L)
+    assert(after2.filter(col("min_day") === "2024-01-09").count() >= 1)
+  }
 }

@@ -211,6 +211,26 @@ class MergeWriterSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("partitioned upsert preserves existing NULL-partition rows") {
+    import spark.implicits._
+    val dir = tmp()
+    // base load: one real day plus two rows in the null partition
+    val b1 = Seq((1L, Some("2024-01-01"), 10L), (2L, None, 10L),
+      (3L, None, 10L)).toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b1, Seq("id"), Seq("v"), "day")
+    // the update batch touches the null partition (updates id 2) — the
+    // untouched null-partition row (id 3) must SURVIVE the swap: isin
+    // alone evaluates NULL against null rows and would stage the
+    // __HIVE_DEFAULT_PARTITION__ dir without it
+    val b2 = Seq((2L, None: Option[String], 11L)).toDF("id", "day", "v")
+    MergeWriter.upsertPartitioned(spark, dir, b2, Seq("id"), Seq("v"), "day")
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 3)
+    assert(got.filter(col("id") === 2).select("v").head().getLong(0) === 11L)
+    assert(got.filter(col("id") === 3).count() === 1,
+      "pre-existing null-partition row was dropped by the merge")
+  }
+
   test("compact shrinks a fragmented table without changing its contents") {
     import spark.implicits._
     val dir = tmp()

@@ -27,10 +27,16 @@ class TextFeaturesSpec extends SparkSpec {
       (Seq("a", "a"), Seq("a")),
       (Seq("a"), Seq("a")),
       (Seq[String](), Seq[String]()),
-      (Seq("a", null, null, "a", "a"), Seq("a", null, "a")))
+      (Seq("a", null, null, "a", "a"), Seq("a", null, "a")),
+      // LEADING null: the first element of a (null) run is kept — the
+      // HOF's bare predicate would have dropped it (null <=> null out
+      // of bounds is TRUE); both forms must agree here
+      (Seq(null, null, "a"), Seq(null, "a")))
       .toDF("in", "want")
-    val bad = df.select(Text.collapseRepeats(col("in")).as("got"), col("want"))
-      .filter(not(col("got") <=> col("want"))).count()
+    val bad = df.select(Text.collapseRepeats(col("in")).as("got"),
+        Text.collapseRepeatsHof(col("in")).as("hof"), col("want"))
+      .filter(not(col("got") <=> col("want")) ||
+        not(col("hof") <=> col("want"))).count()
     assert(bad == 0)
   }
 

@@ -51,10 +51,17 @@ object Vectors {
       lit(0.0), (acc, v) => acc + v))
 
   /** Symmetric int8 quantization scale: 127 / max|x|. Stored per
-    * vector; dequantize = q * (1/scale).
+    * vector; dequantize = q * (1/scale). An all-zero vector (padding
+    * row / dead embedding) gets scale 1.0 — the unguarded 127/0 =
+    * Infinity would make quantize compute 0·Inf = NaN, which ANSI mode
+    * (Spark 4 default) refuses to cast to int, failing the whole job
+    * on one degenerate row (zero-passthrough convention of
+    * [[unitized]]).
     */
-  def quantScale(v: Column): Column =
-    lit(127.0) / array_max(transform(v, x => abs(x)))
+  def quantScale(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x)))
+    when(m > 0, lit(127.0) / m).otherwise(lit(1.0))
+  }
 
   /** Int8-quantized vector (round-half-up, like both engines' round on
     * doubles). Per-row map work — the 4× storage/bandwidth shrink that

@@ -39,21 +39,34 @@ object Medallion {
     // observe: per-layer row metrics surface on the QueryExecution
     // listener bus without a second scan (SURVEY A4's affected-row
     // counts, done the Spark way)
+    // the increment is materialized (one batch, bounded) because it is
+    // consumed twice: the stg merge below AND the touched-day set that
+    // scopes the dwh rebuild — recomputing aboveWatermark AFTER the
+    // merge would see the advanced watermark and return empty
     val stg = Incremental.aboveWatermark(bronze, stgTarget, "ts")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
         StageExtract.jsonField(col("props"), "$.k").cast("int").as("k"))
       .observe("stg_metrics", count(lit(1)).as("rows_in"),
         count(when(col("k").isNull, 1)).as("null_k"))
+      .localCheckpoint()
     MergeWriter.upsert(spark, stgDir, stg,
       keys = Seq("event_id"), versionCols = Seq("ts"))
     val stgOut = spark.read.parquet(stgDir)
 
     // int: latest state per key, merged on the key (20-row dimension
-    // in the reference; |users| here)
+    // in the reference; |users| here). Incremental scope: only users
+    // the new batch touched need their latest recomputed — a SEMI JOIN
+    // on the increment's users (distributed; the user set is NOT
+    // metadata-sized, so never a driver-side collect), and the keyed
+    // upsert keeps every untouched user's row. First build covers all.
     val intDir = s"$root/int_latest"
+    val intSrc =
+      if (!MergeWriter.exists(spark, intDir)) stgOut
+      else stgOut.join(stg.select(col("user_id")).distinct(),
+        Seq("user_id"), "left_semi")
     MergeWriter.upsert(spark, intDir,
-      LatestPerKey(stgOut, Seq("user_id"), Seq("ts", "event_id")),
+      LatestPerKey(intSrc, Seq("user_id"), Seq("ts", "event_id")),
       keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
 
     // dwh: daily mart merged on the surrogate key, PARTITIONED by day —
@@ -61,13 +74,34 @@ object Medallion {
     // prune (the 100 TB layout; mirrors the reference's observed_date
     // incremental filter, SURVEY §4 partition-pruning row)
     val dwhDir = s"$root/${cfg.schema}_daily"
-    val daily = DailyRollup(stgOut, key = "user_id", tsCol = "ts", metrics = Seq(
-      round(avg(col("value")), 4).as("avg_value"),
-      max(col("value")).as("max_value"),
-      min(col("value")).as("min_value"),
-      count(lit(1)).as("n_events")))
-    MergeWriter.upsertPartitioned(spark, dwhDir, daily,
-      keys = Seq("user_id_date"), versionCols = Seq("n_events"), partCol = "day")
+    // INCREMENTAL rebuild scope: only the days the new batch touched
+    // are re-aggregated (a day's aggregate needs ALL of that day's stg
+    // rows, so the filter is by touched DAY, not by new row) — rolling
+    // up the whole stg history every run would re-scan and rewrite a
+    // year of untouched partitions for a one-day increment, negating
+    // the partition pruning this layer exists for. Day derivation
+    // matches DailyRollup's exactly. The first build (no dwh dir yet)
+    // rolls up everything.
+    val freshDwh = !MergeWriter.exists(spark, dwhDir)
+    val touchedDays =
+      if (freshDwh) Seq.empty
+      else stg.select(to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct().collect().map(_.getDate(0)).toSeq
+    if (freshDwh || touchedDays.nonEmpty) {
+      val dailySrc =
+        if (freshDwh) stgOut
+        else stgOut.filter(
+          to_date(date_trunc("day", col("ts"))).isInCollection(touchedDays))
+      val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
+        metrics = Seq(
+          round(avg(col("value")), 4).as("avg_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"),
+          count(lit(1)).as("n_events")))
+      MergeWriter.upsertPartitioned(spark, dwhDir, daily,
+        keys = Seq("user_id_date"), versionCols = Seq("n_events"),
+        partCol = "day")
+    }
 
     // post-build quality gate (SURVEY §2.10 applied to own layers)
     Checks.enforce(Seq(

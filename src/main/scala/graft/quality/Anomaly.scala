@@ -30,7 +30,13 @@ object Anomaly {
 
   /** One run's metrics for `valueCol` as a single row. Doubles are
     * rounded so the persisted history is deterministic across partition
-    * orderings and engines.
+    * orderings and engines. The row carries BOTH its identity keys:
+    * `metric_col` (one monitoring table legitimately holds runs ×
+    * monitored columns — without the discriminator two columns' series
+    * would interleave in one history window) and `recorded_at` (the
+    * ingestion stamp that orders the history; the run_id STRING cannot
+    * — lexicographic 'r9' > 'r10', the same hazard [[recordSchema]]
+    * documents).
     */
   def runMetrics(df: DataFrame, valueCol: String, runId: String): DataFrame =
     df.agg(
@@ -38,8 +44,9 @@ object Anomaly {
         count(when(col(valueCol).isNull, 1)).as("n_nulls"),
         round(avg(col(valueCol)), 4).as("mean"),
         round(stddev_samp(col(valueCol)), 4).as("std"))
-      .select(lit(runId).as("run_id"), col("n_rows"), col("n_nulls"),
-        col("mean"), col("std"))
+      .select(lit(runId).as("run_id"), lit(valueCol).as("metric_col"),
+        col("n_rows"), col("n_nulls"), col("mean"), col("std"),
+        lit(ingestStamp()).as("recorded_at"))
 
   /** Append one run's metrics to the monitoring table. */
   def recordRun(spark: SparkSession, monitorDir: String, df: DataFrame,
@@ -52,10 +59,25 @@ object Anomaly {
     * anomalous.
     */
   def historyAnomalies(spark: SparkSession, monitorDir: String): DataFrame = {
-    // single-partition window over a runs x columns metadata table
-    val hist = Window.orderBy("run_id")
+    // legacy histories (pre metric_col/recorded_at) read null-filled
+    // via mergeSchema; a PURE-legacy dir lacks the columns entirely,
+    // so synthesize them before they are referenced
+    val raw = spark.read.option("mergeSchema", "true").parquet(monitorDir)
+    val withMetric = if (raw.columns.contains("metric_col")) raw
+      else raw.withColumn("metric_col", lit(null).cast("string"))
+    val runs = if (withMetric.columns.contains("recorded_at")) withMetric
+      else withMetric.withColumn("recorded_at", lit(null).cast("long"))
+    // per-metric history windows over a runs × columns metadata table
+    // (few partitions, each tiny): two monitored columns of the same
+    // table must never z-score against each other's means. Ordered by
+    // the ingestion stamp, NOT the run_id string (lexicographic
+    // 'r9' > 'r10' would hand r10 the wrong preceding set); null
+    // stamps (legacy rows) sort first = oldest, run_id breaks ties
+    // deterministically.
+    val hist = Window.partitionBy(coalesce(col("metric_col"), lit("")))
+      .orderBy(col("recorded_at").asc_nulls_first, col("run_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    spark.read.parquet(monitorDir)
+    runs
       .withColumn("hist_mean", round(avg(col("mean")).over(hist), 6))
       .withColumn("hist_std", round(stddev_samp(col("mean")).over(hist), 6))
       .withColumn("zscore",
@@ -108,7 +130,13 @@ object Anomaly {
     // break the max() below nondeterministically (K5's widened appends
     // are null-filled at read time via mergeSchema, same as
     // MergeWriter documents)
-    val snaps = spark.read.option("mergeSchema", "true").parquet(schemaDir)
+    val snaps0 = spark.read.option("mergeSchema", "true").parquet(schemaDir)
+    // a PURE-legacy history has no stamped file at all — mergeSchema
+    // cannot invent the column, so synthesize it (all-null = all
+    // oldest, run_id tiebreak orders them) instead of failing the
+    // drift report with an unresolved column
+    val snaps = if (snaps0.columns.contains("recorded_at")) snaps0
+      else snaps0.withColumn("recorded_at", lit(null).cast("long"))
     // prune AND order on the ingestion stamp, never the run_id string
     // (lexicographic 'r9' > 'r10' would keep/diff the wrong runs);
     // pre-stamp history (null recorded_at) sorts oldest, which is

@@ -61,8 +61,16 @@ object Checks {
   def relationships(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String, name: String,
       severity: String = Error): DataFrame = {
-    val orphans = child
-      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
+    // dbt parity: the relationships test filters `where child_column
+    // is not null` — a legitimately-nullable FK's null rows are
+    // not_null's concern, not referential integrity's (and null ===
+    // parentKey is NULL, so left_anti would otherwise count every
+    // null-key row as an orphan). The parent key is aliased so
+    // childKey == parentKey (the common FK naming) cannot make the
+    // join condition ambiguous.
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as("_parent_key")),
+        col(childKey) === col("_parent_key"), "left_anti")
     result(name, count(lit(1)), orphans, severity)
   }
 

@@ -54,11 +54,17 @@ object Report {
       val cls = if (failing) """ class="fail"""" else ""
       s"<tr$cls>" + cols.map(c => cell(r.getAs[Any](c))).mkString + "</tr>"
     }.mkString("\n")
-    s"""<section><h2>${esc(title)}</h2>
-       |<table><thead><tr>${cols.map(c => s"<th>${esc(c)}</th>").mkString}</tr></thead>
-       |<tbody>$body</tbody></table>
-       |${if (truncated) s"<p class=\"trunc\">first $maxRows rows shown</p>" else ""}
-       |</section>""".stripMargin
+    // plain concatenation, NOT an interpolated stripMargin template: a
+    // cell value containing "\n  |..." (multi-line text with a
+    // pipe-prefixed continuation) would have its margin stripped
+    // INSIDE the data — stripMargin must never run over interpolated
+    // content
+    Seq(
+      s"<section><h2>${esc(title)}</h2>",
+      s"<table><thead><tr>${cols.map(c => s"<th>${esc(c)}</th>").mkString}</tr></thead>",
+      s"<tbody>$body</tbody></table>",
+      if (truncated) s"<p class=\"trunc\">first $maxRows rows shown</p>" else "",
+      "</section>").mkString("\n")
   }
 
   /** Assemble named monitoring tables into one self-contained page. */
@@ -68,11 +74,14 @@ object Report {
         |th,td{border:1px solid #ccc;padding:4px 8px;text-align:left}
         |tr.fail{background:#fdd}td.null{color:#999;font-style:italic}
         |p.trunc{color:#666;font-size:smaller}""".stripMargin
-    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
-       |<title>${esc(title)}</title><style>$style</style></head>
-       |<body><h1>${esc(title)}</h1>
-       |${tables.map { case (t, df) => section(t, df) }.mkString("\n")}
-       |</body></html>""".stripMargin
+    // same no-stripMargin-over-data rule as [[section]] (the style
+    // template above is static, so ITS stripMargin is safe)
+    Seq(
+      "<!DOCTYPE html><html><head><meta charset=\"utf-8\">",
+      s"<title>${esc(title)}</title><style>$style</style></head>",
+      s"<body><h1>${esc(title)}</h1>",
+      tables.map { case (t, df) => section(t, df) }.mkString("\n"),
+      "</body></html>").mkString("\n")
   }
 
   /** Render and write to `path` (any Hadoop-visible filesystem). */

@@ -165,8 +165,9 @@ object ParityQueries {
         |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT), 'error'
         |  FROM orders
         |  UNION ALL
+        |  -- dbt relationships semantics: null child keys are not orphans
         |  SELECT 'lineitem_orderkey_in_orders', CAST(count(*) AS BIGINT), 'error'
-        |  FROM lineitem WHERE NOT EXISTS
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND NOT EXISTS
         |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         |  UNION ALL
         |  SELECT 'documents_lang_accepted',

@@ -674,8 +674,11 @@ object SimilarityQueries {
     "dedup_semantic" -> semanticOracle,
     "embed_quantize" ->
       """WITH s AS (SELECT vec_id, embedding AS v,
-        |  127.0::DOUBLE / list_max(list_transform(embedding, x -> abs(x)))
-        |    AS scale
+        |  -- zero-vector passthrough mirrors Vectors.quantScale
+        |  CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+        |    THEN 127.0::DOUBLE
+        |      / list_max(list_transform(embedding, x -> abs(x)))
+        |    ELSE 1.0::DOUBLE END AS scale
         |  FROM embeddings)
         |SELECT vec_id, round(scale, 6) AS scale,
         |  array_to_string(list_transform(v,

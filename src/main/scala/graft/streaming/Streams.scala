@@ -134,7 +134,13 @@ object Streams {
       }
       if (flushSentinel) {
         import spark.implicits._
-        val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+        // max over ZERO rows is null — getLong would throw a bare NPE
+        // mid-staging; an empty events table gets a readable error
+        val maxRow = ev.agg(max(col("ts"))).head()
+        require(!maxRow.isNullAt(0),
+          "cannot stage flush sentinels: events table is empty " +
+            "(no max event time to advance the watermark past)")
+        val maxTs = maxRow.getLong(0)
         // two sentinel micro-batches: the watermark a batch runs with
         // comes from the PREVIOUS batch's max event time, so the first
         // sentinel advances it and the second triggers the batch that
@@ -232,23 +238,6 @@ object Streams {
     // ties between re-emissions that share version values)
     graft.operators.LatestPerKey(spark.read.parquet(log),
       keys, versionCols :+ "_batch_id").drop("_batch_id")
-  }
-
-  /** Memory-sink harness — TEST-ONLY (driver-resident result; fine for
-    * spec-checking small streams, never the production path — declared
-    * queries go through [[runToMergeSink]]).
-    */
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
-    val spark = df.sparkSession
-    val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val q = df.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
   }
 
   /** T6: daily tumbling-window aggregate per user with a 1-day
@@ -573,6 +562,11 @@ object Streams {
         .start()
       q.awaitTermination()
     }
+    // the cache is scoped to the stream's lifetime (the comment at the
+    // persist says so) — the finite stream has drained, so release the
+    // executor storage memory instead of pinning the posting index for
+    // the rest of the session
+    idx.unpersist()
     spark.read.option("recursiveFileLookup", "true").parquet(out)
   }
 

@@ -120,6 +120,56 @@ class PipelineSpec extends SparkSpec {
     assert(hist.filter(col("run_id") === "r1").head().isNullAt(hist.columns.indexOf("zscore")))
   }
 
+  test("run history orders by ingestion stamp and separates metric columns") {
+    import spark.implicits._
+    val monitor = Files.createTempDirectory("graft-monitor-lex")
+      .resolve("m").toString
+    // 11 runs: lexicographic run_id order (r1, r10, r11, r2, ...) is
+    // WRONG — r10/r11 would see only r1 as history and r2..r9 would
+    // include later runs in their "preceding" sets. Two monitored
+    // columns interleave in the same table and must window separately.
+    for (r <- 1 to 11) {
+      val v = if (r == 11) 500.0 else 10.0 + r * 0.01 // last run drifts
+      val df = (1 to 50).map(i => (v + (i % 3) * 0.001, 1000.0 + r))
+        .toDF("v", "other")
+      Anomaly.recordRun(spark, monitor, df, "v", s"r$r")
+      Anomaly.recordRun(spark, monitor, df, "other", s"r$r")
+    }
+    val hist = Anomaly.historyAnomalies(spark, monitor)
+    val vRows = hist.filter(col("metric_col") === "v")
+    // the drifted LAST run (r11) is flagged — under lexicographic
+    // ordering its history would be one row (null stddev, no flag)
+    val flagged = vRows.filter(col("is_anomaly"))
+      .select("run_id").collect().map(_.getString(0))
+    assert(flagged.toSeq === Seq("r11"))
+    // the steady 'other' series never flags (interleaved windows would
+    // z-score v's 500.0 against other's ~1000 means and misfire)
+    assert(hist.filter(col("metric_col") === "other")
+      .filter(col("is_anomaly")).count() === 0)
+  }
+
+  test("relationships ignores null child keys and allows same-named FK (dbt parity)") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("k")
+    val child = Seq(Some(1L), Some(2L), None, Some(99L)).toDF("k")
+    // dbt's relationships test filters null child keys: only the 99
+    // orphan counts, the null row is not_null's concern — and the
+    // childKey == parentKey naming must not make the join ambiguous
+    val r = graft.quality.Checks.relationships(child, "k", parent, "k", "fk").head()
+    assert(r.getLong(1) === 1L)
+  }
+
+  test("quantScale passes zero vectors through at scale 1.0") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.5f, -1.0f)))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.Vectors.quantScale(col("v")).as("s"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) === 1.0) // not Infinity/NaN
+    assert(math.abs(got(1).getDouble(1) - 127.0) < 1e-9)
+  }
+
   test("persisted schema snapshots diff across runs (Q6)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-schema-test").resolve("s").toString

@@ -38,9 +38,22 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          // a broken query must be visible, not a near-zero "speedup"
+      // noop sink, NOT count(): count() lets Catalyst prune the work
+      // being measured — ColumnPruning drops every unreferenced
+      // projection (a map-only query times as a metadata row count),
+      // EliminateSorts removes the final orderBy — while the DuckDB
+      // anchor fetches full results. The noop write executes the
+      // COMPLETE physical plan (all columns, final sort) and discards
+      // rows executor-side, which is the honest apples-to-apples
+      // timing.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        // a broken query must be visible, not a near-zero "speedup" —
+        // but FATAL JVM errors (OOM) must not keep benchmarking in a
+        // damaged JVM whose remaining timings would be garbage
+        case e: Throwable if scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] QUERY FAILED: $name: $e")
           false
       }

@@ -16,10 +16,17 @@ object GraftSession {
 
   /** Engine configuration applied to every session (batch, bench,
     * verify, tests). Kept in one place so all entry points agree.
+    *
+    * @param defaultCores shuffle-width default when SPARK_GRAFT_CPUS
+    *        is unset — [[local]] passes its core count through so a
+    *        `local(4)` session actually gets 4 shuffle partitions as
+    *        the scaladoc promises, not a hardcoded 32 (8× task fan-out
+    *        per shuffle on a 4-core run).
     */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  def configure(b: SparkSession.Builder,
+      defaultCores: Int = 32): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCores.toString))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -40,7 +47,8 @@ object GraftSession {
 
   def local(cores: Int = 32): SparkSession = {
     val spark = configure(
-      SparkSession.builder().master(s"local[$cores]").appName("graft")
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      defaultCores = cores
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.registerOn(spark)

@@ -423,20 +423,30 @@ object AnalyticsQueries {
     * Two window passes over ONE (key, ts) sort/shuffle (lag to detect
     * changes, lead for the interval end).
     */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE SCD2 interval build (lag change-detect + lead interval
+    * end over one (key, ts) sort) — shared by [[scd2History]] and
+    * [[temporalJoin]] so the change-detection semantics cannot drift
+    * between the history query and the dimension it joins.
+    * Output: (user_id, event_id, state, valid_from, valid_to).
+    */
+  private def scd2Intervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("_prev", lag(col("event_type"), 1).over(w))
       .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_id"),
         col("event_type").as("state"), col("ts").as("valid_from"),
-        col("valid_to"),
-        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"))
-      .orderBy("user_id", "valid_from", "event_id")
+        col("valid_to"))
   }
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables.events(spark, dir))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)))
+      .orderBy("user_id", "valid_from", "event_id")
 
   /** Point-in-time (temporal) join: each purchase is enriched with the
     * SCD2 state the user was in WHEN the purchase happened — the
@@ -450,17 +460,10 @@ object AnalyticsQueries {
     * per probe (the as-of guarantee, here with explicit validity).
     */
   def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val dimEvents = Tables.events(spark, dir)
-      .filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-    val scd = dimEvents
-      .withColumn("_prev", lag(col("event_type"), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w))
-      .select(col("user_id").as("d_user"), col("event_type").as("state"),
-        col("ts").as("valid_from"), col("valid_to"))
+    val scd = scd2Intervals(Tables.events(spark, dir)
+        .filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("state"),
+        col("valid_from"), col("valid_to"))
     val probes = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"),

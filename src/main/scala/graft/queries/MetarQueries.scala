@@ -37,12 +37,19 @@ object MetarQueries {
       .select((scalarCols.map(col) :+ col("n_clouds") :+ col("source")): _*)
       .orderBy("icao", "observed")
 
-  /** int layer: latest observation per station (SURVEY A3/W1). */
+  /** int layer: latest observation per station (SURVEY A3/W1). The
+    * order is a TOTAL order (LatestPerKey's documented requirement):
+    * a corrected/re-issued METAR can share `observed` with the report
+    * it supersedes, and a bare observed-DESC would let the engine's
+    * max_by and the oracle's row_number pick DIFFERENT arbitrary rows
+    * — the remaining columns break the tie identically on both sides.
+    */
   def metarPipelineLatest(spark: SparkSession, dir: String): DataFrame =
     LatestPerKey(
       normalized(spark).select("icao", "observed", "temperature_c",
         "wind_speed_kt", "visibility_m", "flight_category"),
-      keys = Seq("icao"), orderCols = Seq("observed"))
+      keys = Seq("icao"), orderCols = Seq("observed", "temperature_c",
+        "wind_speed_kt", "visibility_m", "flight_category"))
       .orderBy("icao")
 
   /** dwh layer: daily per-airport metrics with surrogate key
@@ -134,7 +141,10 @@ object MetarQueries {
         |  flight_category
         |FROM (SELECT icao, observed, temperature_c, wind_speed_kt, visibility_m,
         |    flight_category,
-        |    row_number() OVER (PARTITION BY icao ORDER BY observed DESC) AS rn
+        |    -- full-tuple tie-break mirrors the Spark side's total order
+        |    row_number() OVER (PARTITION BY icao ORDER BY observed DESC,
+        |      temperature_c DESC, wind_speed_kt DESC, visibility_m DESC,
+        |      flight_category DESC) AS rn
         |  FROM stg) t
         |WHERE rn = 1 ORDER BY icao""".stripMargin,
     "metar_pipeline_daily" ->

@@ -689,12 +689,17 @@ object SimilarityQueries {
     "similarity_ivf" -> ivfOracle,
     "similarity_ivf_probe" -> ivfOracle,
     "similarity_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 100),
+      // unitize-then-dot, NOT list_cosine_similarity on raw vectors:
+      // the engine computes dot(unit(q), unit(c)) and ranks on
+      // round(cos, 9) — the one-division cosine differs by ulps, and a
+      // score near a 0.5e-9 boundary could round differently and flip
+      // neighbor order (the recallOracle discipline, same e/u CTEs)
+      s"""WITH $euCtes,
+        |q AS (SELECT vec_id AS q_id, uv AS qv FROM u WHERE vec_id < 100),
         |scored AS (
-        |  SELECT q_id, e.vec_id AS c_id,
-        |    list_cosine_similarity(qv, e.v) AS cos
-        |  FROM q JOIN e ON e.vec_id <> q_id),
+        |  SELECT q_id, u.vec_id AS c_id,
+        |    list_dot_product(qv, u.uv) AS cos
+        |  FROM q JOIN u ON u.vec_id <> q_id),
         |ranked AS (
         |  SELECT q_id, c_id, cos, CAST(row_number() OVER (
         |    PARTITION BY q_id ORDER BY round(cos, 9) DESC, c_id ASC) AS BIGINT)

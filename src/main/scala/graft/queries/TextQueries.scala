@@ -624,9 +624,14 @@ object TextQueries {
     * parameter pre-pass).
     */
   def selectTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize ONCE: the checkpoint is 3 longs per doc (≪ the text),
+    // and BOTH consumers — the 1-row budget pre-pass and the two-level
+    // selection — read it; without the barrier the budget head() and
+    // the selection would each re-run the tokenizer over the corpus
     val t = Tables.documents(spark, dir).select(col("doc_id"),
-      col("n_chars"),
-      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val budget = t.agg(sum(col("n_tokens"))).head().getLong(0) / 2
     Sampling.selectTokenBudget(t, "doc_id", "n_chars", "n_tokens", budget)
       .orderBy("doc_id")

@@ -149,4 +149,15 @@ object Text {
         transform(sequence(lit(1), size(shingleHashes) - (window - 1)),
           i => array_min(slice(shingleHashes, i, lit(window)))))
         .otherwise(array(array_min(shingleHashes))))
+
+  /** One-pass native fingerprint over SHINGLES (not hashes):
+    * `struct(min_shingle_hash, n_winnow)` ==
+    * `(array_min(transform(sh, md5)), size(winnow(transform(sh, md5),
+    * w)))` — [[graft.plans.Fingerprint]], spec-checked equal to the
+    * HOF composition it replaces on the corpus hot path (the HOF form
+    * pays interpreted lambda frames + three intermediate arrays per
+    * row).
+    */
+  def fingerprint(shingles: Column, window: Int): Column =
+    call_function("graft_fingerprint", shingles, lit(window))
 }

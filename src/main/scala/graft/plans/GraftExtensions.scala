@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.pqAdcFunction)
     e.injectFunction(GraftExtensions.minhashFunction)
     e.injectFunction(GraftExtensions.shinglesFunction)
+    e.injectFunction(GraftExtensions.fingerprintFunction)
+    e.injectFunction(GraftExtensions.simhashFunction)
+    e.injectFunction(GraftExtensions.hllRegFunction)
     e.injectFunction(GraftExtensions.collapseFunction)
     e.injectFunction(GraftExtensions.textstatsFunction)
     e.injectFunction(GraftExtensions.bloomPosFunction)
@@ -111,6 +114,30 @@ object GraftExtensions {
     }
     TextStats(children.head, words)
   }
+
+  private val hllRegFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll_reg"),
+    new ExpressionInfo(classOf[HllReg].getName, "graft_hll_reg"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_hll_reg(value)")
+      HllReg(children.head)
+    })
+
+  private val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_simhash(tokens)")
+      SimHashExpr(children.head)
+    })
+
+  private val fingerprintFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_fingerprint(shingles, window)")
+      Fingerprint(children(0), children(1))
+    })
 
   private val collapseFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_collapse"),
@@ -216,6 +243,7 @@ object GraftExtensions {
     */
   def registerOn(spark: SparkSession): Unit = {
     Seq(dotFunction, pqAdcFunction, minhashFunction, shinglesFunction,
+        fingerprintFunction, simhashFunction, hllRegFunction,
         collapseFunction, textstatsFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction)

@@ -66,13 +66,12 @@ object TextQueries {
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = Text.shingles(Text.tokens(col("text")), 3)
-    val hashes = transform(sh, s => md5(s))
+    val fp = Text.fingerprint(Text.shingles(Text.tokens(col("text")), 3), 4)
     docs.select(
         col("doc_id"),
         md5(col("text")).as("content_hash"),
-        array_min(hashes).as("min_shingle_hash"),
-        size(Text.winnow(hashes, 4)).cast("long").as("n_winnow"))
+        fp.getField("min_shingle_hash").as("min_shingle_hash"),
+        fp.getField("n_winnow").as("n_winnow"))
       .orderBy("doc_id")
   }
 

@@ -69,6 +69,24 @@ class ApproxSpec extends SparkSpec {
     assert(est == 0L, s"est=$est")
   }
 
+  test("graft_hll_reg equals the hex-string register derivation bit-for-bit") {
+    import spark.implicits._
+    // real keys + synthetic strings; the native digest-byte derivation
+    // must match the conv/regex hex form (the one the oracle replays)
+    // on every (bucket, rho)
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").cast("string").as("v"))
+      .union((0 until 5000).map(i => s"synthetic-$i").toDF("v"))
+    val native = call_function("graft_hll_reg", col("v"))
+    val hexF = graft.ext.Hll.hexRegister(col("v"))
+    val bad = keys.select(
+        native.getField("bucket").as("a1"), native.getField("rho").as("a2"),
+        hexF.getField("bucket").as("b1"), hexF.getField("rho").as("b2"))
+      .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2"))
+      .count()
+    assert(bad === 0)
+  }
+
   test("portable HLL register shape: at most m rows shuffle per group") {
     val li = Tables.lineitem(spark, sf)
     val out = ext.Hll.approxDistinct(li, Seq("l_returnflag"), "l_orderkey", "n")

@@ -40,6 +40,55 @@ class TextFeaturesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("graft_fingerprint equals the HOF composition on the corpus and edges") {
+    // corpus parity: min md5 + distinct-window-minima count
+    val sh = Text.shingles(Text.tokens(col("text")), 3)
+    val hashes = transform(sh, s => md5(s))
+    val fp = Text.fingerprint(sh, 4)
+    val bad = Tables.documents(spark, sf).select(
+        fp.getField("min_shingle_hash").as("a1"),
+        fp.getField("n_winnow").as("a2"),
+        array_min(hashes).as("b1"),
+        size(Text.winnow(hashes, 4)).cast("long").as("b2"))
+      .filter(not(col("a1") <=> col("b1")) || not(col("a2") <=> col("b2")))
+      .count()
+    assert(bad === 0)
+    // edges: fewer hashes than the window (short docs collapse to one
+    // whole-text shingle) take the single-global-min branch
+    import spark.implicits._
+    val edge = Seq("a", "a b", "a b c d e").toDF("text")
+    val esh = Text.shingles(Text.tokens(col("text")), 3)
+    val eh = transform(esh, s => md5(s))
+    val efp = Text.fingerprint(esh, 4)
+    val ebad = edge.select(
+        efp.getField("min_shingle_hash").as("a1"),
+        efp.getField("n_winnow").as("a2"),
+        array_min(eh).as("b1"),
+        size(Text.winnow(eh, 4)).cast("long").as("b2"))
+      .filter(not(col("a1") <=> col("b1")) || not(col("a2") <=> col("b2")))
+      .count()
+    assert(ebad === 0)
+  }
+
+  test("graft_simhash equals the HOF fold on the corpus and edges") {
+    import graft.functions.SimHash
+    val toks = Text.tokens(col("text"))
+    val bad = Tables.documents(spark, sf).select(
+        SimHash.simhash32(toks).as("a"),
+        SimHash.simhash32Hof(toks).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(bad === 0)
+    // edges: empty token list (all-zero votes -> all '0'), single token
+    import spark.implicits._
+    val edge = Seq(Seq[String](), Seq("a"), Seq("a", "a", "b"))
+      .toDF("toks")
+    val ebad = edge.select(
+        SimHash.simhash32(col("toks")).as("a"),
+        SimHash.simhash32Hof(col("toks")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(ebad === 0)
+  }
+
   test("graft_textstats equals the HOF counts on the corpus") {
     val docs = Tables.documents(spark, sf)
     val toks = Text.tokens(col("text"))

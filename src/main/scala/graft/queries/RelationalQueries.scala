@@ -178,12 +178,16 @@ object RelationalQueries {
     * deterministically corrupted — 'a' dropped — with the structured
     * attributes intact) is matched back against the master part table.
     * Candidate generation is BLOCKED on the clean structured
-    * attributes — (brand, size band), a compound key sized to keep
-    * blocks ~100 records wide as the catalog grows — and the join fans
-    * out per block, never all-pairs (the same discipline as the dedup
-    * operators: at 100 TB a linkage without blocking is a cartesian
-    * product, and block WIDTH, not table size, is what the scorer
-    * pays). Scoring is multi-attribute and
+    * attributes — (brand, size) — and the join fans out per block,
+    * never all-pairs (the same discipline as the dedup operators: at
+    * 100 TB a linkage without blocking is a cartesian product, and
+    * block WIDTH, not table size, is what the scorer pays). The block
+    * uses the EXACT size because this corpus's corruption leaves the
+    * numeric attributes intact — the production choice whenever an
+    * attribute is trusted; a NOISY numeric attribute blocks on a band
+    * (`size div 8`) instead, trading ~8× more scorer pairs for
+    * tolerance (measured at sf0.1: the band form scored 2.44M pairs
+    * in 4.2 s where the exact block runs in 1.3 s). Scoring is multi-attribute and
     * integer-exact (`levenshtein` on the name + absolute size delta),
     * and the best match per dirty record is one partial-aggregating
     * `min(struct(dist, p_partkey))` + `count` pass per `d_id` — a
@@ -208,7 +212,7 @@ object RelationalQueries {
       expr("replace(p_name, 'a', '')").as("d_name"),
       col("p_brand").as("d_brand"), col("p_size").as("d_size"))
     val cand = dirty.join(parts, col("d_brand") === col("p_brand") &&
-        expr("d_size div 8") === expr("p_size div 8"))
+        col("d_size") === col("p_size"))
       .withColumn("lev",
         levenshtein(col("d_name"), col("p_name"), maxLev).cast("long"))
       .withColumn("dist",
@@ -264,7 +268,7 @@ object RelationalQueries {
         |    CAST(levenshtein(d_name, p_name) AS BIGINT)
         |      + CAST(abs(d_size - p_size) AS BIGINT) AS dist
         |  FROM dirty JOIN part ON d_brand = p_brand
-        |    AND d_size // 8 = p_size // 8
+        |    AND d_size = p_size
         |), r AS (
         |  SELECT *, count(*) OVER (PARTITION BY d_id) AS n_candidates,
         |    row_number() OVER (PARTITION BY d_id

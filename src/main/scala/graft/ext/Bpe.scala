@@ -39,4 +39,86 @@ object Bpe {
         transform(sequence(lit(1), length(col("word")) - 1),
           i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(sum(col("wf")).as("pair_count"))
+
+  /** Symbol-boundary wrappers for the iterative merge loop: every
+    * symbol is stored as `⟨sym⟩` (chr 28 / chr 29 — control chars that
+    * cannot appear in whitespace-tokenized text), so a merge pattern
+    * `⟨a⟩⟨b⟩ → ⟨ab⟩` can only match FULL adjacent symbols — `⟨xa⟩⟨b⟩`
+    * never matches `⟨a⟩⟨b⟩` — and consecutive occurrences merge
+    * independently (the replacement shares no boundary characters with
+    * the next match), reproducing BPE's left-to-right non-overlapping
+    * application exactly. Both engines' `replace` scans left-to-right
+    * non-overlapping, so the oracle replays the loop verbatim.
+    */
+  val Open = "\u001c"
+  val Close = "\u001d"
+
+  /** (wrapped-word, wf): each character wrapped as one initial symbol. */
+  def wrappedWords(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .select(regexp_replace(col("word"), "(.)", s"$Open$$1$Close").as("w"),
+        col("wf"))
+
+  /** Adjacent SYMBOL pairs of the wrapped vocab, frequency-weighted. */
+  private def symbolPairs(words: DataFrame): DataFrame =
+    words
+      .select(col("wf"),
+        split(expr("substring(w, 2, length(w) - 2)"), s"$Close$Open").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("wf"), explode(
+        transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wf")).as("cnt"))
+
+  /** Full iterative BPE merge training (the loop [[pairCounts]] is the
+    * first step of): `iters` rounds of argmax-pair → apply-merge over
+    * the VOCAB-SIZED wrapped word table. Ties break (count DESC,
+    * symbol_a, symbol_b) so the trajectory is deterministic and
+    * SQL-replayable (the oracle unrolls the same rounds as chained
+    * CTEs with scalar-subquery replaces).
+    *
+    * Scale shape: the corpus is touched exactly once (wordCounts);
+    * every iteration is one vocab-sized aggregation plus one map-only
+    * replace, checkpointed per round like the other iterative
+    * operators (KMeans, Clusters); the driver holds only the k winning
+    * merges (metadata-sized, the watermark-scalar precedent).
+    *
+    * @return the merge table (iter, symbol_a, symbol_b, pair_count) —
+    *         possibly fewer than `iters` rows when the vocab runs out
+    *         of adjacent pairs — and the final wrapped vocab.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, iters: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var words = wrappedWords(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (it <- 1 to iters if !exhausted) {
+      val best = symbolPairs(words)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it.toLong, a, b, cnt))
+        words = words
+          .withColumn("w", org.apache.spark.sql.functions.replace(col("w"),
+            lit(s"$Open$a$Close$Open$b$Close"), lit(s"$Open$a$b$Close")))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Final-vocab subword table: explode the trained wrapped vocab back
+    * to (subword, n = Σ wf) rows — the tokenizer's corpus-frequency
+    * table after `iters` merges. Map-only over the vocab table.
+    */
+  def subwordCounts(finalWords: DataFrame): DataFrame =
+    finalWords
+      .select(col("wf"),
+        explode(split(expr("substring(w, 2, length(w) - 2)"),
+          s"$Close$Open")).as("subword"))
+      .groupBy("subword").agg(sum(col("wf")).as("n"))
 }

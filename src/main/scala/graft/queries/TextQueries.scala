@@ -655,6 +655,42 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Full iterative BPE merge training
+    * ([[graft.ext.Bpe.trainMerges]]): three rounds of
+    * argmax-pair → apply-merge over the vocab-sized wrapped word
+    * table — the loop `bpe_merges` computes the first statistic of,
+    * run to an actual merge list. The corpus is scanned once; each
+    * round is one vocab-sized aggregation + one map-only replace; the
+    * driver holds only the three winning merges. The oracle unrolls
+    * the identical rounds as chained CTEs with scalar-subquery
+    * replaces over the same chr(28)/chr(29) symbol-boundary encoding.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = graft.ext.Bpe.trainMerges(
+      Tables.documents(spark, dir), "text", iters = 3)
+    merges.toDF("iter", "symbol_a", "symbol_b", "pair_count")
+      .orderBy("iter")
+  }
+
+  /** The trained tokenizer's vocabulary: top-20 subwords by corpus
+    * frequency AFTER the three [[bpeTrain]] merges — the application
+    * side of BPE training (what the tokenizer's vocab file starts
+    * from). Distributed top-k over the exploded final vocab (the
+    * `vocab_topk` idiom).
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words) = graft.ext.Bpe.trainMerges(
+      Tables.documents(spark, dir), "text", iters = 3)
+    val agg = graft.ext.Bpe.subwordCounts(words)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("subword"))
+    agg.orderBy(col("n").desc, col("subword")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "subword", "n")
+      .orderBy("rank")
+  }
+
   /** Kneser–Ney count tables — the LM-training producer side
     * complementing [[textPerplexity]]'s scoring side (Kneser & Ney
     * 1995; the KN unigram backoff weights a word by how many DISTINCT
@@ -760,6 +796,8 @@ object TextQueries {
     "corpus_shuffle" -> (corpusShuffle _),
     "shard_layout" -> (shardLayout _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_train" -> (bpeTrain _),
+    "bpe_vocab" -> (bpeVocab _),
     "lm_kn_counts" -> (lmKnCounts _),
     "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
@@ -805,6 +843,40 @@ object TextQueries {
       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
       |    ELSE [array_to_string(string_split(text, ' '), ' ')] END) AS s
       |  FROM documents)""".stripMargin
+
+  /** Shared CTE chain of the iterative-BPE oracles: wrapped vocab +
+    * three unrolled merge rounds (pair counts -> argmax -> scalar-
+    * subquery replace), over the chr(28)/chr(29) symbol-boundary
+    * encoding [[graft.ext.Bpe]] documents. Ends open (consumers append
+    * their final CTE/SELECT).
+    */
+  private def bpeRoundCtes: String = {
+    def round(i: Int) = {
+      val prev = s"w${i - 1}"
+      s"""s$i AS (SELECT wf, string_split(substr(w, 2, len(w) - 2),
+         |    chr(29) || chr(28)) AS s FROM $prev),
+         |p$i AS (SELECT s[i] AS a, s[i + 1] AS b,
+         |    CAST(sum(wf) AS BIGINT) AS cnt
+         |  FROM (SELECT wf, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |    FROM s$i) t
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT replace(w,
+         |    chr(28) || (SELECT a FROM b$i) || chr(29) ||
+         |    chr(28) || (SELECT b FROM b$i) || chr(29),
+         |    chr(28) || (SELECT a FROM b$i) || (SELECT b FROM b$i) ||
+         |    chr(29)) AS w, wf FROM $prev),""".stripMargin
+    }
+    s"""wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE len(word) >= 1 GROUP BY word),
+       |w0 AS (SELECT regexp_replace(word, '(.)',
+       |    chr(28) || '\\1' || chr(29), 'g') AS w, wf FROM wc),
+       |${round(1)}
+       |${round(2)}
+       |${round(3)}""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // The weighted order replayed as one global window over the same
@@ -866,6 +938,26 @@ object TextQueries {
         |SELECT pair, pair_count,
         |  row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
         |FROM p ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    // the identical three merge rounds, unrolled as CTEs; the last
+    // comma-terminated CTE chain gets a no-op terminal CTE
+    "bpe_train" ->
+      (s"WITH $bpeRoundCtes\nfin AS (SELECT 1)\n" +
+        """SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS iter, a AS symbol_a,
+          |    b AS symbol_b, cnt AS pair_count FROM b1
+          |  UNION ALL SELECT 2, a, b, cnt FROM b2
+          |  UNION ALL SELECT 3, a, b, cnt FROM b3) t
+          |ORDER BY iter""".stripMargin),
+    "bpe_vocab" ->
+      (s"WITH $bpeRoundCtes\n" +
+        """sw AS (SELECT unnest(string_split(substr(w, 2, len(w) - 2),
+          |    chr(29) || chr(28))) AS subword, wf FROM w3),
+          |agg AS (SELECT subword, CAST(sum(wf) AS BIGINT) AS n
+          |  FROM sw GROUP BY 1),
+          |r AS (SELECT subword, n, CAST(row_number() OVER (
+          |    ORDER BY n DESC, subword) AS BIGINT) AS rank FROM agg)
+          |SELECT rank, subword, n FROM r WHERE rank <= 20
+          |ORDER BY rank""".stripMargin),
     // The written layout replayed from first principles: the same
     // md5 window as corpus_shuffle supplies the expected coordinates,
     // and the physical facts the Spark side OBSERVES from the parquet

@@ -21,6 +21,32 @@ class BpeSpec extends SparkSpec {
     assert(pairs === Map("ab" -> 7L, "ba" -> 2L))
   }
 
+  test("iterative merges: argmax trajectory, merged symbols re-merge, ties break lexicographically") {
+    // words: aa:1, ab:2, b:1 -> round 1 pairs (a,a):1 (a,b):2 -> merge
+    // (a,b); round 2 only (a,a):1 remains; round 3 has no pairs left
+    val docs = Seq("aa ab", "ab b").toDF("text")
+    val (merges, words) = Bpe.trainMerges(docs, "text", iters = 3)
+    assert(merges === Seq((1L, "a", "b", 2L), (2L, "a", "a", 1L)))
+    val sub = Bpe.subwordCounts(words).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sub === Map("aa" -> 1L, "ab" -> 2L, "b" -> 1L))
+    // a MERGED symbol participates in later rounds: abc -> (a,b) tie
+    // beats (b,c) lexicographically, then (ab,c) merges the merged
+    // symbol with its neighbor
+    val (m2, w2) = Bpe.trainMerges(Seq("abc abc abc").toDF("text"),
+      "text", iters = 3)
+    assert(m2 === Seq((1L, "a", "b", 3L), (2L, "ab", "c", 3L)))
+    assert(Bpe.subwordCounts(w2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap === Map("abc" -> 3L))
+    // CONSECUTIVE occurrences merge independently (left-to-right
+    // non-overlapping): abab -> (ab)(ab) in round 1, then one symbol
+    val (m3, w3) = Bpe.trainMerges(Seq("abab").toDF("text"),
+      "text", iters = 2)
+    assert(m3 === Seq((1L, "a", "b", 2L), (2L, "ab", "ab", 1L)))
+    assert(Bpe.subwordCounts(w3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap === Map("abab" -> 1L))
+  }
+
   test("bpe_merges ranks pairs by weighted count and is a distributed top-k") {
     val q = graft.queries.TextQueries.bpeMerges(spark, sf)
     val rows = q.collect()

@@ -41,8 +41,8 @@ object Bpe {
       .groupBy("pair").agg(sum(col("wf")).as("pair_count"))
 
   /** Symbol-boundary wrappers for the iterative merge loop: every
-    * symbol is stored as `⟨sym⟩` (chr 28 / chr 29 — control chars that
-    * cannot appear in whitespace-tokenized text), so a merge pattern
+    * symbol is stored as `⟨sym⟩` (chr 28 / chr 29 — RESERVED control
+    * chars, enforced in [[wrappedWords]]), so a merge pattern
     * `⟨a⟩⟨b⟩ → ⟨ab⟩` can only match FULL adjacent symbols — `⟨xa⟩⟨b⟩`
     * never matches `⟨a⟩⟨b⟩` — and consecutive occurrences merge
     * independently (the replacement shares no boundary characters with
@@ -53,10 +53,21 @@ object Bpe {
   val Open = "\u001c"
   val Close = "\u001d"
 
-  /** (wrapped-word, wf): each character wrapped as one initial symbol. */
+  /** (wrapped-word, wf): each character wrapped as one initial symbol.
+    * The boundary chars are control chars, NOT whitespace, so a
+    * pathological token CAN contain them — and would corrupt the
+    * symbol encoding silently and IDENTICALLY on both engines (the
+    * oracle could not catch it). Enforced loudly instead (the
+    * mixtureShards raise_error idiom).
+    */
   def wrappedWords(docs: DataFrame, textCol: String): DataFrame =
     wordCounts(docs, textCol)
-      .select(regexp_replace(col("word"), "(.)", s"$Open$$1$Close").as("w"),
+      .select(
+        when(col("word").contains(Open) || col("word").contains(Close),
+          raise_error(lit("Bpe: token contains the reserved symbol-" +
+            "boundary chars U+001C/U+001D - clean the corpus first")))
+          .otherwise(regexp_replace(col("word"), "(.)", s"$Open$$1$Close"))
+          .as("w"),
         col("wf"))
 
   /** Adjacent SYMBOL pairs of the wrapped vocab, frequency-weighted. */

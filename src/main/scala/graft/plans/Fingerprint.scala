@@ -28,10 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * digest byte order, so the loop compares the 16-byte digests
   * directly and renders hex once for the output.
   *
-  * NULL on: null shingle array or a null element (the composed form's
-  * propagation); empty arrays cannot occur ([[graft.plans.Shingles]]
-  * emits the whole-text shingle for short docs) but return null
-  * min + count 0 defensively rather than throwing.
+  * Domain: the spec-checked equality holds on NULL-FREE shingle
+  * arrays (all [[graft.plans.Shingles]] ever emits). Outside that
+  * domain this expression is DEFENSIVE rather than HOF-mirroring: a
+  * null array or null element returns NULL (the HOF form's array_min
+  * SKIPS null elements instead), and an empty array returns
+  * (null, 0). `window` must be positive — enforced loudly.
   */
 case class Fingerprint(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -73,18 +75,7 @@ case class Fingerprint(left: Expression, right: Expression)
 
 object Fingerprint {
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
-  private def hex(b: Array[Byte]): String = {
-    val out = new Array[Char](b.length * 2)
-    var i = 0
-    while (i < b.length) {
-      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(b(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def hex(b: Array[Byte]): String = Md5Util.hexString(b)
 
   /** Unsigned byte-array compare — identical order to comparing the
     * hex renderings lexicographically.
@@ -105,9 +96,12 @@ object Fingerprint {
     *         minima count).
     */
   def compute(sh: ArrayData, window: Int): InternalRow = {
+    // a SQL caller can pass any int: window <= 0 would walk past the
+    // digest array (j + window <= n admits j == n) — fail readably
+    require(window > 0, s"graft_fingerprint: window must be > 0, got $window")
     val n = sh.numElements()
     if (n == 0) return new GenericInternalRow(Array[Any](null, 0L))
-    val md = HllReg.Md5.get()
+    val md = Md5Util.local.get()
     val digests = new Array[Array[Byte]](n)
     var globalMin: Array[Byte] = null
     var i = 0

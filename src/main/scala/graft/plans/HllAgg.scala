@@ -47,17 +47,13 @@ case class HllAgg(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val d = HllAgg.md5Local.get()
-      d.reset()
-      val h = d.digest(
-        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-      val bucket = h(0) & 0xff
-      // 40-bit tail in h(1..5); rho = leading zeros within 40 bits + 1
-      var tail = 0L
-      var i = 1
-      while (i <= 5) { tail = (tail << 8) | (h(i) & 0xffL); i += 1 }
-      val rho =
-        if (tail == 0L) 41 else java.lang.Long.numberOfLeadingZeros(tail) - 24 + 1
+      // shared derivation with the declarative path ([[Md5Util
+      // .bucketRho]] — one copy, so the register layout cannot
+      // silently diverge between the two oracle-gated sketch paths)
+      val br = Md5Util.bucketRho(Md5Util.digest(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+      val bucket = br >>> 8
+      val rho = br & 0xff
       if (rho > buf(bucket)) buf(bucket) = rho.toByte
     }
     buf
@@ -112,8 +108,4 @@ case class HllAgg(
 }
 
 object HllAgg {
-  private[plans] val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 }

@@ -55,26 +55,11 @@ case class HllReg(child: Expression) extends UnaryExpression {
 
 object HllReg {
 
-  /** Thread-local MD5 instance — getInstance per row measurably costs
-    * on the 10^6-digest hot paths; shared by the fingerprint/simhash
-    * expressions too.
-    */
-  private[plans] val Md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   def compute(v: UTF8String): InternalRow = {
-    val md = Md5.get()
-    md.reset()
-    val d = md.digest(v.getBytes)
-    val bucket = d(0) & 0xff
-    // 40-bit tail = bytes 1..5 (hex nibbles 2..11)
-    var tail = 0L
-    var i = 1
-    while (i <= 5) { tail = (tail << 8) | (d(i) & 0xffL); i += 1 }
-    val rho =
-      if (tail == 0L) 41
-      else java.lang.Long.numberOfLeadingZeros(tail) - 24 + 1
-    new GenericInternalRow(Array[Any](bucket, rho))
+    // ONE shared derivation with the imperative [[HllAgg]] sketch
+    // ([[Md5Util.bucketRho]]) — the two register paths are gated by
+    // the same oracle and must stay bit-identical by construction
+    val br = Md5Util.bucketRho(Md5Util.digest(v.getBytes))
+    new GenericInternalRow(Array[Any](br >>> 8, br & 0xff))
   }
 }

@@ -32,16 +32,33 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullable: Boolean = child.nullable
+  // HOF-parity on NULL input too: `concat_ws("", transform(NULL, ...))`
+  // is the EMPTY STRING (concat_ws skips null arguments), never null —
+  // a null-text document's signature groups under '' on both the old
+  // fold and this expression, so the result is never null
+  override def nullable: Boolean = false
 
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(v: Any): Any =
-    SimHashExpr.compute(v.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else SimHashExpr.compute(v.asInstanceOf[ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SimHashExpr.compute($c);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          ${childGen.isNull}
+            ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+            : graft.plans.SimHashExpr.compute(${childGen.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
@@ -52,7 +69,7 @@ object SimHashExpr {
   def compute(toks: ArrayData): UTF8String = {
     val n = toks.numElements()
     val votes = new Array[Int](32)
-    val md = HllReg.Md5.get()
+    val md = Md5Util.local.get()
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) {

@@ -848,7 +848,11 @@ object TextQueries {
     * three unrolled merge rounds (pair counts -> argmax -> scalar-
     * subquery replace), over the chr(28)/chr(29) symbol-boundary
     * encoding [[graft.ext.Bpe]] documents. Ends open (consumers append
-    * their final CTE/SELECT).
+    * their final CTE/SELECT). The replace arguments are coalesced to
+    * the no-op chr(28)->chr(28) when a round's argmax CTE is EMPTY
+    * (vocab exhausted before round 3): a NULL pattern would otherwise
+    * null out EVERY word and bpe_vocab would return an empty
+    * vocabulary where the Spark loop stops cleanly with the real one.
     */
   private def bpeRoundCtes: String = {
     def round(i: Int) = {
@@ -862,10 +866,11 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
          |w$i AS (SELECT replace(w,
-         |    chr(28) || (SELECT a FROM b$i) || chr(29) ||
-         |    chr(28) || (SELECT b FROM b$i) || chr(29),
-         |    chr(28) || (SELECT a FROM b$i) || (SELECT b FROM b$i) ||
-         |    chr(29)) AS w, wf FROM $prev),""".stripMargin
+         |    coalesce(chr(28) || (SELECT a FROM b$i) || chr(29) ||
+         |      chr(28) || (SELECT b FROM b$i) || chr(29), chr(28)),
+         |    coalesce(chr(28) || (SELECT a FROM b$i) ||
+         |      (SELECT b FROM b$i) || chr(29), chr(28))) AS w, wf
+         |  FROM $prev),""".stripMargin
     }
     s"""wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -47,6 +47,15 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap === Map("abab" -> 1L))
   }
 
+  test("reserved boundary chars in a token fail loudly, not silently corrupt") {
+    val e = intercept[Exception] {
+      Bpe.trainMerges(Seq("ok bad\u001ctoken").toDF("text"), "text", 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("reserved symbol-boundary")))
+  }
+
   test("bpe_merges ranks pairs by weighted count and is a distributed top-k") {
     val q = graft.queries.TextQueries.bpeMerges(spark, sf)
     val rows = q.collect()

@@ -89,6 +89,27 @@ class TextFeaturesSpec extends SparkSpec {
     assert(ebad === 0)
   }
 
+  test("graft_simhash null-array and fingerprint window guards") {
+    import graft.functions.SimHash
+    import spark.implicits._
+    // a NULL token array signs to the EMPTY STRING on both forms
+    // (concat_ws never returns null) — null-text documents group
+    // under '' with either implementation
+    val nulls = Seq((1L, None: Option[Seq[String]])).toDF("id", "toks")
+    val got = nulls.select(SimHash.simhash32(col("toks")).as("a"),
+      SimHash.simhash32Hof(col("toks")).as("b")).head()
+    assert(got.getString(0) === "" && got.getString(1) === "")
+    // a non-positive winnow window fails readably, not with an
+    // ArrayIndexOutOfBounds from the executor loop
+    val e = intercept[Exception] {
+      Seq("a b c d e").toDF("text").select(
+        Text.fingerprint(Text.shingles(Text.tokens(col("text")), 3), 0))
+        .collect()
+    }
+    assert(e.getMessage.contains("window must be > 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("window must be > 0")))
+  }
+
   test("graft_textstats equals the HOF counts on the corpus") {
     val docs = Tables.documents(spark, sf)
     val toks = Text.tokens(col("text"))

@@ -39,59 +39,94 @@ object Medallion {
     // observe: per-layer row metrics surface on the QueryExecution
     // listener bus without a second scan (SURVEY A4's affected-row
     // counts, done the Spark way)
-    // the increment is materialized (one batch, bounded) because it is
-    // consumed twice: the stg merge below AND the touched-day set that
-    // scopes the dwh rebuild — recomputing aboveWatermark AFTER the
-    // merge would see the advanced watermark and return empty
     val stg = Incremental.aboveWatermark(bronze, stgTarget, "ts")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
         StageExtract.jsonField(col("props"), "$.k").cast("int").as("k"))
       .observe("stg_metrics", count(lit(1)).as("rows_in"),
         count(when(col("k").isNull, 1)).as("null_k"))
-      .localCheckpoint()
     MergeWriter.upsert(spark, stgDir, stg,
       keys = Seq("event_id"), versionCols = Seq("ts"))
     val stgOut = spark.read.parquet(stgDir)
 
+    // Downstream layers scope incrementally from stg rows above their
+    // OWN durable watermark (a 1-row sidecar recording the max stg ts
+    // the layer has incorporated) — NEVER from this run's pre-merge
+    // increment: stg's watermark advances when its merge commits, so a
+    // crash between the stg merge and a downstream merge would hide
+    // the missed rows from every later run's increment and leave the
+    // layer stale FOREVER. With per-layer watermarks the next run sees
+    // exactly the unincorporated rows (watermark written AFTER the
+    // layer commits; a crash in between only re-processes, and the
+    // keyed merges are idempotent). A missing sidecar (first build, or
+    // crash before the first write) scopes to the full stg table —
+    // self-healing by construction.
+    def layerWm(wmDir: String): Option[Long] =
+      if (!MergeWriter.exists(spark, wmDir)) None
+      else Some(spark.read.parquet(wmDir).agg(max(col("wm"))).head().getLong(0))
+    def writeLayerWm(wmDir: String, v: Long): Unit = {
+      import spark.implicits._
+      MergeWriter.replace(spark, wmDir, Seq(v).toDF("wm").coalesce(1))
+    }
+    def pendingFor(wm: Option[Long]): DataFrame = wm match {
+      case None => stgOut
+      case Some(v) => stgOut.filter(unix_micros(col("ts")) > v)
+    }
+
     // int: latest state per key, merged on the key (20-row dimension
     // in the reference; |users| here). Incremental scope: only users
-    // the new batch touched need their latest recomputed — a SEMI JOIN
-    // on the increment's users (distributed; the user set is NOT
-    // metadata-sized, so never a driver-side collect), and the keyed
-    // upsert keeps every untouched user's row. First build covers all.
+    // with unincorporated rows need their latest recomputed — a
+    // NULL-SAFE semi join on the pending users (distributed; the user
+    // set is NOT metadata-sized, so never a driver-side collect; <=>
+    // so a null-user row is rescoped like any other key, matching the
+    // fresh build), and the keyed upsert keeps every untouched user's
+    // row.
     val intDir = s"$root/int_latest"
-    val intSrc =
-      if (!MergeWriter.exists(spark, intDir)) stgOut
-      else stgOut.join(stg.select(col("user_id")).distinct(),
-        Seq("user_id"), "left_semi")
-    MergeWriter.upsert(spark, intDir,
-      LatestPerKey(intSrc, Seq("user_id"), Seq("ts", "event_id")),
-      keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+    val intWmDir = s"$root/int_latest_wm"
+    val intWm = if (!MergeWriter.exists(spark, intDir)) None
+      else layerWm(intWmDir)
+    val intPending = pendingFor(intWm)
+    val intStat = intPending
+      .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
+    if (intWm.isEmpty || intStat.getLong(1) > 0) {
+      val intSrc = intWm match {
+        case None => stgOut
+        case Some(_) =>
+          val users = intPending.select(col("user_id").as("_iu")).distinct()
+          stgOut.join(users, col("user_id") <=> col("_iu"), "left_semi")
+      }
+      MergeWriter.upsert(spark, intDir,
+        LatestPerKey(intSrc, Seq("user_id"), Seq("ts", "event_id")),
+        keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+      if (!intStat.isNullAt(0)) writeLayerWm(intWmDir, intStat.getLong(0))
+    }
 
     // dwh: daily mart merged on the surrogate key, PARTITIONED by day —
     // merges rewrite only touched date partitions and date-range reads
     // prune (the 100 TB layout; mirrors the reference's observed_date
-    // incremental filter, SURVEY §4 partition-pruning row)
+    // incremental filter, SURVEY §4 partition-pruning row).
+    // INCREMENTAL rebuild scope: only the days carrying unincorporated
+    // rows are re-aggregated (a day's aggregate needs ALL of that
+    // day's stg rows, so the filter is by touched DAY, not by new
+    // row); days are non-null by construction (stg rows passed the ts
+    // watermark). An empty pending set skips the merge entirely.
     val dwhDir = s"$root/${cfg.schema}_daily"
-    // INCREMENTAL rebuild scope: only the days the new batch touched
-    // are re-aggregated (a day's aggregate needs ALL of that day's stg
-    // rows, so the filter is by touched DAY, not by new row) — rolling
-    // up the whole stg history every run would re-scan and rewrite a
-    // year of untouched partitions for a one-day increment, negating
-    // the partition pruning this layer exists for. Day derivation
-    // matches DailyRollup's exactly. The first build (no dwh dir yet)
-    // rolls up everything.
-    val freshDwh = !MergeWriter.exists(spark, dwhDir)
-    val touchedDays =
-      if (freshDwh) Seq.empty
-      else stg.select(to_date(date_trunc("day", col("ts"))).as("day"))
-        .distinct().collect().map(_.getDate(0)).toSeq
-    if (freshDwh || touchedDays.nonEmpty) {
-      val dailySrc =
-        if (freshDwh) stgOut
-        else stgOut.filter(
-          to_date(date_trunc("day", col("ts"))).isInCollection(touchedDays))
+    val dwhWmDir = s"$root/${cfg.schema}_daily_wm"
+    val dwhWm = if (!MergeWriter.exists(spark, dwhDir)) None
+      else layerWm(dwhWmDir)
+    val dwhPending = pendingFor(dwhWm)
+    val dwhStat = dwhPending
+      .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
+    if (dwhWm.isEmpty || dwhStat.getLong(1) > 0) {
+      val dailySrc = dwhWm match {
+        case None => stgOut
+        case Some(_) =>
+          val touchedDays = dwhPending
+            .select(to_date(date_trunc("day", col("ts"))).as("day"))
+            .distinct().collect().map(_.getDate(0)).toSeq
+          stgOut.filter(
+            to_date(date_trunc("day", col("ts"))).isInCollection(touchedDays))
+      }
       val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
         metrics = Seq(
           round(avg(col("value")), 4).as("avg_value"),
@@ -101,6 +136,7 @@ object Medallion {
       MergeWriter.upsertPartitioned(spark, dwhDir, daily,
         keys = Seq("user_id_date"), versionCols = Seq("n_events"),
         partCol = "day")
+      if (!dwhStat.isNullAt(0)) writeLayerWm(dwhWmDir, dwhStat.getLong(0))
     }
 
     // post-build quality gate (SURVEY §2.10 applied to own layers)

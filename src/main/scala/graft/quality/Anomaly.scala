@@ -67,6 +67,20 @@ object Anomaly {
       else raw.withColumn("metric_col", lit(null).cast("string"))
     val runs = if (withMetric.columns.contains("recorded_at")) withMetric
       else withMetric.withColumn("recorded_at", lit(null).cast("long"))
+    // LEGACY rows (null metric_col) did not record which column they
+    // monitored. When the stamped rows name exactly ONE metric — the
+    // common single-column migration — adopt the legacy history into
+    // that series so it keeps serving as the oldest baseline (the
+    // null-stamp ordering below) instead of silently forming a
+    // separate partition that no new run's window can see. With ≥2
+    // stamped metrics the legacy rows' membership is genuinely
+    // unknowable and they stay a conservative separate series.
+    val stampedCols = runs.filter(col("metric_col").isNotNull)
+      .select("metric_col").distinct().collect().map(_.getString(0))
+    val series =
+      if (stampedCols.length == 1)
+        coalesce(col("metric_col"), lit(stampedCols.head))
+      else coalesce(col("metric_col"), lit(""))
     // per-metric history windows over a runs × columns metadata table
     // (few partitions, each tiny): two monitored columns of the same
     // table must never z-score against each other's means. Ordered by
@@ -74,7 +88,7 @@ object Anomaly {
     // 'r9' > 'r10' would hand r10 the wrong preceding set); null
     // stamps (legacy rows) sort first = oldest, run_id breaks ties
     // deterministically.
-    val hist = Window.partitionBy(coalesce(col("metric_col"), lit("")))
+    val hist = Window.partitionBy(series)
       .orderBy(col("recorded_at").asc_nulls_first, col("run_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     runs

@@ -65,12 +65,15 @@ object Checks {
     // is not null` — a legitimately-nullable FK's null rows are
     // not_null's concern, not referential integrity's (and null ===
     // parentKey is NULL, so left_anti would otherwise count every
-    // null-key row as an orphan). The parent key is aliased so
-    // childKey == parentKey (the common FK naming) cannot make the
-    // join condition ambiguous.
+    // null-key row as an orphan). The parent key is aliased to a name
+    // NOT present in the child so neither childKey == parentKey (the
+    // common FK naming) nor a pathological child column named like the
+    // alias can make the join condition ambiguous.
+    val alias = Iterator.from(0).map(i => "_parent_key" + ("_" * i))
+      .find(a => !child.columns.contains(a)).get
     val orphans = child.filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey).as("_parent_key")),
-        col(childKey) === col("_parent_key"), "left_anti")
+      .join(parent.select(col(parentKey).as(alias)),
+        col(childKey) === col(alias), "left_anti")
     result(name, count(lit(1)), orphans, severity)
   }
 

@@ -535,6 +535,7 @@ object Streams {
     // text), which is what makes caching it — and not the corpus —
     // the right call at 100 TB.
     idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val root = Files.createTempDirectory("graft-slsh").toString
     val out = s"$root/out"
     val arriving = documentsStream(spark, dir, batches)
@@ -562,12 +563,12 @@ object Streams {
         .start()
       q.awaitTermination()
     }
-    // the cache is scoped to the stream's lifetime (the comment at the
-    // persist says so) — the finite stream has drained, so release the
-    // executor storage memory instead of pinning the posting index for
-    // the rest of the session
-    idx.unpersist()
     spark.read.option("recursiveFileLookup", "true").parquet(out)
+    // the cache is scoped to the stream's lifetime (the comment at the
+    // persist says so): release it in the FINALLY — a failed
+    // micro-batch must not leave the posting index pinned in executor
+    // storage memory for the rest of the session
+    } finally idx.unpersist()
   }
 
   /** Streaming CDC apply — MERGE with deletes as a stream: the event

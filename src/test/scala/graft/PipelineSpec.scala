@@ -35,6 +35,28 @@ class PipelineSpec extends SparkSpec {
     assert(first.sameElements(second))
   }
 
+  test("medallion self-heals a crash between the stg merge and downstream merges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-medallion-crash").toString
+    Medallion.run(spark, sf, root)
+    // simulate the crash window: a batch lands in stg (as a dying run
+    // would leave it) but int/dwh never saw it — the NEXT run must
+    // pick it up from the per-layer watermarks, not from its own
+    // (empty) stg increment
+    val lateTs = new java.sql.Timestamp(4102444800000L) // 2100-01-01
+    val ghost = Seq((999999L, lateTs, 424242L, "view", 7.0,
+        Some(1))).toDF("event_id", "ts", "user_id", "event_type", "value", "k")
+    graft.operators.MergeWriter.upsert(spark, s"$root/stg_events", ghost,
+      keys = Seq("event_id"), versionCols = Seq("ts"))
+    Medallion.run(spark, sf, root)
+    val intT = spark.read.parquet(s"$root/int_latest")
+    assert(intT.filter(col("user_id") === 424242L).count() === 1,
+      "recovered stg row never reached int_latest")
+    val dwh = spark.read.parquet(root + "/" + graft.Config().schema + "_daily")
+    assert(dwh.filter(col("user_id") === 424242L).count() === 1,
+      "recovered stg row never reached the daily mart")
+  }
+
   test("schema diff detects added/removed/retyped columns (Q6)") {
     import spark.implicits._
     val before = Anomaly.schemaSnapshot(Seq((1L, "a")).toDF("id", "x"))
@@ -137,11 +159,17 @@ class PipelineSpec extends SparkSpec {
     }
     val hist = Anomaly.historyAnomalies(spark, monitor)
     val vRows = hist.filter(col("metric_col") === "v")
-    // the drifted LAST run (r11) is flagged — under lexicographic
-    // ordering its history would be one row (null stddev, no flag)
     val flagged = vRows.filter(col("is_anomaly"))
       .select("run_id").collect().map(_.getString(0))
     assert(flagged.toSeq === Seq("r11"))
+    // the DISCRIMINATING assertion for stamp-vs-lexicographic order:
+    // under lexicographic run_id order r10's preceding set is only
+    // {r1} (stddev_samp of one row = null -> null zscore); under the
+    // ingestion-stamp order it has nine steady predecessors and a
+    // real zscore
+    assert(!vRows.filter(col("run_id") === "r10")
+      .select("zscore").head().isNullAt(0),
+      "r10 has a null zscore - history was ordered lexicographically")
     // the steady 'other' series never flags (interleaved windows would
     // z-score v's 500.0 against other's ~1000 means and misfire)
     assert(hist.filter(col("metric_col") === "other")

@@ -63,9 +63,16 @@ object Bpe {
   def wrappedWords(docs: DataFrame, textCol: String): DataFrame =
     wordCounts(docs, textCol)
       .select(
-        when(col("word").contains(Open) || col("word").contains(Close),
-          raise_error(lit("Bpe: token contains the reserved symbol-" +
-            "boundary chars U+001C/U+001D - clean the corpus first")))
+        // The guard covers ALL control + line-terminator characters,
+        // not just the two reserved boundary chars: the `(.)` wrap
+        // regex does not match \n (silent identical mis-encoding on
+        // both engines), and \r / U+0085 / U+2028 / U+2029 differ
+        // between Java regex and DuckDB RE2 — either way the answer
+        // is a readable error, never a hash mismatch.
+        when(col("word").rlike("[\\x00-\\x1f\\x7f\\u0085\\u2028\\u2029]"),
+          raise_error(lit("Bpe: token contains a control or line-" +
+            "terminator character (the symbol wrap cannot encode it " +
+            "portably) - clean the corpus first")))
           .otherwise(regexp_replace(col("word"), "(.)", s"$Open$$1$Close"))
           .as("w"),
         col("wf"))

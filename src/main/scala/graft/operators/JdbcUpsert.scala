@@ -144,6 +144,7 @@ object JdbcUpsert {
           val conn = java.sql.DriverManager.getConnection(url)
           var savepoints = true
           var releaseFails = 0
+          var releaseFailsTotal = 0
           try {
             conn.setAutoCommit(false)
             val upd = conn.prepareStatement(updateSql)
@@ -199,9 +200,17 @@ object JdbcUpsert {
                         case _: java.sql.SQLFeatureNotSupportedException
                             | _: UnsupportedOperationException =>
                           savepoints = false
+                        // A TOTAL cap backstops the consecutive one:
+                        // a driver failing every OTHER release resets
+                        // the consecutive counter each success yet
+                        // still leaks one live savepoint per failure
+                        // until commit — exactly the accumulation the
+                        // disable exists to prevent, at half rate.
                         case _: java.sql.SQLException =>
                           releaseFails += 1
-                          if (releaseFails >= 3) savepoints = false
+                          releaseFailsTotal += 1
+                          if (releaseFails >= 3 || releaseFailsTotal >= 10)
+                            savepoints = false
                       }
                   } catch {
                     // ONLY duplicate-key means "the key exists" —

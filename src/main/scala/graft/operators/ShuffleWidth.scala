@@ -18,11 +18,28 @@ import org.apache.spark.sql.SparkSession
   * width here only ever SHRINKS toward graph-sized shuffles whose
   * tasks are cheap anyway; (2) a DataFrame returned lazily from inside
   * the window executes at whatever the conf is at ACTION time — sizing
-  * is only guaranteed for work materialized inside `f`.
+  * is only guaranteed for work materialized inside `f`; (3) a sized
+  * window must NOT be opened from inside a `foreachBatch` body while
+  * the enclosing stream was itself started inside a sized window on
+  * the SAME session — the outer holder is blocked in
+  * `awaitTermination` waiting on the micro-batch thread, so the inner
+  * acquisition can never succeed. Rather than deadlocking forever,
+  * acquisition is bounded: after `graft.shuffleWidth.lockTimeoutSec`
+  * (default 600 s) it fails with an error naming this constraint.
+  *
+  * The lock is PER SESSION (weak-keyed, so dropped sessions do not
+  * leak): unrelated SparkSessions never serialize on each other, and
+  * the lock is reentrant for same-thread nesting.
   */
 object ShuffleWidth {
-  private val lock = new Object
+  private val locks = new java.util.WeakHashMap[SparkSession, java.util.concurrent.locks.ReentrantLock]()
   private val Key = "spark.sql.shuffle.partitions"
+
+  private def lockFor(spark: SparkSession) = locks.synchronized {
+    var l = locks.get(spark)
+    if (l == null) { l = new java.util.concurrent.locks.ReentrantLock(); locks.put(spark, l) }
+    l
+  }
 
   /** Session shuffle width, parsed defensively (a non-numeric value —
     * some platforms ship "auto" — falls back to Spark's default 200
@@ -34,10 +51,22 @@ object ShuffleWidth {
   /** Run `f` with the shuffle width set to `target(currentWidth)`
     * (floored at 1), atomically restoring the previous value after.
     */
-  def withWidth[A](spark: SparkSession, target: Long => Long)(f: => A): A =
-    lock.synchronized {
+  def withWidth[A](spark: SparkSession, target: Long => Long)(f: => A): A = {
+    val lock = lockFor(spark)
+    val timeoutSec =
+      scala.util.Try(spark.conf.get("graft.shuffleWidth.lockTimeoutSec").toLong).getOrElse(600L)
+    if (!lock.tryLock(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+      throw new IllegalStateException(
+        s"ShuffleWidth.withWidth could not acquire this session's width lock within ${timeoutSec}s. " +
+          "Another thread holds a sized window open on the same SparkSession — most likely a " +
+          "foreachBatch body calling withWidth while the enclosing stream was started inside a " +
+          "sized window (the holder is blocked in awaitTermination on this micro-batch, so " +
+          "waiting longer cannot succeed). Size the batch work before starting the stream, or " +
+          "use a separate session.")
+    try {
       val saved = spark.conf.get(Key)
       spark.conf.set(Key, math.max(1L, target(session(spark))).toString)
       try f finally spark.conf.set(Key, saved)
-    }
+    } finally lock.unlock()
+  }
 }

@@ -61,9 +61,15 @@ object Medallion {
     // keyed merges are idempotent). A missing sidecar (first build, or
     // crash before the first write) scopes to the full stg table —
     // self-healing by construction.
+    // A sidecar that exists but holds no usable watermark (empty or
+    // null-valued — a partial/corrupt write) degrades to the same
+    // self-healing full rebuild as a missing sidecar, never an NPE.
     def layerWm(wmDir: String): Option[Long] =
       if (!MergeWriter.exists(spark, wmDir)) None
-      else Some(spark.read.parquet(wmDir).agg(max(col("wm"))).head().getLong(0))
+      else {
+        val r = spark.read.parquet(wmDir).agg(max(col("wm"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
     def writeLayerWm(wmDir: String, v: Long): Unit = {
       import spark.implicits._
       MergeWriter.replace(spark, wmDir, Seq(v).toDF("wm").coalesce(1))

@@ -100,7 +100,12 @@ object Fingerprint {
     // digest array (j + window <= n admits j == n) — fail readably
     require(window > 0, s"graft_fingerprint: window must be > 0, got $window")
     val n = sh.numElements()
-    if (n == 0) return new GenericInternalRow(Array[Any](null, 0L))
+    // count 1 (not 0) on empty input: the HOF composition this
+    // expression is oracle-checked against yields
+    // array(array_min(empty)) = [null] in winnow's otherwise-branch —
+    // size 1 — and the engine must agree with its oracle bit-for-bit
+    // even on degenerate documents.
+    if (n == 0) return new GenericInternalRow(Array[Any](null, 1L))
     val md = Md5Util.local.get()
     val digests = new Array[Array[Byte]](n)
     var globalMin: Array[Byte] = null

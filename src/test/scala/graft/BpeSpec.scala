@@ -47,13 +47,21 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap === Map("abab" -> 1L))
   }
 
-  test("reserved boundary chars in a token fail loudly, not silently corrupt") {
+  test("control/line-terminator chars in a token fail loudly, not silently corrupt") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the reserved boundary chars themselves
     val e = intercept[Exception] {
       Bpe.trainMerges(Seq("ok bad\u001ctoken").toDF("text"), "text", 1)
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("reserved symbol-boundary")))
+    assert(msgs(e).exists(_.contains("control or line-terminator")))
+    // U+0085 NEL: can survive tokenization, and Java regex vs DuckDB
+    // RE2 disagree on whether '.' matches it — must be rejected up
+    // front, not surface as an oracle hash mismatch
+    val e2 = intercept[Exception] {
+      Bpe.trainMerges(Seq("ok bad\u0085token").toDF("text"), "text", 1)
+    }
+    assert(msgs(e2).exists(_.contains("control or line-terminator")))
   }
 
   test("bpe_merges ranks pairs by weighted count and is a distributed top-k") {

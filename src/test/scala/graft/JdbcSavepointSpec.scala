@@ -24,7 +24,8 @@ object FlakyJdbc {
   val setSavepointCalls = new AtomicInteger(0)
   val releaseCalls = new AtomicInteger(0)
 
-  /** Release calls that throw a GENERIC SQLException: "always", or a
+  /** Release calls that throw a GENERIC SQLException: "always", "odd"
+    * (every other call — defeats a consecutive-only counter), or a
     * comma-free count string N = fail the first N calls then succeed.
     */
   @volatile var failMode: String = "0"
@@ -36,7 +37,8 @@ object FlakyJdbc {
   }
 
   private def shouldFail(n: Int): Boolean =
-    failMode == "always" || n <= failMode.toInt
+    failMode == "always" || (failMode == "odd" && n % 2 == 1) ||
+      (failMode != "odd" && n <= failMode.toInt)
 
   private class Handler(real: Connection) extends InvocationHandler {
     override def invoke(proxy: Any, method: Method,
@@ -120,5 +122,14 @@ class JdbcSavepointSpec extends SparkSpec {
     // optimization turns off — rows 4-5 insert with no savepoint, and
     // the write still succeeds
     assert(freshInserts("graftsp2", mode = "always", n = 5) === 3)
+  }
+
+  test("alternating release failure trips the total cap, not just consecutive") {
+    // release fails on every ODD call: the consecutive counter resets on
+    // each even success and never reaches 3, but failures still leak one
+    // live savepoint each until commit. The TOTAL cap (10) trips at the
+    // 19th release (failures at calls 1,3,...,19), so inserts 20-25 run
+    // without savepoints — a consecutive-only policy would show 25.
+    assert(freshInserts("graftsp3", mode = "odd", n = 25) === 19)
   }
 }

@@ -68,6 +68,20 @@ class TextFeaturesSpec extends SparkSpec {
       .filter(not(col("a1") <=> col("b1")) || not(col("a2") <=> col("b2")))
       .count()
     assert(ebad === 0)
+    // degenerate: an EMPTY shingle array. The HOF winnow's
+    // otherwise-branch yields array(array_min(empty)) = [null], size 1,
+    // so the native expression must report (null, 1) — not (null, 0)
+    val empty = Seq(Seq[String]()).toDF("sh")
+    val nfp = Text.fingerprint(col("sh"), 4)
+    val nh = transform(col("sh"), s => md5(s))
+    val nbad = empty.select(
+        nfp.getField("min_shingle_hash").as("a1"),
+        nfp.getField("n_winnow").as("a2"),
+        array_min(nh).as("b1"),
+        size(Text.winnow(nh, 4)).cast("long").as("b2"))
+      .filter(not(col("a1") <=> col("b1")) || not(col("a2") <=> col("b2")))
+      .count()
+    assert(nbad === 0)
   }
 
   test("graft_simhash equals the HOF fold on the corpus and edges") {

@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed CPU-bound probe (data-independent: hashes a range) timed
+    * before and after the query sweep. The host this runs on has
+    * documented multi-minute degraded phases (r10 lost a full bench
+    * capture to one); a canary that runs >3x its pinned clean time
+    * stamps the artifact `"degraded": true` so a judge/builder never
+    * diagnoses host weather as a plan regression.
+    */
+  val CanaryPinSec = 0.25 // clean runs measure 0.15-0.20 s at 32 threads
+  def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0, 1L << 26, 1, 32)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(expr("bit_xor(h)")) // xor cannot overflow under ANSI mode
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,6 +55,8 @@ object Bench {
         .start()
       q.awaitTermination()
     }
+    canary(spark) // untimed: first call pays codegen for the probe plan
+    val canaryStart = canary(spark)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune the work
@@ -69,7 +90,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // degradation can start mid-sweep: probe both ends of the run
+    val canaryEnd = canary(spark)
+    val degraded = math.max(canaryStart, canaryEnd) > 3 * CanaryPinSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":[$canaryStart,$canaryEnd],"canary_pin":$CanaryPinSec,"degraded":$degraded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

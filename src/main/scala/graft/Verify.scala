@@ -19,8 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.prepare(spark)
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_SQL_ONLY=1: dump only oracle_sql.json (the DuckDB
+    // replay side of tools/bench_medians.py needs the SQLs without
+    // paying a full result-dump pass)
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name)) {
+      if (!sqlOnly && keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

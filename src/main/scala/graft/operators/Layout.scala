@@ -64,50 +64,79 @@ object Layout {
     * positives but a STALE-MISSING file would be a false negative, so
     * readers must refresh after writes they depend on.
     */
+  /** Scheme-free path component as a COLUMN — the join key between
+    * the listing (`file:/x`) and Spark's `_metadata.file_path`
+    * (`file:///x`), whose scheme renderings differ. Mirrors
+    * `new Path(s).toUri.getPath`: strip `scheme://authority` then the
+    * single-slash `scheme:/` form.
+    */
+  private def normPath(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+
+  /** Distributed RECURSIVE listing of the table's current parquet
+    * files: one row per file, NEVER a driver-side array of all files
+    * (a 100 TB table has ~10^6 of them). The driver holds only the
+    * per-level DIRECTORY list (partition metadata — the same thing a
+    * Delta/Iceberg manifest enumerates); each level's children are
+    * listed by executors. Hidden components (swap staging `.X.old` /
+    * `.X.tmp-*`, metadata `_` dirs) are dropped at every level the way
+    * partition discovery drops them — indexing a crash leftover would
+    * make prunedRead read a partition's rows twice. Recursion matters:
+    * on a Hive layout the top level is `col=value` directories; a flat
+    * listing would see zero files and commit an empty index.
+    */
+  private def listCurrentFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootFs = root.getFileSystem(conf.value)
+    var dirs = Seq(rootFs.makeQualified(root).toString)
+    var files = Seq.empty[String].toDF("file")
+    while (dirs.nonEmpty) {
+      val level = spark.createDataset(dirs)
+        .flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf.value).listStatus(p).toSeq
+            .map(s => (s.getPath.toString, s.isDirectory))
+        }.toDF("file", "is_dir")
+        .filter(!element_at(split(col("file"), "/"), -1).rlike("^[._]"))
+        .localCheckpoint() // consumed twice: once per branch below
+      dirs = level.filter(col("is_dir")).select("file").as[String]
+        .collect().toSeq
+      files = files.unionByName(
+        level.filter(!col("is_dir") && col("file").endsWith(".parquet"))
+          .select("file"))
+    }
+    files
+  }
+
   def refreshStatsIndex(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
     val idxPath = path + "_stats"
     if (!MergeWriter.exists(spark, idxPath)) { writeStatsIndex(spark, path, cols); return }
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // scheme renderings differ between the listing (file:/x) and
-    // Spark's _metadata.file_path (file:///x): compare on the
-    // scheme-free path component
-    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    // RECURSIVE file listing: on a Hive-partitioned layout the
-    // top-level entries are `col=value` DIRECTORIES (no .parquet
-    // suffix) — a flat listStatus would see zero current files, drop
-    // every index entry, and commit an EMPTY index that prunedRead
-    // would then silently read as "no overlapping files"
-    val current = {
-      // skip hidden path components (swap staging `.X.old` /
-      // `.X.tmp-*`, metadata `_` dirs): listFiles does NOT filter them
-      // the way partition discovery does, and indexing a crash
-      // leftover would make prunedRead read a partition's rows twice
-      val rootPath = norm(p.toString)
-      def hiddenComponent(f: org.apache.hadoop.fs.Path): Boolean = {
-        val rel = norm(f.toString).stripPrefix(rootPath)
-        rel.split('/').exists(c =>
-          c.startsWith(".") || c.startsWith("_"))
-      }
-      val it = fs.listFiles(p, true)
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.getPath.getName.endsWith(".parquet") &&
-            !hiddenComponent(s.getPath))
-          out += s.getPath.toUri.toString
-      }
-      out.toArray
-    }
-    val currentNorm = current.map(norm).toSet
+    val current = listCurrentFiles(spark, path)
+      .withColumn("_nfile", normPath(col("file"))).localCheckpoint()
     spark.catalog.refreshByPath(idxPath)
     val allOld = spark.read.parquet(idxPath)
-    val keep = allOld.select("file").collect().map(_.getString(0))
-      .filter(f => currentNorm.contains(norm(f)))
-    val old = allOld.filter(col("file").isInCollection(keep.toSeq))
-      .localCheckpoint()
-    val knownNorm = keep.map(norm).toSet
-    val fresh = current.filterNot(f => knownNorm.contains(norm(f))).toSeq.sorted
+      .withColumn("_nfile", normPath(col("file")))
+    // carry over stats ONLY for files that still exist — a semi join,
+    // not a driver Set of every indexed file (index is file-count
+    // sized; the keep set must stay distributed at 10^6 files).
+    // Checkpointed because MergeWriter.replace swaps idxPath out from
+    // under the lazy read below.
+    val old = allOld
+      .join(current.select("_nfile"), Seq("_nfile"), "left_semi")
+      .drop("_nfile").localCheckpoint()
+    // fresh = current files the index has not seen: an anti join whose
+    // RESULT is collected — proportional to NEW data since the last
+    // refresh (the append-heavy incremental contract), never the full
+    // table listing
+    val fresh = current
+      .join(allOld.select("_nfile"), Seq("_nfile"), "left_anti")
+      .select("file").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq.sorted
     val merged =
       if (fresh.isEmpty) old
       // basePath keeps partition columns resolvable when the fresh

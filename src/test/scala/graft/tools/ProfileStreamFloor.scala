@@ -54,10 +54,16 @@ object ProfileStreamFloor {
     val totTrig = perBatch.map(_._2).sum / 1000.0
     val totAdd = perBatch.map(_._3).sum / 1000.0
     val totOther = perBatch.map(_._4).sum / 1000.0
+    // split the machinery into its reported components
+    val comps = Seq("latestOffset", "getBatch", "queryPlanning",
+      "walCommit", "commitOffsets")
+    val compSums = comps.map(k =>
+      k -> rows.map { case (_, m) => ms(m, k) }.sum / 1000.0)
     println(s"""{"query":"streaming_daily_metrics","sf":"$sf","rows":$n,""" +
       s""""wall_sec":${f"$wallSec%.2f"},"batches":${perBatch.length},""" +
       s""""trigger_sec":${f"$totTrig%.2f"},"addbatch_sec":${f"$totAdd%.2f"},""" +
       s""""machinery_sec":${f"$totOther%.2f"},""" +
+      compSums.map { case (k, v) => s""""${k}_sec":${f"$v%.2f"},""" }.mkString +
       s""""outside_stream_sec":${f"${wallSec - totTrig}%.2f"},""" +
       s""""per_batch":[${perBatch.map(b =>
         s"""{"id":${b._1},"trigger_ms":${b._2},"addbatch_ms":${b._3}}""")

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Clean, machine-readable per-round bench artifact (VERDICT r10 #2).
+
+Runs ``graft.Bench`` N times (default 3) at the given sf dir, replays
+the same queries' oracle SQLs in DuckDB N times in the SAME session
+(the only honest cross-engine anchor on a host with degraded phases),
+and writes ``bench_medians.json`` at the repo root:
+
+    {
+      "sf": ..., "runs": 3, "generated_unix": ...,
+      "degraded_runs": [false, false, false],   # per-run canary verdicts
+      "canary": {"pin_sec": 0.6, "per_run": [[a,b], ...]},
+      "queries": {name: {"spark_sec": med, "duckdb_sec": med, "ratio": r}},
+      "spark_total_sec": ..., "duckdb_total_sec": ..., "ratio": ...
+    }
+
+Usage: tools/bench_medians.py [sfDir] [runs]
+Run from the repo root. Driver-side python (duckdb) required.
+"""
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        cwd=REPO, env=env, capture_output=True, text=True, check=True
+    ).stdout
+    for line in out.splitlines():
+        m = re.search(r'\{"metric":.*\}', line)
+        if m:
+            return json.loads(m.group(0))
+    raise RuntimeError("no bench JSON line in sbt output:\n" + out[-2000:])
+
+
+def dump_oracle_sql(sf_dir: str) -> dict:
+    tmp = tempfile.mkdtemp(prefix="graft-sql-")
+    env = dict(os.environ, SPARK_GRAFT_SQL_ONLY="1", SPARK_GRAFT_CPUS="4")
+    subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {tmp}"],
+        cwd=REPO, env=env, capture_output=True, text=True, check=True)
+    with open(os.path.join(tmp, "oracle_sql.json")) as f:
+        return json.load(f)
+
+
+def run_duckdb(sf_dir: str, oracles: dict) -> dict:
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    times = {}
+    for name in sorted(oracles):
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).df()  # materialize full results
+        times[name] = time.perf_counter() - t0
+    con.close()
+    return times
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    benches = [run_bench(sf_dir) for _ in range(runs)]
+    oracles = dump_oracle_sql(sf_dir)
+    duck_runs = [run_duckdb(sf_dir, oracles) for _ in range(runs)]
+
+    names = sorted(benches[0]["queries"])
+    failed = sorted({q for b in benches for q in b.get("failed", [])})
+    queries = {}
+    for n in names:
+        spark_med = statistics.median(abs(b["queries"][n]) for b in benches)
+        duck_med = statistics.median(d.get(n, float("nan")) for d in duck_runs)
+        queries[n] = {
+            "spark_sec": round(spark_med, 4),
+            "duckdb_sec": round(duck_med, 4),
+            "ratio": round(spark_med / duck_med, 3) if duck_med else None,
+        }
+    spark_total = sum(q["spark_sec"] for q in queries.values())
+    duck_total = sum(q["duckdb_sec"] for q in queries.values())
+    artifact = {
+        "sf": sf_dir,
+        "runs": runs,
+        "generated_unix": int(time.time()),
+        "degraded_runs": [b.get("degraded") for b in benches],
+        "canary": {
+            "pin_sec": benches[0].get("canary_pin"),
+            "per_run": [b.get("canary_sec") for b in benches],
+        },
+        "failed": failed,
+        "queries": queries,
+        "spark_total_sec": round(spark_total, 2),
+        "duckdb_total_sec": round(duck_total, 2),
+        "ratio": round(spark_total / duck_total, 3),
+    }
+    out = os.path.join(REPO, "bench_medians.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out}: spark {spark_total:.1f}s vs duckdb {duck_total:.1f}s "
+          f"= {artifact['ratio']}x; degraded_runs={artifact['degraded_runs']}; "
+          f"failed={failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve harness (round-10 verdict #1 and #4): replicate the
+  * sf0.1 corpus m× into dirs that mimic the testdata layout, then time
+  * named `SparkEntry.queries` on each scale — cold (first call; for
+  * the index lifecycles this includes the once-per-corpus-version
+  * build) and warm (repeat calls; probe-only for the lifecycles).
+  *
+  * Document replication appends a copy-unique suffix to EVERY token
+  * (`regexp_replace(text, "(\\S+)", "$1_c<i>")`, copy 0 verbatim), so
+  * each copy keeps the original's intra-copy repetition structure
+  * bit-for-bit while sharing no k-grams/shingles across copies — the
+  * workload (repeated-span volume, posting-list shape) scales linearly
+  * instead of collapsing into "everything repeats everything".
+  * Embeddings replicate verbatim under offset ids (identical vectors
+  * are exactly what a near-dup-heavy corpus looks like). The same
+  * parquet is what the DuckDB twin reads (tools/scale_duckdb.py), so
+  * the generation-side Spark-isms cannot skew the comparison.
+  *
+  * Usage (env):
+  *   SPARK_GRAFT_SF_DIR   base corpus (default /root/testdata/sf0.1)
+  *   GRAFT_SCALE_ROOT     output root (default /tmp/graft-scale)
+  *   GRAFT_SCALE_FACTORS  comma list (default 1,3,10)
+  *   GRAFT_SCALE_QUERIES  comma list of SparkEntry.queries names
+  *   GRAFT_SCALE_WARM     warm repeats per query (default 2)
+  */
+object ScaleCurve {
+
+  private val IdStride = 10000000L
+
+  def scaledDocs(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = graft.Tables.documents(spark, sfDir)
+    (0 until m).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("doc_id") + lit(i * IdStride)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1_c" + i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledEmbeddings(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = graft.Tables.embeddings(spark, sfDir)
+    (0 until m).map { i =>
+      if (i == 0) base
+      else base.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  def ensureScaled(spark: SparkSession, sfDir: String, root: String,
+      m: Int): String = {
+    val dir = s"$root/x$m"
+    val done = new java.io.File(s"$dir/_DONE")
+    if (!done.exists()) {
+      scaledDocs(spark, sfDir, m).repartition(math.max(4, 4 * m))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      scaledEmbeddings(spark, sfDir, m).repartition(math.max(4, 2 * m))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = sys.env.getOrElse("GRAFT_SCALE_ROOT", "/tmp/graft-scale")
+    val factors = sys.env.getOrElse("GRAFT_SCALE_FACTORS", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val queries = sys.env.getOrElse("GRAFT_SCALE_QUERIES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val warmRuns = sys.env.getOrElse("GRAFT_SCALE_WARM", "2").toInt
+    require(queries.nonEmpty, "set GRAFT_SCALE_QUERIES")
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    factors.foreach { m =>
+      val dir = ensureScaled(spark, sfDir, root, m)
+      // bench-style hygiene between measurements
+      queries.foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        def once(): Double =
+          time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+        val cold = once()
+        val warm = (1 to warmRuns).map(_ => once())
+        spark.catalog.clearCache(); System.gc()
+        val warmMed = warm.sorted.apply(warm.length / 2)
+        println(f"""{"scale":$m,"q":"$q","cold_sec":$cold%.2f,"warm_med_sec":$warmMed%.2f,"warm":[${warm.map(w => f"$w%.2f").mkString(",")}]}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -80,4 +80,43 @@ class HttpSourceSpec extends SparkSpec {
       assert(src.fetchDecoded(spark, Seq("UUEE")).isEmpty)
     }
   }
+
+  test("live ProcessingTime collector soaks through mid-run 5xx and timeouts") {
+    // The full collector path (S1 + T1 + Airflow-retry parity): a real
+    // ProcessingTime stream ticks the fetch, the server injects one
+    // 503 and one beyond-timeout stall MID-RUN, and the content-keyed
+    // landing must still hold exactly the distinct observations —
+    // at-least-once fetch, exactly-once landing, no tick lost.
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    def body(extra: Boolean): String = {
+      val base = """{"icao":"UUEE","obs":1},{"icao":"UUEE","obs":2}"""
+      if (extra) s"""{"data":[$base,{"icao":"UUEE","obs":3}]}"""
+      else s"""{"data":[$base]}"""
+    }
+    withServer { ex =>
+      val i = n.incrementAndGet()
+      if (i == 2) respond(ex, 503, "upstream down") // tick 2, attempt 1
+      else if (i == 4) { Thread.sleep(2500); respond(ex, 200, body(false)) } // beyond 1s budget
+      else respond(ex, 200, body(extra = i >= 6))
+    } { base =>
+      val src = graft.sources.CheckWxSource.http("k", base = base, timeoutSeconds = 1)
+      val target = java.nio.file.Files
+        .createTempDirectory("graft-collector-soak").resolve("bronze").toString
+      val stats = graft.sources.Collector.run(spark, src, Seq("UUEE"), target,
+        ticks = 5, intervalMillis = 300, retries = 2, retryDelayMillis = 50)
+      // every tick landed despite the injected failures, via retries
+      assert(stats.ticksOk === 5)
+      assert(stats.ticksSkipped === 0)
+      // 5 ticks + one 503 retry + TWO timeout retries: the 2.5 s stall
+      // outlives the first retry as well (the single-threaded server
+      // queues it past the 1 s client budget), so the stalled tick
+      // lands on its third attempt
+      assert(stats.attempts === 8)
+      // idempotent landing: 5 overlapping fetches collapse to the 3
+      // distinct observations on the content key
+      val landed = spark.read.parquet(target)
+      assert(landed.count() === 3)
+      assert(landed.select("_id").distinct().count() === 3)
+    }
+  }
 }

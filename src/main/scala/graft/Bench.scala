@@ -9,11 +9,14 @@ object Bench {
     * stamps the artifact `"degraded": true` so a judge/builder never
     * diagnoses host weather as a plan regression.
     */
-  val CanaryPinSec = 0.25 // clean runs measure 0.15-0.20 s at 32 threads
-  def canary(spark: SparkSession): Double = {
+  val CanaryPinSec = 0.25 // clean runs measure 0.15-0.20 s of 2^21 hashes/thread
+  def canary(spark: SparkSession, threads: Int): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
-    spark.range(0, 1L << 26, 1, 32)
+    // work scales WITH the thread count (2^21 hashes per thread), so
+    // the wall time — and the pin — is width-independent: a 4-core
+    // tuning run and the 32-core driver run measure the same probe
+    spark.range(0, threads.toLong << 21, 1, threads)
       .select(xxhash64(col("id")).as("h"))
       .agg(expr("bit_xor(h)")) // xor cannot overflow under ANSI mode
       .write.format("noop").mode("overwrite").save()
@@ -55,8 +58,8 @@ object Bench {
         .start()
       q.awaitTermination()
     }
-    canary(spark) // untimed: first call pays codegen for the probe plan
-    val canaryStart = canary(spark)
+    canary(spark, cpus.toInt) // untimed: first call pays probe-plan codegen
+    val canaryStart = canary(spark, cpus.toInt)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune the work
@@ -91,7 +94,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     // degradation can start mid-sweep: probe both ends of the run
-    val canaryEnd = canary(spark)
+    val canaryEnd = canary(spark, cpus.toInt)
     val degraded = math.max(canaryStart, canaryEnd) > 3 * CanaryPinSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":[$canaryStart,$canaryEnd],"canary_pin":$CanaryPinSec,"degraded":$degraded,"sf":"$sfDir"}""")
     spark.stop()

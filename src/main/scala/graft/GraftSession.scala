@@ -63,14 +63,6 @@ object GraftSession {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // AvailableNow otherwise appends a trailing NO-DATA micro-batch to
-    // every stream (watermark-advance bookkeeping): one extra round of
-    // planning/WAL/state-commit machinery per stream for zero rows.
-    // The engine's append-mode flows advance their watermark with
-    // explicit sentinel batches (eventsStream flushSentinel), so the
-    // empty batch buys nothing here — semantics stay oracle-gated by
-    // the streaming-vs-batch equality checks.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     graft.plans.GraftExtensions.registerOn(spark)
     spark
   }

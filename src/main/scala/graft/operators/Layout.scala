@@ -99,8 +99,15 @@ object Layout {
       val level = spark.createDataset(dirs)
         .flatMap { d =>
           val p = new org.apache.hadoop.fs.Path(d)
+          // files are emitted in Path.toUri URL-ENCODED rendering —
+          // the same encoding `_metadata.file_path` carries — so the
+          // normPath join keys agree even for paths with encodable
+          // characters (a space in a dir name would otherwise make
+          // every semi/anti join miss and silently degrade refresh to
+          // a full rebuild); directories stay raw for recursion
           p.getFileSystem(conf.value).listStatus(p).toSeq
-            .map(s => (s.getPath.toString, s.isDirectory))
+            .map(s => (if (s.isDirectory) s.getPath.toString
+                       else s.getPath.toUri.toString, s.isDirectory))
         }.toDF("file", "is_dir")
         .filter(!element_at(split(col("file"), "/"), -1).rlike("^[._]"))
         .localCheckpoint() // consumed twice: once per branch below

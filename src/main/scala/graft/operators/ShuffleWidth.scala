@@ -58,11 +58,12 @@ object ShuffleWidth {
     if (!lock.tryLock(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
       throw new IllegalStateException(
         s"ShuffleWidth.withWidth could not acquire this session's width lock within ${timeoutSec}s. " +
-          "Another thread holds a sized window open on the same SparkSession — most likely a " +
-          "foreachBatch body calling withWidth while the enclosing stream was started inside a " +
-          "sized window (the holder is blocked in awaitTermination on this micro-batch, so " +
-          "waiting longer cannot succeed). Size the batch work before starting the stream, or " +
-          "use a separate session.")
+          "Another thread holds a sized window open on the same SparkSession. If that holder is " +
+          "legitimately long-running, raise graft.shuffleWidth.lockTimeoutSec; but if this call " +
+          "came from a foreachBatch body while the enclosing stream was itself started inside a " +
+          "sized window, the holder is blocked in awaitTermination on this very micro-batch and " +
+          "no timeout can help — size the batch work before starting the stream, or use a " +
+          "separate session.")
     try {
       val saved = spark.conf.get(Key)
       spark.conf.set(Key, math.max(1L, target(session(spark))).toString)

@@ -95,6 +95,34 @@ object Streams {
       parts.head.toString
     })
 
+  /** Run `f` (a complete start→awaitTermination stream window) with
+    * AvailableNow's trailing NO-DATA micro-batch disabled: it exists
+    * to advance the watermark once more after the last data batch, but
+    * the engine's append-mode flows advance watermarks with explicit
+    * sentinel batches (eventsStream flushSentinel), so for THESE
+    * runners it is one extra round of planning/WAL/state-commit
+    * machinery per stream for zero rows. Scoped save→set→restore, NOT
+    * session-global: an external caller's own append-mode stream on
+    * the same session keeps Spark's default trailing batch (the conf
+    * is read at stream START, which `f` encloses).
+    */
+  private def withoutTrailingNoDataBatch[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, saved)
+  }
+
+  /** Start the finite-replay stream produced by `start` (inside the
+    * no-trailing-no-data-batch window — the conf is captured into the
+    * query's cloned session during start()) and block until it drains.
+    */
+  private def runDrained(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val q = withoutTrailingNoDataBatch(spark)(start)
+    q.awaitTermination()
+  }
+
   /** Memoize `build` under `key` WITHOUT holding the map's bin lock
     * while it runs — staging executes multi-second Spark jobs, and
     * `computeIfAbsent` would serialize unrelated keys sharing a bin
@@ -237,7 +265,7 @@ object Streams {
     // declared queries). At 100 TB key cardinality, raise it.
     graft.operators.ShuffleWidth.withWidth(spark,
         _ => statePartitions.toLong) {
-      val q = df.writeStream
+      runDrained(spark) { df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -246,7 +274,7 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
     }
   }
 
@@ -270,7 +298,7 @@ object Streams {
     // see runToMergeSink for why state partitions are sized per stream
     graft.operators.ShuffleWidth.withWidth(spark,
         _ => statePartitions.toLong) {
-      val q = df.writeStream
+      runDrained(spark) { df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -279,7 +307,7 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
     }
     // compaction: the latest emission per key wins (_batch_id breaks
     // ties between re-emissions that share version values)
@@ -530,7 +558,7 @@ object Streams {
       .parquet(staged)
     // batch-sized shuffles (see lshDedupIncremental's sizing note)
     graft.operators.ShuffleWidth.withWidth(spark, _ => 8L) {
-      val q = arriving.writeStream
+      runDrained(spark) { arriving.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (b: DataFrame, id: Long) =>
@@ -538,7 +566,7 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
     }
     val back = spark.read.parquet(data).select(
       col("shard").cast("long").as("shard"),
@@ -593,7 +621,7 @@ object Streams {
     // sizing rationale as runToMergeSink's state partitions). At real
     // batch volumes, raise with the batch size.
     graft.operators.ShuffleWidth.withWidth(spark, _ => 8L) {
-      val q = arriving.writeStream
+      runDrained(spark) { arriving.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -608,7 +636,7 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
     }
     spark.read.option("recursiveFileLookup", "true").parquet(out)
     // the cache is scoped to the stream's lifetime (the comment at the
@@ -707,7 +735,7 @@ object Streams {
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents")))
     val ckpt = scratch("graft-ckpt").toString
     graft.operators.ShuffleWidth.withWidth(spark, _ => 4L) {
-      val q = eventsStream(spark, dir, batches = 3).writeStream
+      runDrained(spark) { eventsStream(spark, dir, batches = 3).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -724,7 +752,7 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      }
     }
     spark.read.parquet(view).orderBy("day", "event_type")
   }

@@ -103,15 +103,18 @@ class HttpSourceSpec extends SparkSpec {
       val target = java.nio.file.Files
         .createTempDirectory("graft-collector-soak").resolve("bronze").toString
       val stats = graft.sources.Collector.run(spark, src, Seq("UUEE"), target,
-        ticks = 5, intervalMillis = 300, retries = 2, retryDelayMillis = 50)
+        ticks = 5, intervalMillis = 300, retries = 3, retryDelayMillis = 50)
       // every tick landed despite the injected failures, via retries
       assert(stats.ticksOk === 5)
       assert(stats.ticksSkipped === 0)
-      // 5 ticks + one 503 retry + TWO timeout retries: the 2.5 s stall
-      // outlives the first retry as well (the single-threaded server
-      // queues it past the 1 s client budget), so the stalled tick
-      // lands on its third attempt
-      assert(stats.attempts === 8)
+      // 5 ticks + one 503 retry + two timeout retries = 8 on a calm
+      // host: the 2.5 s stall outlives the first retry as well (the
+      // single-threaded server queues it past the 1 s client budget),
+      // so the stalled tick lands on its third attempt. A documented
+      // degraded-host phase can push it to a fourth (retries = 3
+      // leaves that headroom) — hence a range, not an exact count.
+      assert(stats.attempts >= 8 && stats.attempts <= 9,
+        s"attempts=${stats.attempts}")
       // idempotent landing: 5 overlapping fetches collapse to the 3
       // distinct observations on the content key
       val landed = spark.read.parquet(target)

@@ -23,11 +23,11 @@ object ProfileStreamFamily {
     val progress =
       new java.util.concurrent.ConcurrentLinkedQueue[
         java.util.Map[String, java.lang.Long]]()
-    var streams = 0
+    val streams = new java.util.concurrent.atomic.AtomicInteger
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit =
-        streams += 1
+        streams.incrementAndGet()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         progress.add(e.progress.durationMs)
@@ -45,19 +45,23 @@ object ProfileStreamFamily {
     import scala.jdk.CollectionConverters._
     var totWall = 0.0; var totAdd = 0.0; var totMach = 0.0
     val rows = family.map { name =>
-      progress.clear(); streams = 0
+      progress.clear(); streams.set(0)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sf)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // async listener drain
+      // drain: wait for the manager to report no active queries, then
+      // give the async listener bus a beat — late events from a prior
+      // query must not be cleared into the next one's bucket
+      while (spark.streams.active.nonEmpty) Thread.sleep(100)
+      Thread.sleep(1500)
       def ms(m: java.util.Map[String, java.lang.Long], k: String): Long =
         Option(m.get(k)).map(_.longValue).getOrElse(0L)
       val ps = progress.asScala.toSeq
       val add = ps.map(ms(_, "addBatch")).sum / 1000.0
       val trig = ps.map(ms(_, "triggerExecution")).sum / 1000.0
       totWall += wall; totAdd += add; totMach += (trig - add)
-      (name, wall, ps.length, streams, add, trig - add, wall - trig)
+      (name, wall, ps.length, streams.get, add, trig - add, wall - trig)
     }
     rows.foreach { case (n, w, b, s, a, m, o) =>
       println(f"""{"q":"$n","wall":$w%.2f,"batches":$b,"streams":$s,"addbatch":$a%.2f,"machinery":$m%.2f,"outside":$o%.2f}""")

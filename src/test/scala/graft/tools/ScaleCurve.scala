@@ -72,7 +72,7 @@ object ScaleCurve {
       .split(",").map(_.trim.toInt).toSeq
     val queries = sys.env.getOrElse("GRAFT_SCALE_QUERIES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val warmRuns = sys.env.getOrElse("GRAFT_SCALE_WARM", "2").toInt
+    val warmRuns = sys.env.getOrElse("GRAFT_SCALE_WARM", "3").toInt
     require(queries.nonEmpty, "set GRAFT_SCALE_QUERIES")
 
     val spark = SparkSession.builder().master("local[32]")
@@ -94,7 +94,9 @@ object ScaleCurve {
         val cold = once()
         val warm = (1 to warmRuns).map(_ => once())
         spark.catalog.clearCache(); System.gc()
-        val warmMed = warm.sorted.apply(warm.length / 2)
+        // lower median for even counts: on a host with degraded
+        // phases the upper element reports the worst run, not the norm
+        val warmMed = warm.sorted.apply((warm.length - 1) / 2)
         println(f"""{"scale":$m,"q":"$q","cold_sec":$cold%.2f,"warm_med_sec":$warmMed%.2f,"warm":[${warm.map(w => f"$w%.2f").mkString(",")}]}""")
       }
     }

@@ -78,15 +78,19 @@ def main() -> int:
     failed = sorted({q for b in benches for q in b.get("failed", [])})
     queries = {}
     for n in names:
-        spark_med = statistics.median(abs(b["queries"][n]) for b in benches)
+        # a failed query's timing is the time-to-crash, not the work —
+        # it must never flatter the totals. Mark it and exclude below.
+        spark_med = statistics.median(b["queries"][n] for b in benches)
         duck_med = statistics.median(d.get(n, float("nan")) for d in duck_runs)
         queries[n] = {
-            "spark_sec": round(spark_med, 4),
+            "spark_sec": round(abs(spark_med), 4),
             "duckdb_sec": round(duck_med, 4),
-            "ratio": round(spark_med / duck_med, 3) if duck_med else None,
+            "ratio": round(abs(spark_med) / duck_med, 3) if duck_med else None,
+            "failed": n in failed,
         }
-    spark_total = sum(q["spark_sec"] for q in queries.values())
-    duck_total = sum(q["duckdb_sec"] for q in queries.values())
+    ok = {n: q for n, q in queries.items() if not q["failed"]}
+    spark_total = sum(q["spark_sec"] for q in ok.values())
+    duck_total = sum(q["duckdb_sec"] for q in ok.values())
     artifact = {
         "sf": sf_dir,
         "runs": runs,

@@ -43,7 +43,7 @@ object Streams {
     * by every stream reading it, so it is memoized per process.
     */
   private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Boolean, Boolean), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Boolean, Boolean), String]()
 
   /** Scratch root for the EPHEMERAL dirs these finite-replay streams
     * create per run (landing zones, checkpoints, changelog sinks):
@@ -166,9 +166,24 @@ object Streams {
     * shape whose duplicates a streaming `dropDuplicates` must absorb
     * through its keyed state.
     */
+  /** With `filesPerBatch > 1` each arrival is N part files sharing one
+    * modification time (the production landing shape: a batch lands as
+    * many parallel part files, never serialized through one writer) and
+    * the reader takes N files per trigger, so trigger boundaries still
+    * align with arrivals. Combined with the sentinel protocol only at
+    * N = 1: the two 1-file sentinels must occupy separate triggers to
+    * advance-then-flush, and an N-file trigger would swallow both.
+    */
   def eventsStream(spark: SparkSession, dir: String, batches: Int = 1,
-      flushSentinel: Boolean = false, duplicated: Boolean = false): DataFrame = {
-    val staged = memoStage(stagedDirs, (dir, batches, flushSentinel, duplicated)) {
+      flushSentinel: Boolean = false, duplicated: Boolean = false,
+      filesPerBatch: Int = 1): DataFrame = {
+    require(filesPerBatch >= 1, "filesPerBatch must be >= 1")
+    require(!(flushSentinel && filesPerBatch > 1),
+      "flushSentinel requires filesPerBatch = 1: the two single-file " +
+        "sentinels must land in separate triggers (advance, then flush); " +
+        "a multi-file trigger would consume both at once")
+    val staged = memoStage(stagedDirs,
+        (dir, batches, filesPerBatch, flushSentinel, duplicated)) {
       val out = scratch("graft-stream-src")
       // The normalized base file is written ONCE per source dir and
       // shared by every landing-zone config: single-file and
@@ -201,11 +216,24 @@ object Streams {
       } else if (batches <= 1) {
         stage(Seq(base -> "events.parquet"))
       } else {
-        // one staged file PER part actually written — a range split
-        // with an empty partition yields fewer files, never replayed
-        // content (each part is copied exactly once)
-        val p = writeParts(ev.repartitionByRange(batches, col("ts")))
-        stage(p.zipWithIndex.map { case (f, i) => f -> f"b$i%03d.parquet" })
+        // one ARRIVAL per range batch, each landing as up to
+        // `filesPerBatch` ts-consecutive part files that share one
+        // modification time — parallel part files per batch, never
+        // serialized through one writer. A range split with an empty
+        // partition yields fewer files, never replayed content (each
+        // part is copied exactly once); a short chunk just means a
+        // smaller arrival.
+        val p = writeParts(
+          ev.repartitionByRange(batches * filesPerBatch, col("ts")))
+        p.grouped(filesPerBatch).zipWithIndex.foreach { case (chunk, a) =>
+          chunk.zipWithIndex.foreach { case (f, j) =>
+            val dst = out.resolve(f"b$a%03d-f$j%02d.parquet")
+            Files.copy(f, dst)
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1700000000000L + a * 60000L))
+          }
+        }
       }
       if (flushSentinel) {
         import spark.implicits._
@@ -240,7 +268,7 @@ object Streams {
     }
     spark.readStream
       .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerBatch.toString)
       .parquet(staged.toString)
       .withColumn("ts", expr("timestamp_micros(ts)"))
   }
@@ -326,8 +354,10 @@ object Streams {
     * Each batch emits only the windows it changed; the merge keeps the
     * newest version per (user_id, day).
     */
-  def dailyMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir, batches = 3)
+  def dailyMetrics(spark: SparkSession, dir: String,
+      filesPerBatch: Int = 1): DataFrame = {
+    val agg = eventsStream(spark, dir, batches = 3,
+        filesPerBatch = filesPerBatch)
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(

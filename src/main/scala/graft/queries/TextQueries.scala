@@ -691,6 +691,40 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** The APPLICATION side of the trained tokenizer: per-document
+    * tokenized length under the 3-merge BPE vocab — the statistic
+    * token-budget selection should run on (a whitespace token count
+    * under-prices rare-word-heavy documents; the budget a trainer pays
+    * is BPE tokens). Shape at 100 TB: the word → subword-count map is
+    * VOCAB-sized (Heaps' law), so it broadcasts; the corpus pass is
+    * one explode + broadcast join + per-doc sum — map-side only, no
+    * corpus shuffle beyond the doc_id agg.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, words) = graft.ext.Bpe.trainMerges(docs, "text", iters = 3)
+    // stripping the boundary chars recovers the RAW word (merges
+    // preserve character content), so the map key is unique per word
+    val map = words.select(
+      translate(col("w"), graft.ext.Bpe.Open + graft.ext.Bpe.Close, "")
+        .as("word"),
+      size(split(expr("substring(w, 2, length(w) - 2)"),
+        s"${graft.ext.Bpe.Close}${graft.ext.Bpe.Open}"))
+        .cast("long").as("n_sym"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(map), Seq("word")) // every corpus word is in the vocab
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    // empty/null-text docs still get a (0, 0) row
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Kneser–Ney count tables — the LM-training producer side
     * complementing [[textPerplexity]]'s scoring side (Kneser & Ney
     * 1995; the KN unigram backoff weights a word by how many DISTINCT
@@ -798,6 +832,7 @@ object TextQueries {
     "bpe_merges" -> (bpeMerges _),
     "bpe_train" -> (bpeTrain _),
     "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode" -> (bpeEncode _),
     "lm_kn_counts" -> (lmKnCounts _),
     "select_token_budget" -> (selectTokenBudget _),
     "dedup_ppjoin" -> (dedupPpjoin _),
@@ -963,6 +998,27 @@ object TextQueries {
           |    ORDER BY n DESC, subword) AS BIGINT) AS rank FROM agg)
           |SELECT rank, subword, n FROM r WHERE rank <= 20
           |ORDER BY rank""".stripMargin),
+    // Tokenized length under the trained vocab: strip the boundary
+    // chars of the final wrapped vocab to recover each raw word, count
+    // its symbols, join back over the corpus tokens.
+    "bpe_encode" ->
+      (s"WITH $bpeRoundCtes\n" +
+        """map AS (SELECT replace(replace(w, chr(28), ''), chr(29), '')
+          |    AS word,
+          |  CAST(len(string_split(substr(w, 2, len(w) - 2),
+          |    chr(29) || chr(28))) AS BIGINT) AS n_sym FROM w3),
+          |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |  FROM documents),
+          |dtf AS (SELECT doc_id, word FROM dt WHERE len(word) >= 1),
+          |per AS (SELECT t.doc_id,
+          |    CAST(count(*) AS BIGINT) AS n_words,
+          |    CAST(sum(m.n_sym) AS BIGINT) AS n_bpe_tokens
+          |  FROM dtf t JOIN map m USING (word) GROUP BY t.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          |  CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+          |FROM documents d LEFT JOIN per p USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
     // The written layout replayed from first principles: the same
     // md5 window as corpus_shuffle supplies the expected coordinates,
     // and the physical facts the Spark side OBSERVES from the parquet

@@ -76,4 +76,17 @@ class BpeSpec extends SparkSpec {
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
+
+  test("bpe_encode broadcasts the vocab map; lengths bound sanely") {
+    val q = graft.queries.TextQueries.bpeEncode(spark, sf)
+    // the word -> subword-count map is vocab-sized: it must reach the
+    // corpus join as a broadcast, never a corpus-wide shuffle
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // every word is >= 1 symbol, so BPE length bounds the word count;
+    // merges only shrink symbol counts, never below one per word
+    val bad = q.filter(col("n_bpe_tokens") < col("n_words")).count()
+    assert(bad === 0)
+    assert(q.filter(col("n_words") > 0).count() > 0)
+  }
 }

@@ -37,10 +37,12 @@ object Streams {
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Staged landing zones, keyed by (source dir, batch count). The
-    * landing zone is test scaffolding standing in for the directory
-    * micro-batches arrive into — in production it exists once, shared
-    * by every stream reading it, so it is memoized per process.
+  /** Staged landing zones, keyed by the full landing config
+    * (source dir, batches, filesPerBatch, flushSentinel, duplicated).
+    * The landing zone is test scaffolding standing in for the
+    * directory micro-batches arrive into — in production it exists
+    * once, shared by every stream reading it, so it is memoized per
+    * process.
     */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Boolean, Boolean), String]()
@@ -182,6 +184,11 @@ object Streams {
       "flushSentinel requires filesPerBatch = 1: the two single-file " +
         "sentinels must land in separate triggers (advance, then flush); " +
         "a multi-file trigger would consume both at once")
+    require(!(duplicated && filesPerBatch > 1),
+      "duplicated requires filesPerBatch = 1: the two replicas must " +
+        "arrive as separate micro-batches to exercise cross-batch keyed " +
+        "dedup state; a multi-file trigger would collapse them into one " +
+        "batch and the redelivery shape would silently vanish")
     val staged = memoStage(stagedDirs,
         (dir, batches, filesPerBatch, flushSentinel, duplicated)) {
       val out = scratch("graft-stream-src")
@@ -202,19 +209,24 @@ object Streams {
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
           .map(_.toPath).toSeq
       }
-      def stage(files: Seq[(java.nio.file.Path, String)]): Unit =
-        files.zipWithIndex.foreach { case ((src, n), i) =>
+      // (source, staged name, arrival index): files of one arrival
+      // share a modification time, so arrival order == mtime order
+      // regardless of copy speed — the ONE home of the mtime
+      // convention (base 1700000000000L, 60 s per arrival) the
+      // sentinel offsets at 990/991 build on
+      def stage(files: Seq[(java.nio.file.Path, String, Int)]): Unit =
+        files.foreach { case (src, n, arrival) =>
           val dst = out.resolve(n)
           Files.copy(src, dst)
-          // deterministic arrival order regardless of copy speed
           Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + arrival * 60000L))
         }
       if (duplicated) {
         // the whole log staged TWICE on purpose = at-least-once replay
-        stage(Seq(base -> "a0.parquet", base -> "a1.parquet"))
+        stage(Seq((base, "a0.parquet", 0), (base, "a1.parquet", 1)))
       } else if (batches <= 1) {
-        stage(Seq(base -> "events.parquet"))
+        stage(Seq((base, "events.parquet", 0)))
       } else {
         // one ARRIVAL per range batch, each landing as up to
         // `filesPerBatch` ts-consecutive part files that share one
@@ -225,15 +237,11 @@ object Streams {
         // smaller arrival.
         val p = writeParts(
           ev.repartitionByRange(batches * filesPerBatch, col("ts")))
-        p.grouped(filesPerBatch).zipWithIndex.foreach { case (chunk, a) =>
-          chunk.zipWithIndex.foreach { case (f, j) =>
-            val dst = out.resolve(f"b$a%03d-f$j%02d.parquet")
-            Files.copy(f, dst)
-            Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(
-                1700000000000L + a * 60000L))
+        stage(p.grouped(filesPerBatch).zipWithIndex.flatMap {
+          case (chunk, a) => chunk.zipWithIndex.map {
+            case (f, j) => (f, f"b$a%03d-f$j%02d.parquet", a)
           }
-        }
+        }.toSeq)
       }
       if (flushSentinel) {
         import spark.implicits._

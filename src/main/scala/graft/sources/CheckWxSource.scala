@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.LongType
   */
 class CheckWxSource(transport: String => String,
     base: String = "https://api.example.invalid/metar",
-    timeoutSeconds: Int = 15) extends Serializable {
+    val timeoutSeconds: Int = 15) extends Serializable {
 
   def url(icaos: Seq[String]): String =
     s"$base/${icaos.mkString(",")}/decoded"

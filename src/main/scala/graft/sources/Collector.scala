@@ -79,8 +79,15 @@ object Collector {
       }
       .start()
     try {
-      // generous ceiling: interval * ticks * (retries+1) + backoff slack
-      val budget = intervalMillis * ticks * (retries + 2) + 30000L
+      // generous ceiling: ticks are serialized on the stream thread, and
+      // a tick's worst case is (retries+1) fetches each allowed to run to
+      // the transport's own HTTP timeout, plus the linear backoff sleeps —
+      // a legitimately degraded-but-working collector (every attempt
+      // timing out at 15 s, last one landing) must NOT trip the soak guard.
+      val backoffWorst = retryDelayMillis * (retries.toLong * (retries + 1) / 2)
+      val perTickWorst =
+        (retries + 1).toLong * source.timeoutSeconds * 1000L + backoffWorst
+      val budget = (intervalMillis + perTickWorst) * ticks + 30000L
       if (!done.await(budget, java.util.concurrent.TimeUnit.MILLISECONDS))
         throw new IllegalStateException(
           s"collector soak did not reach $ticks ticks within ${budget} ms")

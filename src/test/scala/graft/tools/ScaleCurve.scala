@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *   GRAFT_SCALE_ROOT     output root (default /tmp/graft-scale)
   *   GRAFT_SCALE_FACTORS  comma list (default 1,3,10)
   *   GRAFT_SCALE_QUERIES  comma list of SparkEntry.queries names
-  *   GRAFT_SCALE_WARM     warm repeats per query (default 2)
+  *   GRAFT_SCALE_WARM     warm repeats per query (default 3)
   */
 object ScaleCurve {
 

@@ -9,7 +9,7 @@ and writes ``bench_medians.json`` at the repo root:
     {
       "sf": ..., "runs": 3, "generated_unix": ...,
       "degraded_runs": [false, false, false],   # per-run canary verdicts
-      "canary": {"pin_sec": 0.6, "per_run": [[a,b], ...]},
+      "canary": {"pin_sec": 0.25, "per_run": [[a,b], ...]},
       "queries": {name: {"spark_sec": med, "duckdb_sec": med, "ratio": r}},
       "spark_total_sec": ..., "duckdb_total_sec": ..., "ratio": ...
     }
@@ -76,19 +76,27 @@ def main() -> int:
 
     names = sorted(benches[0]["queries"])
     failed = sorted({q for b in benches for q in b.get("failed", [])})
+    no_oracle = sorted(set(names) - set(oracles))
     queries = {}
     for n in names:
         # a failed query's timing is the time-to-crash, not the work —
         # it must never flatter the totals. Mark it and exclude below.
+        # A query WITHOUT an oracle has no DuckDB twin: its duckdb_sec
+        # and ratio are explicitly null (NaN would survive the old
+        # truthiness guard, poison the totals, and emit non-standard
+        # JSON NaN literals) and it is excluded from the ratio totals.
         spark_med = statistics.median(b["queries"][n] for b in benches)
-        duck_med = statistics.median(d.get(n, float("nan")) for d in duck_runs)
+        duck_samples = [d[n] for d in duck_runs if n in d]
+        duck_med = statistics.median(duck_samples) if duck_samples else None
         queries[n] = {
             "spark_sec": round(abs(spark_med), 4),
-            "duckdb_sec": round(duck_med, 4),
-            "ratio": round(abs(spark_med) / duck_med, 3) if duck_med else None,
+            "duckdb_sec": round(duck_med, 4) if duck_med is not None else None,
+            "ratio": (round(abs(spark_med) / duck_med, 3)
+                      if duck_med is not None and duck_med > 0 else None),
             "failed": n in failed,
         }
-    ok = {n: q for n, q in queries.items() if not q["failed"]}
+    ok = {n: q for n, q in queries.items()
+          if not q["failed"] and q["duckdb_sec"] is not None}
     spark_total = sum(q["spark_sec"] for q in ok.values())
     duck_total = sum(q["duckdb_sec"] for q in ok.values())
     artifact = {
@@ -101,6 +109,7 @@ def main() -> int:
             "per_run": [b.get("canary_sec") for b in benches],
         },
         "failed": failed,
+        "no_oracle": no_oracle,
         "queries": queries,
         "spark_total_sec": round(spark_total, 2),
         "duckdb_total_sec": round(duck_total, 2),
@@ -112,7 +121,7 @@ def main() -> int:
         f.write("\n")
     print(f"wrote {out}: spark {spark_total:.1f}s vs duckdb {duck_total:.1f}s "
           f"= {artifact['ratio']}x; degraded_runs={artifact['degraded_runs']}; "
-          f"failed={failed}")
+          f"failed={failed}; no_oracle={no_oracle}")
     return 1 if failed else 0
 
 

@@ -30,6 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object MergeWriter {
 
+  /** Loud ceiling on every driver-side partition-value collect: the
+    * values are metadata (one per touched partition — calendar days,
+    * shard ids), bounded by |partitions| and NEVER by row count. A
+    * merge that would collect more has been handed a per-row column as
+    * its partition key; failing fast beats a silent driver OOM at
+    * scale. 100k values ≈ 274 years of days — far above any sane
+    * layout, far below driver heap.
+    */
+  val MaxCollectedPartitionValues: Int = 100000
+
+  /** The guarded collect behind every touched-partition rescope: the
+    * distinct `partCol` values of `df`, failing loudly past `max`
+    * (spec-gated in MergeWriterSpec with a small cap).
+    */
+  private[graft] def boundedPartitionValues(df: DataFrame, partCol: String,
+      max: Int = MaxCollectedPartitionValues): Seq[Any] = {
+    // limit(max+1) bounds the DRIVER side of a mis-keyed call before
+    // the guard fires — the collect itself must never be the OOM
+    val vals = df.select(partCol).distinct().limit(max + 1)
+      .collect().map(_.get(0)).toSeq
+    require(vals.size <= max,
+      s"partitioned merge on '$partCol' collected more than $max distinct " +
+        s"partition values: '$partCol' is not partition-grained — wrong " +
+        "partition column?")
+    vals
+  }
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -97,7 +124,7 @@ object MergeWriter {
     // full partition listing through the probe side)
     val touched =
       if (fresh) None
-      else Some(inc0.select(partCol).distinct().collect().map(_.get(0)).toSeq)
+      else Some(boundedPartitionValues(inc0, partCol))
     val unioned = touched match {
       case None => incoming
       case Some(vals) =>

@@ -74,19 +74,27 @@ object Medallion {
       import spark.implicits._
       MergeWriter.replace(spark, wmDir, Seq(v).toDF("wm").coalesce(1))
     }
+    // the watermark compare is phrased on the raw ts column (against a
+    // foldable timestamp_micros literal), NOT as unix_micros(ts) > v:
+    // a predicate on the bare column reaches the parquet scan and
+    // row-group min/max stats skip every already-incorporated file —
+    // the difference between "per-batch cost ∝ batch" and "per-batch
+    // cost ∝ corpus" once the stg table is years deep
     def pendingFor(wm: Option[Long]): DataFrame = wm match {
       case None => stgOut
-      case Some(v) => stgOut.filter(unix_micros(col("ts")) > v)
+      case Some(v) => stgOut.filter(col("ts") > timestamp_micros(lit(v)))
     }
 
     // int: latest state per key, merged on the key (20-row dimension
-    // in the reference; |users| here). Incremental scope: only users
-    // with unincorporated rows need their latest recomputed — a
-    // NULL-SAFE semi join on the pending users (distributed; the user
-    // set is NOT metadata-sized, so never a driver-side collect; <=>
-    // so a null-user row is rescoped like any other key, matching the
-    // fresh build), and the keyed upsert keeps every untouched user's
-    // row.
+    // in the reference; |users| here). Incremental scope: latest-per-
+    // key is DECOMPOSABLE — latest(history ∪ batch) = latest(latest
+    // (history), latest(batch)) under the same total order — and the
+    // keyed upsert's own LatestPerKey merge on (ts, event_id) computes
+    // exactly that outer step against the target's existing row. So an
+    // incremental run reduces ONLY the pending rows and never rejoins
+    // or rescans stg history: per-batch cost ∝ batch. (An earlier
+    // shape semi-joined stg back to the pending users — O(|stg|) scan
+    // + shuffle per batch, superlinear in corpus on the steady state.)
     val intDir = s"$root/int_latest"
     val intWmDir = s"$root/int_latest_wm"
     val intWm = if (!MergeWriter.exists(spark, intDir)) None
@@ -95,12 +103,7 @@ object Medallion {
     val intStat = intPending
       .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
     if (intWm.isEmpty || intStat.getLong(1) > 0) {
-      val intSrc = intWm match {
-        case None => stgOut
-        case Some(_) =>
-          val users = intPending.select(col("user_id").as("_iu")).distinct()
-          stgOut.join(users, col("user_id") <=> col("_iu"), "left_semi")
-      }
+      val intSrc = if (intWm.isEmpty) stgOut else intPending
       MergeWriter.upsert(spark, intDir,
         LatestPerKey(intSrc, Seq("user_id"), Seq("ts", "event_id")),
         keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
@@ -127,11 +130,25 @@ object Medallion {
       val dailySrc = dwhWm match {
         case None => stgOut
         case Some(_) =>
-          val touchedDays = dwhPending
-            .select(to_date(date_trunc("day", col("ts"))).as("day"))
-            .distinct().collect().map(_.getDate(0)).toSeq
-          stgOut.filter(
-            to_date(date_trunc("day", col("ts"))).isInCollection(touchedDays))
+          // driver-side day values: bounded by the CALENDAR (one value
+          // per day carrying unincorporated rows — with in-order
+          // arrival, the days of this batch), never by data volume.
+          // The cap turns a mis-keyed source (e.g. a per-row value
+          // leaking into the day column) into a loud failure instead
+          // of a driver OOM. The day-set filter alone is an expression
+          // on ts and would scan all of stg; the companion range
+          // predicate on the bare column reaches parquet row-group
+          // stats and prunes incorporated history (days are touched on
+          // the recent tail in steady state).
+          val touchedDays = MergeWriter.boundedPartitionValues(
+              dwhPending.select(to_date(date_trunc("day", col("ts"))).as("day")),
+              "day")
+            .map(_.asInstanceOf[java.sql.Date])
+          val minDay = touchedDays.minBy(_.getTime)
+          stgOut
+            .filter(col("ts") >= lit(minDay).cast("timestamp"))
+            .filter(
+              to_date(date_trunc("day", col("ts"))).isInCollection(touchedDays))
       }
       val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
         metrics = Seq(

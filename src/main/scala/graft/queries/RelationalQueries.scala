@@ -112,29 +112,86 @@ object RelationalQueries {
     * pre-partitioned buckets with NO exchange on either side
     * (plan-guarded in `BucketingSpec`). This is how a 100 TB fact
     * table joins repeatedly without re-shuffling: pay the partition
-    * once at write time.
+    * once at write time — and the staging honors that contract ACROSS
+    * processes: the layout persists under a corpus-signature key
+    * (source path + file length/mtime, so a regenerated corpus
+    * rebuilds), and a fresh session re-attaches to it with
+    * `CREATE TABLE ... CLUSTERED BY ... LOCATION` instead of
+    * rewriting — the exact DDL a production deployment uses to
+    * register an existing bucketed layout with a new metastore. The
+    * recurring cost is the join; only the first process after a
+    * corpus change pays the write.
     */
+  def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val sig = {
+      val crc = new java.util.zip.CRC32
+      Seq("lineitem", "orders").foreach { t =>
+        val f = new java.io.File(s"$dir/$t.parquet")
+        crc.update(s"${f.getAbsolutePath}|${f.length}|${f.lastModified}"
+          .getBytes("UTF-8"))
+      }
+      java.lang.Long.toHexString(crc.getValue)
+    }
+    val liTab = s"graft_li_bucketed_$sig"
+    val ordTab = s"graft_ord_bucketed_$sig"
+    val wh = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-bucketed-$sig")
+    if (!new java.io.File(wh, "_DONE").exists()) {
+      // stage into a private dir, atomically rename into place: a
+      // concurrent builder (two sessions cold on the same corpus)
+      // loses the rename and discards its staging — the layout under
+      // `wh` is always one writer's complete output
+      val staging = java.nio.file.Files
+        .createTempDirectory(s"graft-bucketed-$sig-stage").toFile
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+      // throwaway catalog names: the write API only produces a BUCKETED
+      // layout through saveAsTable; the files outlive the dropped
+      // external-table entries and the real names attach below
+      spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
+      spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
+      li.write.mode("overwrite").option("path", s"$staging/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"${liTab}_stage")
+      ord.write.mode("overwrite").option("path", s"$staging/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"${ordTab}_stage")
+      spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
+      spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
+      new java.io.File(staging, "_DONE").createNewFile()
+      try java.nio.file.Files.move(staging.toPath, wh.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          import scala.reflect.io.Directory
+          new Directory(staging).deleteRecursively()
+      }
+    }
+    // register over the persisted files — never rewrite. saveAsTable-
+    // written bucket files carry the bucket id in their names, so a
+    // table declared with the IDENTICAL CLUSTERED BY spec reads them
+    // co-located (BucketingSpec gates the re-attached plan for
+    // no-exchange + result parity).
+    def attach(tab: String, sub: String, key: String): Unit =
+      if (!spark.catalog.tableExists(tab)) {
+        val schema = spark.read.parquet(s"$wh/$sub").schema
+        spark.sql(s"CREATE TABLE $tab (${schema.toDDL}) USING PARQUET " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+          s"LOCATION '$wh/$sub'")
+      }
+    attach(liTab, "li", "l_orderkey")
+    attach(ordTab, "ord", "o_orderkey")
+    (liTab, ordTab)
+  }
+
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity",
-      "l_extendedprice", "l_discount")
-    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-    // external tables at a fresh temp location: a stale managed-table
-    // dir from a previous session would collide with the (in-memory)
-    // catalog's overwrite
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-    spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
-    li.write.mode("overwrite").option("path", s"$wh/li")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_li_bucketed")
-    ord.write.mode("overwrite").option("path", s"$wh/ord")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_ord_bucketed")
+    val (liTab, ordTab) = ensureBucketedTables(spark, dir)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.table("graft_li_bucketed")
-        .join(spark.table("graft_ord_bucketed"),
+      spark.table(liTab)
+        .join(spark.table(ordTab),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
         .agg(

@@ -37,4 +37,35 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("persisted layout re-attaches via DDL: no exchange, same result") {
+    // first call builds the layout (or reuses a prior session's);
+    // dropping the catalog entries simulates a NEW process that finds
+    // the files on disk and must register them CLUSTERED BY instead of
+    // rewriting — the production "existing layout, new metastore" path
+    val (liTab, ordTab) =
+      queries.RelationalQueries.ensureBucketedTables(spark, sf)
+    val expected = spark.table(liTab)
+      .join(spark.table(ordTab), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    spark.sql(s"DROP TABLE $liTab")
+    spark.sql(s"DROP TABLE $ordTab")
+    val (liTab2, ordTab2) =
+      queries.RelationalQueries.ensureBucketedTables(spark, sf)
+    assert(liTab2 === liTab && ordTab2 === ordTab)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(liTab2)
+        .join(spark.table(ordTab2), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() === expected)
+      // parity against the raw, unbucketed sources
+      val raw = Tables.lineitem(spark, sf).select("l_orderkey")
+        .join(Tables.orders(spark, sf).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() === raw.count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }

@@ -313,6 +313,25 @@ class MergeWriterSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
   }
 
+  test("touched-partition collect is bounded: loud failure past the cap") {
+    import spark.implicits._
+    // the guarded collect every rescope goes through (upsertPartitioned's
+    // touched values, Medallion's touched days): partition values are
+    // metadata-sized; a per-row column handed in as the partition key
+    // must fail fast, not stream row count to the driver
+    val perRow = (1 to 50).map(i => (i.toLong, s"k$i")).toDF("id", "day")
+    val e = intercept[IllegalArgumentException] {
+      MergeWriter.boundedPartitionValues(perRow, "day", max = 10)
+    }
+    assert(e.getMessage.contains("not partition-grained"))
+    // at or under the cap: the values come back complete
+    val ok = MergeWriter.boundedPartitionValues(
+      perRow.filter(col("id") <= 10), "day", max = 10)
+    assert(ok.toSet === (1 to 10).map(i => s"k$i").toSet)
+    // the production cap admits any sane calendar (274 years of days)
+    assert(MergeWriter.MaxCollectedPartitionValues === 100000)
+  }
+
   test("partition swap staging is never visible to partition discovery") {
     import spark.implicits._
     val dir = tmp()

@@ -51,6 +51,26 @@ object ScaleCurve {
     }.reduce(_ unionByName _)
   }
 
+  /** Events replicate as "more users, same calendar": copy i offsets
+    * `user_id`/`event_id` and keeps ts/type/value/props verbatim. Day
+    * count stays fixed while per-day volume and |users| grow m× — the
+    * 100 TB shape the partitioned merges are designed for (partitions
+    * grow, partition COUNT doesn't), so the write-lifecycle queries
+    * (pipeline_medallion, merge_upsert_daily) scale the work that
+    * matters instead of inventing new partitions.
+    */
+  def scaledEvents(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = graft.Tables.events(spark, sfDir)
+    (0 until m).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("event_id") + lit(i * IdStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def ensureScaled(spark: SparkSession, sfDir: String, root: String,
       m: Int): String = {
     val dir = s"$root/x$m"
@@ -61,6 +81,14 @@ object ScaleCurve {
       scaledEmbeddings(spark, sfDir, m).repartition(math.max(4, 2 * m))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       done.createNewFile()
+    }
+    // events landed later than the corpus tables — separate marker so
+    // existing doc/embedding replicas (expensive) are not regenerated
+    val doneEvents = new java.io.File(s"$dir/_DONE_events")
+    if (!doneEvents.exists()) {
+      scaledEvents(spark, sfDir, m).repartition(math.max(4, 2 * m))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      doneEvents.createNewFile()
     }
     dir
   }

@@ -8,6 +8,7 @@ e.g.:  tools/scale_duckdb.py /tmp/vout/oracle_sql.json /tmp/graft-scale 1,3,10 \
           dedup_substring,dedup_substring_keepfirst 3
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -26,11 +27,12 @@ def main() -> int:
     for m in [int(x) for x in factors.split(",")]:
         con = duckdb.connect()
         for t in TABLES:
-            # scaled dirs carry only the corpus tables; the rest fall
-            # back to the base sf dir (the spans queries touch only
-            # `documents`, so the fallback is never on the hot path)
-            src = f"{root}/x{m}/{t}.parquet/*.parquet" \
-                if t in ("documents", "embeddings") else f"{base}/{t}.parquet"
+            # a table ScaleCurve replicated reads from the scaled dir;
+            # the rest fall back to the base sf dir (never on the hot
+            # path — queries under a curve only touch scaled tables)
+            scaled = f"{root}/x{m}/{t}.parquet"
+            src = f"{scaled}/*.parquet" if os.path.isdir(scaled) \
+                else f"{base}/{t}.parquet"
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         for q in queries.split(","):
             ts = []

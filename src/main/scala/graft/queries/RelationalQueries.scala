@@ -163,9 +163,15 @@ object RelationalQueries {
       try java.nio.file.Files.move(staging.toPath, wh.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileSystemException =>
-          import scala.reflect.io.Directory
-          new Directory(staging).deleteRecursively()
+        case e: java.nio.file.FileSystemException =>
+          // ONLY a lost race (winner's complete layout in place) may
+          // discard the staging; any other move failure (I/O error,
+          // cross-filesystem tmpdir) must not silently destroy the one
+          // complete build and then fail later with a bare missing-path
+          if (new java.io.File(wh, "_DONE").exists()) {
+            import scala.reflect.io.Directory
+            new Directory(staging).deleteRecursively()
+          } else throw e
       }
     }
     // register over the persisted files — never rewrite. saveAsTable-

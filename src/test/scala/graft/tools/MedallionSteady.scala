@@ -34,11 +34,7 @@ object MedallionSteady {
     val root = sys.env.getOrElse("GRAFT_STEADY_ROOT",
       "/tmp/graft-medallion-steady")
 
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftSession.prepare(spark)
+    val spark = Harness.session()
 
     val dir = new java.io.File(root)
     if (dir.exists()) {
@@ -51,11 +47,11 @@ object MedallionSteady {
     val ev = graft.Tables.events(spark, src)
     val days = ev.select(to_date(col("ts")).as("d")).distinct()
       .orderBy("d").collect().map(_.getDate(0)).toSeq
-    val chunks = days.grouped(math.max(1, days.size / nBatches)).toSeq
-
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    // ceil division honors the requested batch count (floor would
+    // yield an extra runt batch whenever days % nBatches != 0)
+    val chunks = days
+      .grouped(math.max(1, (days.size + nBatches - 1) / nBatches)).toSeq
+    import Harness.time
 
     var cumulative = 0L
     chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -84,16 +80,22 @@ object MedallionSteady {
         col("day").as(s"day_$tag"), col("n_events").as(s"n_$tag"),
         col("max_value").as(s"max_$tag"), col("min_value").as(s"min_$tag"),
         col("avg_value").as(s"avg_$tag"))
+    // null-SAFE compares throughout: a regression that nulls a metric
+    // on one side must count as a mismatch, not vanish into 3-valued
+    // logic (x =!= null is NULL, never true). Null-vs-value on avg
+    // coalesces to beyond-tolerance.
+    def differs(a: String, b: String) = !(col(a) <=> col(b))
     val j = keyed(full, "f").join(keyed(inc, "i"), Seq("user_id_date"), "full")
       .agg(
         count(when(col("day_f").isNull || col("day_i").isNull, 1))
           .as("structural"),
-        count(when(col("n_f") =!= col("n_i") ||
-          col("max_f") =!= col("max_i") || col("min_f") =!= col("min_i") ||
-          col("day_f") =!= col("day_i"), 1)).as("exact_mismatch"),
-        count(when(abs(col("avg_f") - col("avg_i")) > 0.001, 1))
+        count(when(differs("n_f", "n_i") || differs("max_f", "max_i") ||
+          differs("min_f", "min_i") || differs("day_f", "day_i"), 1))
+          .as("exact_mismatch"),
+        count(when(differs("avg_f", "avg_i") &&
+          coalesce(abs(col("avg_f") - col("avg_i")) > 0.001, lit(true)), 1))
           .as("avg_beyond_tol"),
-        count(when(abs(col("avg_f") - col("avg_i")) > 0, 1))
+        count(when(differs("avg_f", "avg_i"), 1))
           .as("avg_rounding_flips"))
       .head()
     println(s"""{"structural":${j.getLong(0)},"exact_mismatch":${j.getLong(1)},"avg_beyond_tol":${j.getLong(2)},"avg_rounding_flips":${j.getLong(3)}}""")

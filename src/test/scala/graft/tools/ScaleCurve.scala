@@ -103,15 +103,8 @@ object ScaleCurve {
     val warmRuns = sys.env.getOrElse("GRAFT_SCALE_WARM", "3").toInt
     require(queries.nonEmpty, "set GRAFT_SCALE_QUERIES")
 
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftSession.prepare(spark)
-
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    val spark = Harness.session()
+    import Harness.time
     factors.foreach { m =>
       val dir = ensureScaled(spark, sfDir, root, m)
       // bench-style hygiene between measurements

@@ -169,7 +169,11 @@ def main() -> int:
             "duckdb_sec": round(duck_med, 4) if duck_med is not None else None,
             "ratio": (round(abs(spark_med) / duck_med, 3)
                       if duck_med is not None and duck_med > 0 else None),
-            "class": classify(n, abs(spark_med)),
+            # a crashed query's timing is a crash artifact — never feed
+            # it to the cost-class adjudication (fast crash would read
+            # as "job-floor", a slow unlisted crash as a bogus
+            # unadjudicated warning)
+            "class": "failed" if n in failed else classify(n, abs(spark_med)),
             "failed": n in failed,
         }
     ok = {n: q for n, q in queries.items()
@@ -193,7 +197,8 @@ def main() -> int:
         "queries": queries,
         "spark_total_sec": round(spark_total, 2),
         "duckdb_total_sec": round(duck_total, 2),
-        "ratio": round(spark_total / duck_total, 3),
+        "ratio": (round(spark_total / duck_total, 3)
+                  if duck_total > 0 else None),
     }
     out = os.path.join(REPO, "bench_medians.json")
     with open(out, "w") as f:

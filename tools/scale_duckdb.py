@@ -25,15 +25,33 @@ def main() -> int:
         oracles = json.load(f)
     base = "/root/testdata/sf0.1"
     for m in [int(x) for x in factors.split(",")]:
+        # fail LOUDLY on an absent or partially-written scale dir: a
+        # silent fallback to the 1x corpus would publish flat "curves"
+        # at wrong scale labels (ScaleCurve stamps _DONE/_DONE_events
+        # only after a complete materialization)
+        if not os.path.isdir(f"{root}/x{m}"):
+            raise SystemExit(f"scale dir {root}/x{m} does not exist — "
+                             "run tools/ScaleCurve first")
         con = duckdb.connect()
+        fallbacks = []
         for t in TABLES:
             # a table ScaleCurve replicated reads from the scaled dir;
             # the rest fall back to the base sf dir (never on the hot
             # path — queries under a curve only touch scaled tables)
             scaled = f"{root}/x{m}/{t}.parquet"
-            src = f"{scaled}/*.parquet" if os.path.isdir(scaled) \
-                else f"{base}/{t}.parquet"
+            if os.path.isdir(scaled):
+                marker = "_DONE_events" if t == "events" else "_DONE"
+                if not os.path.exists(f"{root}/x{m}/{marker}"):
+                    raise SystemExit(
+                        f"{scaled} exists without {marker}: partial "
+                        "ScaleCurve write — regenerate the scale dir")
+                src = f"{scaled}/*.parquet"
+            else:
+                fallbacks.append(t)
+                src = f"{base}/{t}.parquet"
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        print(json.dumps({"scale": m,
+                          "unscaled_base_tables": fallbacks}), flush=True)
         for q in queries.split(","):
             ts = []
             for _ in range(runs):

@@ -46,8 +46,8 @@ object PpJoin {
     * released — not `.cache()`): three consumers (prefix explode + two
     * verify joins) would otherwise re-run the shingle pipeline.
     */
-  private def canonicalSets(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame = {
+  private[graft] def canonicalSets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
     val post = df.select(col(idCol).as("_id"),
         explode(array_distinct(
           Text.shingles(Text.tokens(col(textCol)), shingleN))).as("_tok"))
@@ -77,13 +77,47 @@ object PpJoin {
     * the requirement (an over-tight ceil would drop true pairs; a
     * slightly-weak one only admits a candidate the verify stage kills).
     */
-  private[graft] def candidates(sets: DataFrame,
-      minJaccard: Double): DataFrame = {
-    // prefix length L = sz - ceil(t*sz) + 1 (>= 1 for t <= 1)
-    val pre = sets.select(col("_id"), col("_sz"),
+  /** The prefix posting relation (token, id, size, 0-based position)
+    * both candidate forms consume; prefix length
+    * L = sz - ceil(t*sz) + 1 (>= 1 for t <= 1).
+    */
+  private def prefixPostings(sets: DataFrame, minJaccard: Double): DataFrame =
+    sets.select(col("_id"), col("_sz"),
       posexplode(slice(col("_stoks"), lit(1),
         (col("_sz") - ceil(lit(minJaccard) * col("_sz")) + 1).cast("int")))
         .as(Seq("_p", "_ptok")))
+
+  /** Candidate pairs through the native [[graft.plans.PrefixPairsNode]]
+    * physical operator: ONE shuffle + ONE sort of the posting relation
+    * (the composed self-join reuses the exchange but sorts twice),
+    * each unordered pair generated once, length filter applied by
+    * early termination on the size-sorted group instead of per-pair
+    * predicate evaluation. Same pairs as [[candidatesComposed]]
+    * (spec-asserted set equality + the shared dedup_ppjoin oracle);
+    * the null-token filter mirrors the inner join's null semantics.
+    */
+  private[graft] def candidates(sets: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    val pre = prefixPostings(sets, minJaccard)
+      .filter(col("_ptok").isNotNull)
+      .select(col("_ptok"), col("_id"), col("_sz"), col("_p"))
+    val node = graft.plans.PrefixPairsNode(minJaccard,
+      pre.queryExecution.analyzed,
+      AttributeReference("id_a", LongType, nullable = false)(),
+      AttributeReference("id_b", LongType, nullable = false)())
+    org.apache.spark.sql.graft.PlanDsl.ofRows(sets.sparkSession, node)
+      .distinct()
+  }
+
+  /** The composed (self-join) candidate form — the A/B reference the
+    * native node is spec-gated against, and the shape a plain-Spark
+    * deployment without the extension would run.
+    */
+  private[graft] def candidatesComposed(sets: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val pre = prefixPostings(sets, minJaccard)
     val a = pre.select(col("_ptok"), col("_id").as("id_a"),
       col("_sz").as("_sza"), col("_p").as("_pa"))
     val b = pre.select(col("_ptok"), col("_id").as("id_b"),

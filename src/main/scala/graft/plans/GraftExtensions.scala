@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shingleExplodeFunction)
     e.injectFunction(GraftExtensions.removeSpansFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
     // a cluster configured via spark.sql.extensions would run the
     // rn=1-window form at full shuffle width — the exact regression
@@ -257,5 +258,8 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(PrefixPairsStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ PrefixPairsStrategy
   }
 }

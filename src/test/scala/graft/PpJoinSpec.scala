@@ -60,6 +60,64 @@ class PpJoinSpec extends SparkSpec {
       s"prefix filter left $cands of $allPairs pairs — pruning too weak")
   }
 
+  private def canonicalSets(docs: org.apache.spark.sql.DataFrame) = {
+    val post = docs.select(col("doc_id").as("_id"),
+      explode(array_distinct(
+        Text.shingles(Text.tokens(col("text")), 3))).as("_tok"))
+    val dfreq = post.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    post.join(dfreq, "_tok").groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
+      .select(col("_id"),
+        transform(col("_st"), s => s.getField("_tok")).as("_stoks"))
+      .withColumn("_sz", size(col("_stoks")))
+  }
+
+  test("native PrefixPairs node == composed self-join candidates") {
+    import spark.implicits._
+    val sets = canonicalSets(Tables.documents(spark, sf)).localCheckpoint()
+    // 0.5 (exact ceil boundaries everywhere) and a threshold whose
+    // t/(1+t) is irrational-ish — the 1e-9 slack path
+    Seq(0.5, 0.3333).foreach { t =>
+      val native = PpJoin.candidates(sets, t)
+        .as[(Long, Long)].collect().toSet
+      val composed = PpJoin.candidatesComposed(sets, t)
+        .as[(Long, Long)].collect().toSet
+      assert(native === composed, s"threshold $t")
+      assert(native.nonEmpty, s"threshold $t should yield candidates")
+    }
+  }
+
+  test("native PrefixPairs: one shuffle + one sort below the node") {
+    val sets = canonicalSets(Tables.documents(spark, sf)).localCheckpoint()
+    val plan = PpJoin.candidates(sets, 0.5).queryExecution.executedPlan
+      .toString
+    assert(plan.contains("PrefixPairs"), plan.take(1500))
+    // postings shuffle + the final distinct's — the composed self-join
+    // shape would add a second Sort over the reused exchange
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    val sorts = raw"\bSort \[".r.findAllMatchIn(plan).length
+    assert(exchanges === 2, s"want 2 exchanges, got $exchanges:\n" +
+      plan.take(2000))
+    assert(sorts === 1, s"want 1 sort, got $sorts:\n" + plan.take(2000))
+  }
+
+  test("native PrefixPairs streams a hot-token group without blowup") {
+    import spark.implicits._
+    // one token shared by every doc (hot group) + per-doc filler; the
+    // node must stream the quadratic candidate set lazily and agree
+    // with the composed form
+    val docs = (0L until 120L)
+      .map(i => (i, s"common common common filler$i filler$i extra$i"))
+      .toDF("doc_id", "text")
+    val sets = canonicalSets(docs).localCheckpoint()
+    val t = 0.25
+    val native = PpJoin.candidates(sets, t).as[(Long, Long)].collect().toSet
+    val composed =
+      PpJoin.candidatesComposed(sets, t).as[(Long, Long)].collect().toSet
+    assert(native === composed)
+  }
+
   test("dsir: selection fraction, partition invariance, target affinity") {
     val docs = Tables.documents(spark, sf)
     val out = Dsir.scoreAndSelect(docs, "doc_id", "text",

@@ -61,22 +61,6 @@ object PpJoin {
       .localCheckpoint()
   }
 
-  /** Candidate pairs after prefix + length + POSITIONAL filtering
-    * (id_a < id_b) — exposed so audits/specs can measure the pruning
-    * ratio.
-    *
-    * The positional filter is what upgrades AllPairs to PPJoin proper:
-    * a prefix token matched at (0-based) positions `pa`/`pb` of the
-    * two canonically-sorted sets bounds the achievable overlap at
-    * `min(sza - pa, szb - pb)` (this token plus everything after it),
-    * while `J >= t` requires overlap `>= t/(1+t) * (sza+szb)`. Matches
-    * whose bound can't reach the requirement are dropped BEFORE the
-    * pair ever materializes. Lossless: for a qualifying pair the
-    * earliest shared prefix token always satisfies the bound. The
-    * `1e-9` slack keeps FP rounding of `t/(1+t)` from ever STRENGTHENING
-    * the requirement (an over-tight ceil would drop true pairs; a
-    * slightly-weak one only admits a candidate the verify stage kills).
-    */
   /** The prefix posting relation (token, id, size, 0-based position)
     * both candidate forms consume; prefix length
     * L = sz - ceil(t*sz) + 1 (>= 1 for t <= 1).
@@ -87,21 +71,29 @@ object PpJoin {
         (col("_sz") - ceil(lit(minJaccard) * col("_sz")) + 1).cast("int")))
         .as(Seq("_p", "_ptok")))
 
-  /** Candidate pairs through the native [[graft.plans.PrefixPairsNode]]
-    * physical operator: ONE shuffle + ONE sort of the posting relation
-    * (the composed self-join reuses the exchange but sorts twice),
-    * each unordered pair generated once, length filter applied by
-    * early termination on the size-sorted group instead of per-pair
+  /** Candidate pairs (id_a < id_b) after prefix + length + positional
+    * filtering — exposed so audits/specs can measure the pruning
+    * ratio. Through the native [[graft.plans.PrefixPairsNode]]
+    * physical operator when the id is a bigint (every caller in this
+    * engine): ONE shuffle + ONE sort of the posting relation (the
+    * composed self-join reuses the exchange but sorts twice), each
+    * unordered pair generated once, length filter applied by early
+    * termination on the size-sorted group instead of per-pair
     * predicate evaluation. Same pairs as [[candidatesComposed]]
     * (spec-asserted set equality + the shared dedup_ppjoin oracle);
-    * the null-token filter mirrors the inner join's null semantics.
+    * the null-token/null-id filters mirror the inner join's and
+    * `id_a < id_b`'s null-dropping semantics. Any other id type falls
+    * back to the type-generic composed form rather than narrowing the
+    * public [[pairs]] contract.
     */
   private[graft] def candidates(sets: DataFrame,
       minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.LongType
+    if (sets.schema("_id").dataType != LongType)
+      return candidatesComposed(sets, minJaccard)
     val pre = prefixPostings(sets, minJaccard)
-      .filter(col("_ptok").isNotNull)
+      .filter(col("_ptok").isNotNull && col("_id").isNotNull)
       .select(col("_ptok"), col("_id"), col("_sz"), col("_p"))
     val node = graft.plans.PrefixPairsNode(minJaccard,
       pre.queryExecution.analyzed,
@@ -112,8 +104,23 @@ object PpJoin {
   }
 
   /** The composed (self-join) candidate form — the A/B reference the
-    * native node is spec-gated against, and the shape a plain-Spark
-    * deployment without the extension would run.
+    * native node is spec-gated against, the shape a plain-Spark
+    * deployment without the extension would run, and the fallback for
+    * non-bigint id columns.
+    *
+    * The positional filter (shared by both forms, bit-identical
+    * arithmetic) is what upgrades AllPairs to PPJoin proper: a prefix
+    * token matched at (0-based) positions `pa`/`pb` of the two
+    * canonically-sorted sets bounds the achievable overlap at
+    * `min(sza - pa, szb - pb)` (this token plus everything after it),
+    * while `J >= t` requires overlap `>= t/(1+t) * (sza+szb)`. Matches
+    * whose bound can't reach the requirement are dropped BEFORE the
+    * pair ever materializes. Lossless: for a qualifying pair the
+    * earliest shared prefix token always satisfies the bound. The
+    * `1e-9` slack keeps FP rounding of `t/(1+t)` from ever
+    * STRENGTHENING the requirement (an over-tight ceil would drop true
+    * pairs; a slightly-weak one only admits a candidate the verify
+    * stage kills).
     */
   private[graft] def candidatesComposed(sets: DataFrame,
       minJaccard: Double): DataFrame = {

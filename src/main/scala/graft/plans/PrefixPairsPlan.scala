@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * physical operator over a SINGLE shuffled posting relation.
   *
   * The composed form self-joins the prefix postings on the token
-  * ([[graft.ext.PpJoin.candidates]]): correct, but the physical shape
-  * pays for generality —
+  * ([[graft.ext.PpJoin.candidatesComposed]]): correct, but the
+  * physical shape pays for generality —
   *
   *  - the sort-merge join sorts the SAME posting relation twice (one
   *    shuffle is deduped by ReuseExchange, the two `Sort` operators
@@ -43,8 +43,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * group's quadratic candidate set is never materialized.
   *
   * Child contract (validated once resolved): output is positionally
-  * `(token: any orderable, id: long, size: int, pos: int)`. Null
-  * tokens are the builder's concern (the composed join drops them;
+  * `(token: binary-stable atomic, id: long, size: int, pos: int)`.
+  * Group boundaries are detected by BINARY equality of the sorted
+  * token values, so the token type must be one where sort equality
+  * implies byte equality (string/binary/integral/date/timestamp —
+  * floats are rejected: -0.0 and 0.0 sort together but differ in
+  * bytes, which would split a group and drop pairs). Null tokens and
+  * null ids are the builder's concern (the composed join drops both;
   * [[graft.ext.PpJoin]] filters them before the node).
   */
 case class PrefixPairsNode(threshold: Double, child: LogicalPlan,
@@ -61,12 +66,30 @@ case class PrefixPairsNode(threshold: Double, child: LogicalPlan,
       child.output(3).dataType == IntegerType,
       "prefix-pairs child types must be (_, long, int, int): " +
         child.output.map(_.dataType.catalogString).mkString(", "))
+    // group equality is byte equality of the sorted token — only types
+    // where sort-equal implies byte-equal are safe (floats: -0.0/0.0)
+    require(PrefixPairsNode.binaryStable(child.output.head.dataType),
+      "prefix-pairs token type must be binary-stable (string/binary/" +
+        s"integral/date/timestamp): ${child.output.head.dataType.catalogString}")
   }
 
   override def output: Seq[Attribute] = Seq(idA, idB)
   override def producedAttributes: AttributeSet = AttributeSet(output)
   override protected def withNewChildInternal(
       newChild: LogicalPlan): PrefixPairsNode = copy(child = newChild)
+}
+
+object PrefixPairsNode {
+  import org.apache.spark.sql.types._
+  /** Sort-equal implies byte-equal — the token types the group-boundary
+    * byte compare is safe for.
+    */
+  def binaryStable(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | BooleanType | ByteType | ShortType |
+         IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
 }
 
 /** Plans [[PrefixPairsNode]] as [[PrefixPairsExec]]; registered through

@@ -41,40 +41,18 @@ class PpJoinSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
     val allPairs = n * (n - 1) / 2
-    // same canonical sets the operator builds (private) — rebuild via
-    // the public path: candidates are bounded above by verified-pairs'
-    // join input, so measure through the package-private hook
-    val sets = {
-      val post = docs.select(col("doc_id").as("_id"),
-        explode(array_distinct(
-          Text.shingles(Text.tokens(col("text")), 3))).as("_tok"))
-      val dfreq = post.groupBy("_tok").agg(count(lit(1)).as("_df"))
-      post.join(dfreq, "_tok").groupBy(col("_id"))
-        .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
-        .select(col("_id"),
-          transform(col("_st"), s => s.getField("_tok")).as("_stoks"))
-        .withColumn("_sz", size(col("_stoks")))
-    }
+    // the PRODUCTION canonical-set construction (package-private hook),
+    // so the pruning measurement can never drift from what pairs() runs
+    val sets = PpJoin.canonicalSets(docs, "doc_id", "text", 3)
     val cands = PpJoin.candidates(sets, 0.5).count()
     assert(cands < allPairs / 20,
       s"prefix filter left $cands of $allPairs pairs — pruning too weak")
   }
 
-  private def canonicalSets(docs: org.apache.spark.sql.DataFrame) = {
-    val post = docs.select(col("doc_id").as("_id"),
-      explode(array_distinct(
-        Text.shingles(Text.tokens(col("text")), 3))).as("_tok"))
-    val dfreq = post.groupBy("_tok").agg(count(lit(1)).as("_df"))
-    post.join(dfreq, "_tok").groupBy(col("_id"))
-      .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
-      .select(col("_id"),
-        transform(col("_st"), s => s.getField("_tok")).as("_stoks"))
-      .withColumn("_sz", size(col("_stoks")))
-  }
-
   test("native PrefixPairs node == composed self-join candidates") {
     import spark.implicits._
-    val sets = canonicalSets(Tables.documents(spark, sf)).localCheckpoint()
+    val sets =
+      PpJoin.canonicalSets(Tables.documents(spark, sf), "doc_id", "text", 3)
     // 0.5 (exact ceil boundaries everywhere) and a threshold whose
     // t/(1+t) is irrational-ish — the 1e-9 slack path
     Seq(0.5, 0.3333).foreach { t =>
@@ -88,7 +66,8 @@ class PpJoinSpec extends SparkSpec {
   }
 
   test("native PrefixPairs: one shuffle + one sort below the node") {
-    val sets = canonicalSets(Tables.documents(spark, sf)).localCheckpoint()
+    val sets =
+      PpJoin.canonicalSets(Tables.documents(spark, sf), "doc_id", "text", 3)
     val plan = PpJoin.candidates(sets, 0.5).queryExecution.executedPlan
       .toString
     assert(plan.contains("PrefixPairs"), plan.take(1500))
@@ -110,7 +89,7 @@ class PpJoinSpec extends SparkSpec {
     val docs = (0L until 120L)
       .map(i => (i, s"common common common filler$i filler$i extra$i"))
       .toDF("doc_id", "text")
-    val sets = canonicalSets(docs).localCheckpoint()
+    val sets = PpJoin.canonicalSets(docs, "doc_id", "text", 3)
     val t = 0.25
     val native = PpJoin.candidates(sets, t).as[(Long, Long)].collect().toSet
     val composed =

@@ -125,6 +125,10 @@ object MergeWriter {
     val touched =
       if (fresh) None
       else Some(boundedPartitionValues(inc0, partCol))
+    // an empty update set touches no partitions: the merge is a true
+    // no-op (no empty temp write, no swap loop, no listing refresh) —
+    // the cheap idle path an incremental pipeline replays constantly
+    if (touched.exists(_.isEmpty)) return
     val unioned = touched match {
       case None => incoming
       case Some(vals) =>

@@ -31,7 +31,16 @@ object Medallion {
       cfg: graft.Config = graft.Config()): DataFrame = {
     val bronze = Tables.events(spark, dir)
 
-    // stg: typed extraction + incremental high-watermark vs own target
+    // stg: typed extraction + incremental high-watermark vs own target.
+    // The merge is PARTITIONED by day: an unpartitioned keyed upsert is
+    // a full-table rewrite per run — O(|stg|) per batch, the one term
+    // that would turn the flat per-batch steady state superlinear once
+    // stg is years deep. Partitioned on day, each batch reads and
+    // rewrites only the day partitions it touches (O(batch)), while the
+    // keyed merge semantics inside a partition are unchanged — a
+    // corrected re-emission of an event_id (same day, newer ts) still
+    // resolves latest-wins. The empty-update path short-circuits inside
+    // upsertPartitioned, so a no-op replay never rewrites anything.
     val stgDir = s"$root/stg_events"
     val stgTarget =
       if (MergeWriter.exists(spark, stgDir)) spark.read.parquet(stgDir)
@@ -43,10 +52,11 @@ object Medallion {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
         StageExtract.jsonField(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("day", to_date(col("ts")))
       .observe("stg_metrics", count(lit(1)).as("rows_in"),
         count(when(col("k").isNull, 1)).as("null_k"))
-    MergeWriter.upsert(spark, stgDir, stg,
-      keys = Seq("event_id"), versionCols = Seq("ts"))
+    MergeWriter.upsertPartitioned(spark, stgDir, stg,
+      keys = Seq("event_id"), versionCols = Seq("ts"), partCol = "day")
     val stgOut = spark.read.parquet(stgDir)
 
     // Downstream layers scope incrementally from stg rows above their
@@ -79,10 +89,14 @@ object Medallion {
     // a predicate on the bare column reaches the parquet scan and
     // row-group min/max stats skip every already-incorporated file —
     // the difference between "per-batch cost ∝ batch" and "per-batch
-    // cost ∝ corpus" once the stg table is years deep
+    // cost ∝ corpus" once the stg table is years deep. The companion
+    // day >= date(wm) predicate hits the PARTITION layer: incorporated
+    // day directories are never even listed into the plan.
     def pendingFor(wm: Option[Long]): DataFrame = wm match {
       case None => stgOut
-      case Some(v) => stgOut.filter(col("ts") > timestamp_micros(lit(v)))
+      case Some(v) => stgOut
+        .filter(col("day") >= to_date(timestamp_micros(lit(v))))
+        .filter(col("ts") > timestamp_micros(lit(v)))
     }
 
     // int: latest state per key, merged on the key (20-row dimension
@@ -135,20 +149,14 @@ object Medallion {
           // arrival, the days of this batch), never by data volume.
           // The cap turns a mis-keyed source (e.g. a per-row value
           // leaking into the day column) into a loud failure instead
-          // of a driver OOM. The day-set filter alone is an expression
-          // on ts and would scan all of stg; the companion range
-          // predicate on the bare column reaches parquet row-group
-          // stats and prunes incorporated history (days are touched on
-          // the recent tail in steady state).
+          // of a driver OOM. `day` is stg's PARTITION column, so the
+          // distinct is metadata-cheap and the isin filter prunes at
+          // the directory-listing layer — untouched days never enter
+          // the plan.
           val touchedDays = MergeWriter.boundedPartitionValues(
-              dwhPending.select(to_date(date_trunc("day", col("ts"))).as("day")),
-              "day")
+              dwhPending.select(col("day")), "day")
             .map(_.asInstanceOf[java.sql.Date])
-          val minDay = touchedDays.minBy(_.getTime)
-          stgOut
-            .filter(col("ts") >= lit(minDay).cast("timestamp"))
-            .filter(
-              to_date(date_trunc("day", col("ts"))).isInCollection(touchedDays))
+          stgOut.filter(col("day").isInCollection(touchedDays))
       }
       val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
         metrics = Seq(

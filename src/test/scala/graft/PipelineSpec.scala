@@ -46,8 +46,12 @@ class PipelineSpec extends SparkSpec {
     val lateTs = new java.sql.Timestamp(4102444800000L) // 2100-01-01
     val ghost = Seq((999999L, lateTs, 424242L, "view", 7.0,
         Some(1))).toDF("event_id", "ts", "user_id", "event_type", "value", "k")
-    graft.operators.MergeWriter.upsert(spark, s"$root/stg_events", ghost,
-      keys = Seq("event_id"), versionCols = Seq("ts"))
+      .withColumn("day", to_date(col("ts")))
+    // same partitioned merge the stg layer itself runs — the exact
+    // state a dying run leaves behind
+    graft.operators.MergeWriter.upsertPartitioned(spark,
+      s"$root/stg_events", ghost,
+      keys = Seq("event_id"), versionCols = Seq("ts"), partCol = "day")
     Medallion.run(spark, sf, root)
     val intT = spark.read.parquet(s"$root/int_latest")
     assert(intT.filter(col("user_id") === 424242L).count() === 1,

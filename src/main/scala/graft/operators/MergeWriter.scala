@@ -63,6 +63,27 @@ object MergeWriter {
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, new Path(dir)).exists(new Path(dir))
 
+  /** The max partition value of a hive-layout table, from the DIRECTORY
+    * LISTING alone — no data file is opened. For a `day=to_date(ts)`
+    * layout this names the partition holding max(ts), so a high-
+    * watermark read scans one partition instead of the table. Values
+    * compare as raw dir strings (ISO dates sort lexicographically);
+    * the null partition (`__HIVE_DEFAULT_PARTITION__`) is ignored —
+    * a null partition value never carries the max of a ts-derived
+    * column. None when the table is missing or has no partition dirs.
+    */
+  def maxPartitionValue(spark: SparkSession, dir: String,
+      partCol: String): Option[String] = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName.substring(partCol.length + 1))
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      .maxOption
+  }
+
   /** Merge `updates` into the parquet table at `dir`, keyed by `keys`,
     * newest row per key winning by `versionCols` (updates beat existing
     * rows on ties).
@@ -143,7 +164,16 @@ object MergeWriter {
           if (nonNull.size == vals.size) col(partCol).isInCollection(nonNull)
           else if (nonNull.isEmpty) col(partCol).isNull
           else col(partCol).isInCollection(nonNull) || col(partCol).isNull
-        spark.read.parquet(dir)
+        val target = spark.read.parquet(dir)
+        // a target written WITHOUT the partition layout (a legacy
+        // unpartitioned table handed to the partitioned merge) must
+        // fail with the actual problem, not an unresolved-column error
+        // downstream — and never be partition-swapped into corruption
+        require(target.columns.contains(partCol),
+          s"partitioned merge target $dir has no '$partCol' column: " +
+            "written unpartitioned? Rewrite the layout before merging " +
+            "partitioned (one-time full rewrite via partitionBy).")
+        target
           .filter(pred)
           .withColumn("_src", lit(0))
           .unionByName(incoming, allowMissingColumns = true)
@@ -167,6 +197,13 @@ object MergeWriter {
           pmod(hash(keys.map(col): _*), lit(filesPerPartition)))
       }
     if (fresh) {
+      // a fresh EMPTY write would leave a schema-less dir (partitionBy
+      // with zero rows emits no data files, unlike the unpartitioned
+      // empty write) — every later read/merge would then fail on an
+      // unreadable "existing" table. Deliberate no-write instead: the
+      // target appears when data does, and callers treat the missing
+      // dir as the empty table.
+      if (merged.isEmpty) return
       merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)
     } else {
       val tmp = new Path(dir + ".merge.tmp-" +

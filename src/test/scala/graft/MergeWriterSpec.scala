@@ -313,6 +313,44 @@ class MergeWriterSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
   }
 
+  test("maxPartitionValue: listing-only max, null partition ignored") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "2024-01-02"), (2L, "2024-01-10"), (3L, null))
+      .toDF("id", "day")
+      .write.partitionBy("day").parquet(dir)
+    assert(MergeWriter.maxPartitionValue(spark, dir, "day")
+      === Some("2024-01-10"))
+    assert(MergeWriter.maxPartitionValue(spark, dir + "-missing", "day")
+      === None)
+  }
+
+  test("partitioned merge refuses an unpartitioned legacy target loudly") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir) // no 'day' column
+    val up = Seq((2L, "b", "2024-01-01")).toDF("id", "v", "day")
+    val e = intercept[IllegalArgumentException] {
+      MergeWriter.upsertPartitioned(spark, dir, up,
+        keys = Seq("id"), versionCols = Seq("v"), partCol = "day")
+    }
+    assert(e.getMessage.contains("written unpartitioned"))
+  }
+
+  test("fresh empty partitioned merge writes nothing (no schema-less dir)") {
+    import spark.implicits._
+    val dir = tmp()
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "v", "day")
+    MergeWriter.upsertPartitioned(spark, dir, empty,
+      keys = Seq("id"), versionCols = Seq("v"), partCol = "day")
+    assert(!MergeWriter.exists(spark, dir))
+    // and the table appears normally once real rows arrive
+    MergeWriter.upsertPartitioned(spark, dir,
+      Seq((1L, "a", "2024-01-01")).toDF("id", "v", "day"),
+      keys = Seq("id"), versionCols = Seq("v"), partCol = "day")
+    assert(spark.read.parquet(dir).count() === 1)
+  }
+
   test("touched-partition collect is bounded: loud failure past the cap") {
     import spark.implicits._
     // the guarded collect every rescope goes through (upsertPartitioned's

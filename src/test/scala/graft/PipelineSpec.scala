@@ -61,6 +61,22 @@ class PipelineSpec extends SparkSpec {
       "recovered stg row never reached the daily mart")
   }
 
+  test("medallion: empty-source first build materializes nothing, then self-heals") {
+    val emptyDir = Files.createTempDirectory("graft-empty-src").toString
+    Tables.events(spark, sf).limit(0)
+      .write.parquet(s"$emptyDir/events.parquet")
+    val root = Files.createTempDirectory("graft-medallion-empty").toString
+    // zero rows: no layer dir may appear (a schema-less partitioned dir
+    // would wedge every later run), and the returned mart is a typed
+    // empty
+    val mart = Medallion.run(spark, emptyDir, root)
+    assert(mart.count() === 0)
+    assert(!graft.operators.MergeWriter.exists(spark, s"$root/stg_events"))
+    // data arrives later: the SAME root now builds fully
+    val full = Medallion.run(spark, sf, root)
+    assert(full.count() > 0)
+  }
+
   test("schema diff detects added/removed/retyped columns (Q6)") {
     import spark.implicits._
     val before = Anomaly.schemaSnapshot(Seq((1L, "a")).toDF("id", "x"))

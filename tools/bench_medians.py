@@ -108,15 +108,22 @@ def classify(name: str, spark_sec: float) -> str:
 
 def run_bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
-    out = subprocess.run(
+    # no check=True: a failing sbt must surface its OWN output (a bare
+    # CalledProcessError swallows the compile/run error that explains
+    # the failure and cost a blind rerun)
+    p = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
-        cwd=REPO, env=env, capture_output=True, text=True, check=True
-    ).stdout
-    for line in out.splitlines():
+        cwd=REPO, env=env, capture_output=True, text=True)
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"sbt bench run failed (exit {p.returncode});\n"
+            f"--- stdout tail ---\n{p.stdout[-4000:]}\n"
+            f"--- stderr tail ---\n{p.stderr[-4000:]}")
+    for line in p.stdout.splitlines():
         m = re.search(r'\{"metric":.*\}', line)
         if m:
             return json.loads(m.group(0))
-    raise RuntimeError("no bench JSON line in sbt output:\n" + out[-2000:])
+    raise RuntimeError("no bench JSON line in sbt output:\n" + p.stdout[-2000:])
 
 
 def dump_oracle_sql(sf_dir: str) -> dict:

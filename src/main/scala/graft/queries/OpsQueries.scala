@@ -31,6 +31,34 @@ object OpsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** The INCREMENTAL arrival path of the same DAG, oracle-gated: the
+    * events feed lands in two day-split batches on one landing dir,
+    * `Medallion.run` re-runs against the same materialization root
+    * (watermark scoping, partitioned merges, per-layer sidecars — the
+    * steady-state machinery MedallionSteady measures), and the final
+    * mart must equal DuckDB's one-shot aggregation of the full feed.
+    * `avg_value` is deliberately excluded from the gate: float
+    * summation ORDER differs between the two-merge layout and a
+    * one-shot plan, which can flip `round(avg, 4)`'s last digit
+    * (MedallionSteady holds it to 1e-3); max/min/count are selection/
+    * integer aggregates and must match exactly.
+    */
+  def pipelineMedallionIncr(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-medallion-incr").toString
+    val corpus = s"$root/corpus"
+    val ev = Tables.events(spark, dir)
+    val cut = "2024-01-15"
+    ev.filter(to_date(col("ts")) < lit(cut))
+      .write.mode("append").parquet(s"$corpus/events.parquet")
+    Medallion.run(spark, corpus, s"$root/mat")
+    ev.filter(to_date(col("ts")) >= lit(cut))
+      .write.mode("append").parquet(s"$corpus/events.parquet")
+    Medallion.run(spark, corpus, s"$root/mat")
+      .select("user_id", "day", "max_value", "min_value", "n_events",
+        "user_id_date")
+      .orderBy("user_id", "day")
+  }
+
   /** Q7: per-day column stats + z-score anomaly flags on event values. */
   def dqColumnAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -637,6 +665,7 @@ object OpsQueries {
     "table_diff" -> (tableDiff _),
     "profile_columns" -> (profileColumns _),
     "pipeline_medallion" -> (pipelineMedallion _),
+    "pipeline_medallion_incr" -> (pipelineMedallionIncr _),
     "dq_column_anomalies" -> (dqColumnAnomalies _),
     "dq_history_anomalies" -> (dqHistoryAnomalies _),
     "json_roundtrip" -> (jsonRoundtrip _),
@@ -885,6 +914,19 @@ object OpsQueries {
         |ORDER BY col_name""".stripMargin,
     // layered incremental run must equal the one-shot daily-mart SQL
     "pipeline_medallion" -> PipelineQueries.oracles("streaming_daily_metrics"),
+    // two-batch incremental arrival through the same root must equal
+    // the one-shot aggregation of the FULL feed (avg excluded — float
+    // summation order across merge layouts; see pipelineMedallionIncr)
+    "pipeline_medallion_incr" ->
+      """SELECT user_id,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  max(value) AS max_value,
+        |  min(value) AS min_value,
+        |  count(*) AS n_events,
+        |  concat(CAST(user_id AS VARCHAR), '_', strftime(
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y%m%d'))
+        |    AS user_id_date
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
     "dq_column_anomalies" ->
       """WITH s AS (
         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS slice,

@@ -51,7 +51,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # Rule order: explicit sets first, then streaming_* prefix, then the
 # job-floor time threshold; anything left is loudly "unadjudicated".
 WRITE_LIFECYCLE = {
-    "pipeline_medallion", "merge_upsert_daily", "join_bucketed",
+    "pipeline_medallion", "pipeline_medallion_incr", "merge_upsert_daily",
+    "join_bucketed",
     "shard_layout", "backfill_chunked", "dq_history_anomalies",
     "source_formats", "index_fileskip", "version_travel",
     "dedup_lsh_index", "similarity_ivf_probe", "similarity_pq_probe",

@@ -110,6 +110,18 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
   override def output: Seq[Attribute] = Seq(idA, idB)
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
+  // the pruning story is the operator's reason to exist — surface it
+  // in the UI/metrics like a builtin join reports its build side
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "token groups (size >= 2)"),
+    "prunedLength" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "pairs skipped by length bound"),
+    "prunedPositional" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "candidates cut by positional filter"))
+
   private def tokenAttr = child.output.head
   private def sizeAttr = child.output(2)
 
@@ -126,6 +138,10 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
     val posCoef = t / (1.0 + t) // precomputed ONCE, like the composed lit()
     val childOutput = child.output
     val outTypes = output.map(_.dataType).toArray
+    val mOut = longMetric("numOutputRows")
+    val mGroups = longMetric("numGroups")
+    val mPrunedLen = longMetric("prunedLength")
+    val mPrunedPos = longMetric("prunedPositional")
 
     child.execute().mapPartitions({ iter =>
       val tokProj = UnsafeProjection.create(Seq(childOutput.head), childOutput)
@@ -168,7 +184,7 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
               pending = if (iter.hasNext) iter.next() else null
               same = pending != null && tokProj(pending) == tok
             }
-            if (gLen >= 2) { j = 1; s = 0; i = 0; return true }
+            if (gLen >= 2) { j = 1; s = 0; i = 0; mGroups.add(1); return true }
           }
           false
         }
@@ -192,7 +208,9 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
                   outRow.setLong(1, math.max(gIds(ii), gIds(j)))
                   return true
                 }
+                mPrunedPos.add(1)
               }
+              mPrunedLen.add(s) // partners [0, s) never materialized for this j
               j += 1
               i = s // clamped up again after s advances for the new j
             }
@@ -209,6 +227,7 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
           ready = false
+          mOut.add(1)
           outProj(outRow)
         }
       }

@@ -97,6 +97,48 @@ class PpJoinSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("native PrefixPairs metrics report the pruning honestly") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    // one token group, sizes [2, 4, 10], t=0.5 — hand-computable:
+    //   j=1 (sz 4): bound ceil(0.5*4)=2, s=0; candidate (0,1):
+    //     positions 0 ⇒ min(2,4) ≥ ceil(1/3·6 − ε)=2 → EMITTED
+    //   j=2 (sz 10): bound 5, s advances past sizes 2 and 4 ⇒ 2 pairs
+    //     skipped by the length bound, no candidates
+    val pre = Seq(
+      ("tok", 100L, 2, 0),
+      ("tok", 200L, 4, 0),
+      ("tok", 300L, 10, 0)).toDF("_ptok", "_id", "_sz", "_p")
+    val node = graft.plans.PrefixPairsNode(0.5,
+      pre.queryExecution.analyzed,
+      AttributeReference("id_a", LongType, nullable = false)(),
+      AttributeReference("id_b", LongType, nullable = false)())
+    val df = org.apache.spark.sql.graft.PlanDsl.ofRows(spark, node)
+    // collect on df ITSELF: .as[...] would build a new QueryExecution
+    // and the metrics accumulate on the executed instance only
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((100L, 200L)))
+    // AQE nests the executed operators inside leaf wrappers
+    // (AdaptiveSparkPlanExec, QueryStageExec) that tree traversal
+    // doesn't descend into — unwrap recursively
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.PrefixPairsExec] = p match {
+      case e: graft.plans.PrefixPairsExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case other => other.children.view.flatMap(find(_)).headOption
+    }
+    val exec = find(df.queryExecution.executedPlan)
+      .getOrElse(fail("no PrefixPairsExec in plan"))
+    assert(exec.metrics("numOutputRows").value === 1)
+    assert(exec.metrics("numGroups").value === 1)
+    assert(exec.metrics("prunedLength").value === 2)
+    assert(exec.metrics("prunedPositional").value === 0)
+  }
+
   test("dsir: selection fraction, partition invariance, target affinity") {
     val docs = Tables.documents(spark, sf)
     val out = Dsir.scoreAndSelect(docs, "doc_id", "text",

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Whole-operator Catalyst extension (second tier-4 node after
@@ -112,15 +113,15 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
 
   // the pruning story is the operator's reason to exist — surface it
   // in the UI/metrics like a builtin join reports its build side
-  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
-    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "output rows"),
-    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "token groups (size >= 2)"),
-    "prunedLength" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "pairs skipped by length bound"),
-    "prunedPositional" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "candidates cut by positional filter"))
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numGroups" ->
+      SQLMetrics.createMetric(sparkContext, "token groups (size >= 2)"),
+    "prunedLength" ->
+      SQLMetrics.createMetric(sparkContext, "pairs skipped by length bound"),
+    "prunedPositional" ->
+      SQLMetrics.createMetric(sparkContext, "candidates cut by positional filter"))
 
   private def tokenAttr = child.output.head
   private def sizeAttr = child.output(2)
@@ -202,13 +203,17 @@ case class PrefixPairsExec(threshold: Double, child: SparkPlan,
                 val ii = i; i += 1
                 val need = math.ceil(
                   posCoef * (gSzs(ii) + gSzs(j)) - 1e-9).toLong
-                if (math.min(gSzs(ii) - gPs(ii), gSzs(j) - gPs(j)) >= need &&
-                  gIds(ii) != gIds(j)) {
-                  outRow.setLong(0, math.min(gIds(ii), gIds(j)))
-                  outRow.setLong(1, math.max(gIds(ii), gIds(j)))
-                  return true
+                // same-id candidates (duplicate postings fed directly
+                // to the node) are skipped OUTSIDE the positional tally
+                if (gIds(ii) != gIds(j)) {
+                  if (math.min(gSzs(ii) - gPs(ii), gSzs(j) - gPs(j))
+                      >= need) {
+                    outRow.setLong(0, math.min(gIds(ii), gIds(j)))
+                    outRow.setLong(1, math.max(gIds(ii), gIds(j)))
+                    return true
+                  }
+                  mPrunedPos.add(1)
                 }
-                mPrunedPos.add(1)
               }
               mPrunedLen.add(s) // partners [0, s) never materialized for this j
               j += 1

@@ -916,17 +916,18 @@ object OpsQueries {
     "pipeline_medallion" -> PipelineQueries.oracles("streaming_daily_metrics"),
     // two-batch incremental arrival through the same root must equal
     // the one-shot aggregation of the FULL feed (avg excluded — float
-    // summation order across merge layouts; see pipelineMedallionIncr)
-    "pipeline_medallion_incr" ->
-      """SELECT user_id,
-        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-        |  max(value) AS max_value,
-        |  min(value) AS min_value,
-        |  count(*) AS n_events,
-        |  concat(CAST(user_id AS VARCHAR), '_', strftime(
-        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y%m%d'))
-        |    AS user_id_date
-        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    // summation order across merge layouts; see pipelineMedallionIncr).
+    // DERIVED from the daily-mart oracle, not copied: a future mart
+    // change edits one definition and both gates follow.
+    "pipeline_medallion_incr" -> {
+      val base = PipelineQueries.oracles("streaming_daily_metrics")
+      val derived = base.replaceAll(
+        "(?m)^\\s*round\\(avg\\(value\\), 4\\) AS avg_value,\\n", "")
+      require(derived != base,
+        "daily-mart oracle no longer carries avg_value — update the " +
+          "pipeline_medallion_incr derivation")
+      derived
+    },
     "dq_column_anomalies" ->
       """WITH s AS (
         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS slice,

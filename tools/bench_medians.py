@@ -74,6 +74,11 @@ JOB_FLOOR_EXPLICIT = {
     "profile_columns", "profile_inclusion", "metar_ods_guarded_cast",
     "embed_quantize", "ab_welch", "percentiles", "approx_quantile_hist",
     "scalar_strings", "stats_numeric", "similarity_ivf",
+    # Hover right at the 1.3 s threshold and cross it on slower-host runs
+    # (r13 final: 1.42 s / 1.36 s with the canary itself up ~25%); their
+    # twins sit at 0.17 s / 0.06 s — a 3-table broadcast join-agg and a
+    # single regex projection, both floor-dominated at this sf.
+    "join_regional_revenue", "text_redact",
 }
 JOB_FLOOR_MAX_SPARK_SEC = 1.3
 CLASS_EVIDENCE = {
@@ -151,7 +156,33 @@ def run_duckdb(sf_dir: str, oracles: dict) -> dict:
     return times
 
 
+def reclassify() -> int:
+    """Re-apply the cost-class adjudication to the existing artifact.
+
+    The classes are a pure function of (name, spark_sec); when the
+    classification sets change there is no need to burn a ~40 min bench
+    re-run just to refresh the `class` fields — the medians are untouched.
+    """
+    out = os.path.join(REPO, "bench_medians.json")
+    with open(out) as f:
+        artifact = json.load(f)
+    for n, q in artifact["queries"].items():
+        if not q["failed"]:
+            q["class"] = classify(n, q["spark_sec"])
+    artifact["class_evidence"] = CLASS_EVIDENCE
+    artifact["unadjudicated"] = sorted(
+        n for n, q in artifact["queries"].items()
+        if q["class"] == "unadjudicated")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"reclassified {out}; unadjudicated={artifact['unadjudicated']}")
+    return 1 if artifact["unadjudicated"] else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--reclassify":
+        return reclassify()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     benches = [run_bench(sf_dir) for _ in range(runs)]

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.hllRegFunction)
     e.injectFunction(GraftExtensions.collapseFunction)
     e.injectFunction(GraftExtensions.textstatsFunction)
+    e.injectFunction(GraftExtensions.gramStatsFunction)
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
@@ -153,6 +154,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TextStats].getName, "graft_textstats"),
     buildTextStats _)
 
+  private val gramStatsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gram_stats"),
+    new ExpressionInfo(classOf[GramRepetitionStats].getName, "graft_gram_stats"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_gram_stats(tokens)")
+      GramRepetitionStats(children.head)
+    })
+
   /** Analysis-time arity check — a wrong argument count must surface
     * as a readable error naming the signature, not an
     * IndexOutOfBoundsException from children(i).
@@ -245,7 +254,8 @@ object GraftExtensions {
   def registerOn(spark: SparkSession): Unit = {
     Seq(dotFunction, pqAdcFunction, minhashFunction, shinglesFunction,
         fingerprintFunction, simhashFunction, hllRegFunction,
-        collapseFunction, textstatsFunction, bloomPosFunction,
+        collapseFunction, textstatsFunction, gramStatsFunction,
+        bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction)
       .foreach { case (ident, _, builder) =>

@@ -116,6 +116,105 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** One-pass n-gram repetition statistics (the Gopher signals): for
+  * each of n = 1, 2, 3, the most-frequent-gram count, the total gram
+  * count and (trigrams) the duplicate mass Σ count·[count ≥ 2] — per
+  * document, in one traversal with a local hash count per order. The
+  * composed form (struct-array explode → (doc, n, gram) shuffle count
+  * → two re-aggregations) moves ~3× the token volume through an
+  * exchange to compute a quantity that never crosses documents; this
+  * keeps it a zero-shuffle projection (`TextQueries.textRepetition`),
+  * exchange-free at any corpus size.
+  *
+  * Gram text is `UTF8String.concatWs(" ", ...)` — byte-identical to
+  * the composed `concat_ws(" ", w[i], ...)` including its null-token
+  * skipping. Orders with no grams (fewer tokens than n) yield null
+  * stats, mirroring the absent groups of the aggregated form.
+  */
+case class GramRepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_stats expects array<string>, got $t")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("m1", LongType, nullable = false),
+    StructField("m2", LongType, nullable = true),
+    StructField("t2", LongType, nullable = true),
+    StructField("m3", LongType, nullable = true),
+    StructField("t3", LongType, nullable = true),
+    StructField("d3", LongType, nullable = true)))
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    GramRepetitionStats.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.GramRepetitionStats.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramRepetitionStats = copy(child = newChild)
+}
+
+object GramRepetitionStats {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData): InternalRow = {
+    val len = toks.numElements()
+    val arr = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    // (top, dup) for one gram order; tot is len - n + 1 by construction
+    def stats(n: Int): (Long, Long) = {
+      val counts = new java.util.HashMap[UTF8String, Array[Long]](
+        Math.max(16, (len - n + 1) * 2))
+      var j = 0
+      while (j <= len - n) {
+        // concatWs skips nulls and never returns null — exactly the
+        // composed concat_ws(" ", ...) gram text
+        val g =
+          if (n == 1) { if (arr(j) == null) UTF8String.EMPTY_UTF8 else arr(j) }
+          else if (n == 2) UTF8String.concatWs(Space, arr(j), arr(j + 1))
+          else UTF8String.concatWs(Space, arr(j), arr(j + 1), arr(j + 2))
+        val c = counts.get(g)
+        if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+        j += 1
+      }
+      var top = 0L
+      var dup = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        if (c > top) top = c
+        if (c >= 2L) dup += c
+      }
+      (top, dup)
+    }
+    val (m1, _) = stats(1)
+    val row = new Array[Any](7)
+    row(0) = len.toLong // n_words = unigram total
+    row(1) = m1
+    if (len >= 2) {
+      val (m2, _) = stats(2)
+      row(2) = m2; row(3) = (len - 1).toLong
+    }
+    if (len >= 3) {
+      val (m3, d3) = stats(3)
+      row(4) = m3; row(5) = (len - 2).toLong; row(6) = d3
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+  }
+}
+
 object TextStats {
   def compute(toks: ArrayData,
       stop: java.util.HashSet[UTF8String]): InternalRow = {

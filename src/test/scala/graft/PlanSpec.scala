@@ -108,9 +108,14 @@ class PlanSpec extends SparkSpec {
       p.take(600))
   }
 
-  test("repetition signals build all n-gram orders from ONE documents scan") {
+  test("repetition signals are a zero-shuffle projection: one scan, no exchange") {
     val p = plan(TextQueries.textRepetition(spark, sf))
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+    // the per-document native expression deletes the (doc, n, gram)
+    // aggregation exchanges; only the output-contract global sort may
+    // range-repartition
+    assert(!p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
   }
 
   test("histogram broadcasts its 1-row bounds — no shuffle of the fact side") {

@@ -173,6 +173,37 @@ class TextFeaturesSpec extends SparkSpec {
     assert(total == expected, s"$total vs $expected")
   }
 
+  test("graft_gram_stats repetition equals the composed explode form on the corpus") {
+    val nat = graft.queries.TextQueries.textRepetition(spark, sf)
+    val comp = graft.queries.TextQueries.textRepetitionComposed(spark, sf)
+    assert(nat.columns.toSeq == comp.columns.toSeq)
+    // full-row null-safe equality, both directions
+    assert(nat.exceptAll(comp).count() == 0)
+    assert(comp.exceptAll(nat).count() == 0)
+    assert(nat.count() > 0)
+  }
+
+  test("graft_gram_stats hand-computed edges: short docs, repeats, null tokens") {
+    val df = Seq(
+      Tuple1(Seq("a")),                       // no bigrams/trigrams
+      Tuple1(Seq("a", "b")),                  // bigrams, no trigrams
+      Tuple1(Seq("a", "b", "a", "b", "a")),   // "a b a" twice, "b a b" once
+      Tuple1(Seq("x", null, "x"))             // concat_ws skips the null
+    ).toDF("w")
+    val got = df.select(call_function("graft_gram_stats", col("w")).as("s"))
+      .select("s.*").collect()
+    def row(i: Int) = got(i).toSeq
+    // (n_words, m1, m2, t2, m3, t3, d3)
+    assert(row(0) == Seq(1L, 1L, null, null, null, null, null))
+    assert(row(1) == Seq(2L, 1L, 1L, 1L, null, null, null))
+    // unigrams: a×3 b×2; bigrams: "a b"×2 "b a"×2; trigrams:
+    // "a b a"×2 "b a b"×1 → top 2, total 3, dup mass 2
+    assert(row(2) == Seq(5L, 3L, 2L, 4L, 2L, 3L, 2L))
+    // null token: unigram gram "" (concat_ws of a lone null), bigrams
+    // "x"×2 (null skipped), trigram "x x"
+    assert(row(3) == Seq(3L, 2L, 2L, 2L, 1L, 1L, 0L))
+  }
+
   test("native text expressions stay inside whole-stage codegen") {
     val p = graft.queries.TextQueries.textQuality(spark, sf)
       .queryExecution.executedPlan.toString

@@ -71,6 +71,30 @@ object ScaleCurve {
     }.reduce(_ unionByName _)
   }
 
+  /** Orders/lineitem replicate as "more orders, same catalog": copy i
+    * offsets the order keys and keeps part/supplier/customer keys and
+    * every measure verbatim. |orders| and |lineitem| grow m× while the
+    * part catalog stays fixed — so per-order-bounded shapes (the
+    * co-purchase pair fan-out, order-grain joins) scale the work that
+    * matters (more orders) without inflating the blocking bound
+    * (lines per order is unchanged).
+    */
+  def scaledOrders(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = graft.Tables.orders(spark, sfDir)
+    (0 until m).map { i =>
+      if (i == 0) base
+      else base.withColumn("o_orderkey", col("o_orderkey") + lit(i * IdStride))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledLineitem(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = graft.Tables.lineitem(spark, sfDir)
+    (0 until m).map { i =>
+      if (i == 0) base
+      else base.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdStride))
+    }.reduce(_ unionByName _)
+  }
+
   def ensureScaled(spark: SparkSession, sfDir: String, root: String,
       m: Int): String = {
     val dir = s"$root/x$m"
@@ -89,6 +113,16 @@ object ScaleCurve {
       scaledEvents(spark, sfDir, m).repartition(math.max(4, 2 * m))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       doneEvents.createNewFile()
+    }
+    // relational tables landed later still — same incremental-marker
+    // pattern (scale_duckdb.py keys its partial-write check on these)
+    val doneRel = new java.io.File(s"$dir/_DONE_rel")
+    if (!doneRel.exists()) {
+      scaledOrders(spark, sfDir, m).repartition(math.max(4, 2 * m))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      scaledLineitem(spark, sfDir, m).repartition(math.max(4, 2 * m))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      doneRel.createNewFile()
     }
     dir
   }

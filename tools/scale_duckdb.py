@@ -40,7 +40,9 @@ def main() -> int:
             # path — queries under a curve only touch scaled tables)
             scaled = f"{root}/x{m}/{t}.parquet"
             if os.path.isdir(scaled):
-                marker = "_DONE_events" if t == "events" else "_DONE"
+                marker = {"events": "_DONE_events",
+                          "orders": "_DONE_rel",
+                          "lineitem": "_DONE_rel"}.get(t, "_DONE")
                 if not os.path.exists(f"{root}/x{m}/{marker}"):
                     raise SystemExit(
                         f"{scaled} exists without {marker}: partial "

@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.collapseFunction)
     e.injectFunction(GraftExtensions.textstatsFunction)
     e.injectFunction(GraftExtensions.gramStatsFunction)
+    e.injectFunction(GraftExtensions.sortedPairsFunction)
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
@@ -162,6 +163,14 @@ object GraftExtensions {
       GramRepetitionStats(children.head)
     })
 
+  private val sortedPairsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_pairs"),
+    new ExpressionInfo(classOf[SortedPairs].getName, "graft_sorted_pairs"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_sorted_pairs(sorted_bigint_array)")
+      SortedPairs(children.head)
+    })
+
   /** Analysis-time arity check — a wrong argument count must surface
     * as a readable error naming the signature, not an
     * IndexOutOfBoundsException from children(i).
@@ -255,7 +264,7 @@ object GraftExtensions {
     Seq(dotFunction, pqAdcFunction, minhashFunction, shinglesFunction,
         fingerprintFunction, simhashFunction, hllRegFunction,
         collapseFunction, textstatsFunction, gramStatsFunction,
-        bloomPosFunction,
+        sortedPairsFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction)
       .foreach { case (ident, _, builder) =>

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All ordered element pairs (i < j by POSITION) of a bigint array as
+  * one codegen'd pass — the market-basket pair fan-out. Fed a sorted
+  * distinct basket (`sort_array(collect_set(...))`), positional order
+  * IS value order, so every emitted pair is canonical (part_a <
+  * part_b) with no post-filter. Semantics identical to the HOF
+  * formulation (`flatten(transform(a, (x, i) -> transform(slice(a,
+  * i+2, n-i-1), y -> struct(x, y))))`), but HOFs are CodegenFallback —
+  * the nested lambda frames and per-element slice allocations run
+  * interpreted and break whole-stage codegen for the whole projection;
+  * this stays fused. O(b²) per basket is the bounded-blocking shape:
+  * baskets are order-sized (single digits), never corpus-sized.
+  */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_pairs expects array<bigint>, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("part_a", LongType, nullable = false),
+    StructField("part_b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    SortedPairs.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SortedPairs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
+object SortedPairs {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(
+          Array[Any](a, arr.getLong(j)): Array[Any])
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

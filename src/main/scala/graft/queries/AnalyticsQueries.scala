@@ -706,13 +706,40 @@ object AnalyticsQueries {
   }
 
   /** Market-basket co-purchase pairs: parts bought together in one
-    * order, counted across orders. The self-join fans out per ORDER
-    * (a handful of lines each), never across the table — pair
-    * generation is O(Σ lines²_per_order), the bounded-blocking shape —
-    * and the canonical a < b ordering halves the pairs and dedups
-    * mirror images. Top-20 by support via TakeOrderedAndProject.
+    * order, counted across orders. Baskets are tiny (a handful of
+    * lines per order), so the pairs are generated ARRAY-SIDE: one
+    * `collect_set` shuffle builds the distinct per-order basket, the
+    * a < b pairs come from the codegen'd pair fan-out
+    * [[graft.plans.SortedPairs]] over the sorted array (map-side,
+    * O(basket²) each — the bounded-blocking shape; the HOF
+    * formulation of the same expansion is CodegenFallback and its
+    * interpreted lambda frames gave back the exchange savings), and
+    * one partial-aggregating count shuffle produces the support.
+    * The previous distinct + self-join form re-exchanged BOTH join
+    * sides on l_orderkey after the distinct's (orderkey, partkey)
+    * exchange — four shuffles of order-grain data vs two here, and
+    * the curve showed its ratio flat (not amortizing) across 10×.
+    * Top-20 by support via TakeOrderedAndProject.
     */
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets.select(explode(
+        call_function("graft_sorted_pairs", col("parts"))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** The distinct + self-join form of [[copurchasePairs]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin
+    * for the array-side rewrite's spec and same-session A/B profile.
+    */
+  private[graft] def copurchasePairsJoined(spark: SparkSession,
+      dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = li.as("a").join(li.as("b"),

@@ -118,6 +118,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(600))
   }
 
+  test("co-purchase pairs generate array-side: no join, two exchanges") {
+    val p = plan(AnalyticsQueries.copurchasePairs(spark, sf))
+    // one basket-build exchange + one pair-count exchange; the old
+    // distinct + self-join shape re-exchanged both join sides
+    assert(!p.contains("Join"), p.take(600))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 2, p.take(600))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+  }
+
   test("histogram broadcasts its 1-row bounds — no shuffle of the fact side") {
     val p = plan(AnalyticsQueries.histogramValues(spark, sf))
     assert(p.contains("BroadcastExchange"), p.take(400))

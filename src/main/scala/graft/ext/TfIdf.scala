@@ -23,13 +23,52 @@ object TfIdf {
   /** Okapi BM25 top-k terms per document:
     * `idf = ln((N - df + 0.5) / (df + 0.5) + 1)` (the standard
     * non-negative variant) and the saturating, length-normalized
-    * `tf' = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))`. Same shuffle
-    * shape as [[topTerms]] plus a broadcast (N, avgdl) aggregate;
-    * avgdl is an exact integer-sum / count division so it is
-    * bit-reproducible without rounding.
+    * `tf' = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))`.
+    *
+    * Round-14 shape (the `text_repetition` family fix applied to
+    * scoring): ONE tokenize+count pass produces per-doc
+    * `graft_term_counts` arrays (persisted — every downstream
+    * consumer reads the pass, the corpus is never re-tokenized); the
+    * only exchange is the vocab-sized document-frequency aggregation,
+    * folded with (N, avgdl) into a ONE-ROW model and broadcast back
+    * (J3 pattern); scoring + per-doc top-k selection happen map-side
+    * in the native [[graft.plans.Bm25TopK]] expression. Nothing
+    * document-grain ever shuffles — the composed form moved the token
+    * stream through two exchanges and the scored stream through two
+    * more ([[bm25TopTermsComposed]], kept as the equality twin).
     */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val pc = docs.select(col(idCol),
+        call_function("graft_term_counts", toks).as("tc"),
+        size(toks).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = pc.select(explode(col("tc")).as("e"))
+      .filter(length(col("e.term")) >= 1)
+      .select(col("e.term").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val model = df
+      .agg(sort_array(collect_list(struct(col("term"), col("df"))))
+        .as("dfarr"))
+      .crossJoin(pc.agg(countDistinct(col(idCol)).as("n_docs"),
+        avg(col("dl")).as("avgdl")))
+      .select(struct(col("dfarr"), col("n_docs"), col("avgdl")).as("model"))
+    pc.crossJoin(broadcast(model))
+      .select(col(idCol), explode(call_function("graft_bm25_topk",
+        col("tc"), col("dl"), col("model"), lit(k), lit(k1), lit(b)))
+        .as("r"))
+      .select(col(idCol), col("r.rank").as("rank"),
+        col("r.term").as("term"), col("r.bm25").as("bm25"))
+  }
+
+  /** The exploded-postings + window form of [[bm25TopTerms]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin
+    * for the native rewrite's spec and scale A/B.
+    */
+  private[graft] def bm25TopTermsComposed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     // drop the empty-string pseudo-term a cleaned-to-empty document
     // emits (split("", " ") = [""]): it would otherwise acquire a df
     // and rank as a "term" (same convention as Bpe.wordCounts; dl

@@ -63,25 +63,38 @@ object MergeWriter {
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, new Path(dir)).exists(new Path(dir))
 
-  /** The max partition value of a hive-layout table, from the DIRECTORY
+  /** The max DAY partition of a hive-layout table, from the DIRECTORY
     * LISTING alone — no data file is opened. For a `day=to_date(ts)`
     * layout this names the partition holding max(ts), so a high-
     * watermark read scans one partition instead of the table. Values
-    * compare as raw dir strings (ISO dates sort lexicographically);
-    * the null partition (`__HIVE_DEFAULT_PARTITION__`) is ignored —
-    * a null partition value never carries the max of a ts-derived
-    * column. None when the table is missing or has no partition dirs.
+    * compare as raw dir strings, which is only correct for fixed-width
+    * ISO dates — every non-null value is VALIDATED against the
+    * `yyyy-MM-dd` shape and anything else fails loud (an
+    * integer-valued partition column would otherwise silently return
+    * '9' > '10'). The null partition (`__HIVE_DEFAULT_PARTITION__`)
+    * is ignored — a null partition value never carries the max of a
+    * ts-derived column. None when the table is missing or has no
+    * partition dirs.
     */
-  def maxPartitionValue(spark: SparkSession, dir: String,
+  def maxDayPartition(spark: SparkSession, dir: String,
       partCol: String): Option[String] = {
     val p = new Path(dir)
     val f = fs(spark, p)
     if (!f.exists(p)) None
-    else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .map(_.getPath.getName.substring(partCol.length + 1))
-      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
-      .maxOption
+    else {
+      val vals = f.listStatus(p).toSeq
+        .filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+        .map(_.getPath.getName.substring(partCol.length + 1))
+        .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      vals.find(!_.matches("""\d{4}-\d{2}-\d{2}""")).foreach { v =>
+        throw new IllegalStateException(
+          s"maxDayPartition($dir, $partCol): partition value '$v' is not " +
+            "an ISO date — lexicographic max is only a value max for " +
+            "fixed-width yyyy-MM-dd partitions")
+      }
+      vals.maxOption
+    }
   }
 
   /** Merge `updates` into the parquet table at `dir`, keyed by `keys`,

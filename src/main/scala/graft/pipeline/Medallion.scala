@@ -59,7 +59,7 @@ object Medallion {
     // class as the layer-watermark sidecars below.
     val stgWm: Option[Long] =
       if (!MergeWriter.exists(spark, stgDir)) None
-      else MergeWriter.maxPartitionValue(spark, stgDir, "day").flatMap { d =>
+      else MergeWriter.maxDayPartition(spark, stgDir, "day").flatMap { d =>
         val r = spark.read.parquet(stgDir)
           .filter(col("day") === lit(d))
           .agg(max(unix_micros(col("ts")))).head()
@@ -215,8 +215,13 @@ object Medallion {
     // by a merge are byte-immutable, so a slice that passed its gate
     // stays passed — induction gives per-day validity over the whole
     // table at O(batch) per run instead of O(corpus). First build
-    // (no watermark) checks everything. The cross-day global audit is
-    // the dq family's scheduled job, not a per-batch cost.
+    // (no watermark) checks everything. The one hole day-scoping
+    // leaves — a replayed event whose corrected ts crosses a day
+    // boundary, landing as a cross-PARTITION duplicate event_id this
+    // gate cannot see — is owned by the dq family's scheduled
+    // full-table audit, `OpsQueries.dqStgCrossdayAudit` (oracle-gated
+    // as `dq_stg_crossday_audit`), which reports duplicate keys
+    // across day partitions with their latest-wins repair target.
     // whole touched PARTITIONS, not just new rows: the boundary day is
     // partially pre-existing and its post-merge state is what needs
     // re-validating (still directory-pruned — the recent tail)

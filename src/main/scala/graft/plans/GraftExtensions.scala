@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.hllAggFunction)
     e.injectFunction(GraftExtensions.shingleExplodeFunction)
     e.injectFunction(GraftExtensions.removeSpansFunction)
+    e.injectFunction(GraftExtensions.termCountsFunction)
+    e.injectFunction(GraftExtensions.bigramCountsFunction)
+    e.injectFunction(GraftExtensions.bm25TopKFunction)
+    e.injectFunction(GraftExtensions.perplexityFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
@@ -255,6 +259,51 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RemoveSpans].getName, "graft_remove_spans"),
     buildRemoveSpans _)
 
+  private val termCountsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_term_counts"),
+    new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_term_counts(tokens)")
+      TermCounts(children.head)
+    })
+
+  private val bigramCountsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bigram_counts"),
+    new ExpressionInfo(classOf[BigramCounts].getName, "graft_bigram_counts"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_bigram_counts(tokens)")
+      BigramCounts(children.head)
+    })
+
+  private def doubleLit(e: Expression, fn: String, what: String): Double =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a double literal, got $other")
+    }
+
+  /** `graft_bm25_topk(tc, dl, model, k, k1, b)` — k/k1/b literals. */
+  private def buildBm25TopK(children: Seq[Expression]): Expression = {
+    requireArity(children, 6, "graft_bm25_topk(tc, dl, model, k, k1, b)")
+    Bm25TopK(children(0), children(1), children(2),
+      intLit(children(3), "graft_bm25_topk", "k"),
+      doubleLit(children(4), "graft_bm25_topk", "k1"),
+      doubleLit(children(5), "graft_bm25_topk", "b"))
+  }
+
+  private val bm25TopKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bm25_topk"),
+    new ExpressionInfo(classOf[Bm25TopK].getName, "graft_bm25_topk"),
+    buildBm25TopK _)
+
+  private val perplexityFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_perplexity"),
+    new ExpressionInfo(classOf[PerplexityScore].getName, "graft_perplexity"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_perplexity(bc, model)")
+      PerplexityScore(children(0), children(1))
+    })
+
   /** Idempotent registration on an already-built session. Builders are
     * the SAME values the injectFunction path ships — the arity checks
     * (requireArity's readable signature errors) must not differ
@@ -266,7 +315,8 @@ object GraftExtensions {
         collapseFunction, textstatsFunction, gramStatsFunction,
         sortedPairsFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
-        removeSpansFunction)
+        removeSpansFunction, termCountsFunction, bigramCountsFunction,
+        bm25TopKFunction, perplexityFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

@@ -23,7 +23,11 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_pairs expects an array with non-null elements " +
+          "(compute reads primitives — a null element would silently " +
+          "become 0); produce the basket via sort_array(collect_set(...))")
       case t => TypeCheckResult.TypeCheckFailure(
         s"graft_sorted_pairs expects array<bigint>, got $t")
     }

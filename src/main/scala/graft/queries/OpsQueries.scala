@@ -646,7 +646,44 @@ object OpsQueries {
     v1.unionByName(v2).orderBy("version", "day")
   }
 
+  /** Cross-day re-emission audit — the scheduled full-table
+    * maintenance check the medallion's day-scoped quality gate
+    * explicitly delegates (`Medallion.run` re-validates only touched
+    * partitions; a replayed event whose corrected ts crosses a day
+    * boundary lands as a cross-PARTITION duplicate the per-run gate
+    * cannot see). The synthetic stg stream injects exactly that
+    * failure mode deterministically: every event_id % 97 == 0 is
+    * re-emitted with ts + 1 day (cross-day replay — MUST be flagged)
+    * and every event_id % 101 == 0 with ts + 1 minute (same-day
+    * duplicate — the per-run gate's job, NOT flagged here unless the
+    * minute crosses midnight). The report is latest-wins repair
+    * input: per duplicated key, copy/day counts, the day span, and
+    * the partition to keep (`keep_day` = day of max ts).
+    *
+    * Scale shape: one event_id-keyed aggregation (map-side partials),
+    * run as a scheduled audit over the whole table by design — the
+    * O(corpus) cost the per-batch gate deliberately does not pay.
+    */
+  def dqStgCrossdayAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val crossDay = ev.filter(pmod(col("event_id"), lit(97)) === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+    val sameDay = ev.filter(pmod(col("event_id"), lit(101)) === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+    ev.unionByName(crossDay).unionByName(sameDay)
+      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("day")).as("n_days"),
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"),
+        to_date(max(col("ts"))).as("keep_day"))
+      .filter(col("n_days") > 1)
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "dq_stg_crossday_audit" -> (dqStgCrossdayAudit _),
     "version_travel" -> (versionTravel _),
     "data_skew_report" -> (dataSkewReport _),
     "cdc_apply" -> (cdcApply _),
@@ -674,6 +711,25 @@ object OpsQueries {
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    // replays the deterministic re-emission injection and the
+    // cross-day duplicate-key report straight from events
+    "dq_stg_crossday_audit" ->
+      """WITH stg AS (
+        |  SELECT event_id, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 DAY FROM events
+        |  WHERE event_id % 97 = 0
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 MINUTE FROM events
+        |  WHERE event_id % 101 = 0)
+        |SELECT event_id, count(*) AS n_copies,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  min(CAST(ts AS DATE)) AS first_day,
+        |  max(CAST(ts AS DATE)) AS last_day,
+        |  CAST(max(ts) AS DATE) AS keep_day
+        |FROM stg GROUP BY 1
+        |HAVING count(DISTINCT CAST(ts AS DATE)) > 1
+        |ORDER BY event_id""".stripMargin,
     // v1 = the pinned early snapshot, v2 = the full recomputation; the
     // oracle replays both straight from the table.
     "version_travel" ->

@@ -124,11 +124,22 @@ object RelationalQueries {
     */
   def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
     val sig = {
+      // the corpus signature must change when the DATA changes: the
+      // `.parquet` paths are directories, whose own length/mtime are
+      // filesystem-dependent and effectively constant — hash the
+      // sorted data-file listing (name + size + mtime) inside each
+      // table directory instead, so a regenerated corpus can never
+      // silently re-attach a stale bucketed layout
       val crc = new java.util.zip.CRC32
       Seq("lineitem", "orders").foreach { t =>
-        val f = new java.io.File(s"$dir/$t.parquet")
-        crc.update(s"${f.getAbsolutePath}|${f.length}|${f.lastModified}"
-          .getBytes("UTF-8"))
+        val d = new java.io.File(s"$dir/$t.parquet")
+        crc.update(d.getAbsolutePath.getBytes("UTF-8"))
+        val files = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).sortBy(_.getName)
+        files.foreach { f =>
+          crc.update(s"|${f.getName}|${f.length}|${f.lastModified}"
+            .getBytes("UTF-8"))
+        }
       }
       java.lang.Long.toHexString(crc.getValue)
     }

@@ -468,14 +468,53 @@ object TextQueries {
     * document by its average per-bigram negative log-likelihood. High
     * avg_nll = improbable under the corpus model = noise/outlier text.
     *
-    * Scale shape: the "model" is two count tables (bigram, context) +
-    * a scalar vocab size — aggregated map-side, then joined back to
-    * the per-doc bigram stream by key (broadcast when small, hash join
-    * at scale; no driver-side model object, no UDF). Everything is
-    * exact integer counts until the final ln/avg, which rounds to 4
-    * decimals on both engines.
+    * Round-14 scale shape (the `text_repetition` family fix applied
+    * to scoring): ONE tokenize pass produces per-doc
+    * `graft_bigram_counts` / `graft_term_counts` arrays (persisted —
+    * the model build and the scoring pass both read it, the corpus is
+    * never re-tokenized); the model is two vocab-sized count
+    * aggregations + a scalar vocab size folded into a ONE-ROW struct
+    * and broadcast back (J3 pattern); scoring happens map-side in the
+    * native [[graft.plans.PerplexityScore]] expression via binary
+    * search over the sorted model arrays. Nothing document-grain ever
+    * shuffles — the composed form ([[textPerplexityComposed]], the
+    * equality twin) moved the full bigram stream through a join and a
+    * per-doc re-aggregation. Everything is exact integer counts until
+    * the final ln/avg, which rounds to 4 decimals on both engines.
     */
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.tokens(col("text"))
+    val pc = docs.select(col("doc_id"),
+        call_function("graft_bigram_counts", toks).as("bc"),
+        call_function("graft_term_counts", toks).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = pc.select(explode(col("bc")).as("e"))
+    val c2 = ex.groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("c2"))
+    val c1 = ex.groupBy(col("e.w1").as("w1")).agg(sum(col("e.c")).as("c1"))
+    val v = pc.select(explode(col("tc")).as("t"))
+      .agg(countDistinct(col("t.term")).as("vs"))
+    val model = c2
+      .agg(sort_array(collect_list(struct(col("bg"), col("c2")))).as("c2arr"))
+      .crossJoin(c1.agg(sort_array(collect_list(struct(col("w1"), col("c1"))))
+        .as("c1arr")))
+      .crossJoin(v)
+      .select(struct(col("c2arr"), col("c1arr"), col("vs")).as("model"))
+    pc.crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        call_function("graft_perplexity", col("bc"), col("model")).as("s"))
+      .select(col("doc_id"),
+        coalesce(col("s.n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("s.avg_nll").as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** The exploded-bigram + model-join form of [[textPerplexity]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin
+    * for the native rewrite's spec and scale A/B.
+    */
+  private[graft] def textPerplexityComposed(spark: SparkSession,
+      dir: String): DataFrame = {
     val t = col("_t")
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("_t"))

@@ -313,15 +313,15 @@ class MergeWriterSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
   }
 
-  test("maxPartitionValue: listing-only max, null partition ignored") {
+  test("maxDayPartition: listing-only max, null partition ignored") {
     import spark.implicits._
     val dir = tmp()
     Seq((1L, "2024-01-02"), (2L, "2024-01-10"), (3L, null))
       .toDF("id", "day")
       .write.partitionBy("day").parquet(dir)
-    assert(MergeWriter.maxPartitionValue(spark, dir, "day")
+    assert(MergeWriter.maxDayPartition(spark, dir, "day")
       === Some("2024-01-10"))
-    assert(MergeWriter.maxPartitionValue(spark, dir + "-missing", "day")
+    assert(MergeWriter.maxDayPartition(spark, dir + "-missing", "day")
       === None)
   }
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Round-14 native scoring rewrites (`graft_term_counts` /
+  * `graft_bigram_counts` / `graft_bm25_topk` / `graft_perplexity`) vs
+  * their composed exploded-postings formulations: byte-identical
+  * results on the corpus, correct count semantics on edges, and the
+  * plan-shape win (no per-document window/exchange) pinned.
+  */
+class TextScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_term_counts equals the explode-groupBy counts and sorts by term") {
+    val docs = Tables.documents(spark, sf)
+    // re-derive (doc, term, tf) from the native array and from the
+    // composed explode; the two postings sets must match exactly
+    val nat = docs.select(col("doc_id"),
+        explode(call_function("graft_term_counts",
+          Text.tokens(col("text")))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val comp = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+    // sortedness (binary UTF8 order, the model-side sort_array order)
+    val unsorted = docs.select(call_function("graft_term_counts",
+        Text.tokens(col("text"))).as("tc"))
+      .filter(not(col("tc") <=> sort_array(col("tc")))).count()
+    assert(unsorted == 0)
+  }
+
+  test("graft_term_counts edges: empty array, empty strings, null tokens") {
+    val df = Seq(
+      (Seq.empty[String], 0),            // no tokens -> empty counts
+      (Seq(""), 1),                      // empty token IS counted
+      // null skipped, "" kept: distinct entries {a: 2, "": 1}
+      (Seq("a", null, "a", ""), 2))
+      .toDF("in", "n")
+    val rows = df.select(call_function("graft_term_counts", col("in"))
+        .as("tc"), col("n"))
+      .select(size(col("tc")).as("sz"), col("n"),
+        aggregate(col("tc"), lit(0L), (acc, e) => acc + e.getField("tf"))
+          .as("total"))
+      .collect()
+    assert(rows.forall(r => r.getInt(0) == r.getInt(1)))
+    // token occurrences preserved: [a, null, a, ""] -> tf sums to 3
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L, 3L))
+  }
+
+  test("graft_bigram_counts equals the composed zip-explode bigrams") {
+    val docs = Tables.documents(spark, sf)
+    val t = Text.tokens(col("text"))
+    val nat = docs.select(col("doc_id"),
+        explode(call_function("graft_bigram_counts", t)).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"),
+        col("e.c").as("c"))
+    val comp = docs.select(col("doc_id"), t.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 1).as("w1"),
+        slice(col("_t"), lit(2), size(col("_t")) - 1).as("w2"))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1").as("w1"),
+        concat_ws(" ", col("_bg.w1"), col("_bg.w2")).as("bg"))
+      .groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("c"))
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+  }
+
+  test("text_bm25 native equals the composed window form on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val nat = graft.ext.TfIdf.bm25TopTerms(docs, "doc_id", "text", k = 3)
+    val comp = graft.ext.TfIdf.bm25TopTermsComposed(docs, "doc_id", "text",
+      k = 3)
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+    // the rewrite's point: scoring and per-doc top-k selection happen
+    // map-side — no window operator anywhere in the plan
+    val wins = nat.queryExecution.executedPlan.collect {
+      case w: WindowExec => w
+    }
+    assert(wins.isEmpty)
+  }
+
+  test("text_perplexity native equals the composed model-join form") {
+    val nat = graft.queries.TextQueries.textPerplexity(spark, sf)
+    val comp = graft.queries.TextQueries.textPerplexityComposed(spark, sf)
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+  }
+
+  test("bm25 selection: 6-decimal score ties break by term, k caps output") {
+    // two docs: "b a" ties both terms exactly (same tf, df, dl) ->
+    // rank order must be term ASC; k=1 keeps only 'a'
+    val docs = Seq((1L, "b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = graft.ext.TfIdf.bm25TopTerms(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "rank", "term").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, "a"), (2L, 1L, "a")))
+  }
+}

@@ -34,7 +34,7 @@ object KMeans {
     Vectors.unitized(df, vecCol, idCol -> idCol)
 
   /** Rounded positional-mean centroids of `grouped` (cluster, _uv). */
-  private def centroidsOf(grouped: DataFrame): DataFrame =
+  private[graft] def centroidsOf(grouped: DataFrame): DataFrame =
     grouped
       .select(col("cluster"), posexplode(col("_uv")).as(Seq("_pos", "_x")))
       .groupBy(col("cluster"), col("_pos"))
@@ -45,9 +45,34 @@ object KMeans {
         transform(col("_pm"), s => s.getField("_m")).as("_centroid"))
 
   /** Assign each vector to its nearest centroid (max cosine, 9-decimal
-    * rank rounding, cluster-id tie-break).
+    * rank rounding, cluster-id tie-break) — map-only: the k centroids
+    * fold into a ONE-ROW cluster-sorted model (J3
+    * crossJoin(broadcast(1-row-aggregate)) pattern) and the argmax
+    * runs per row in the native [[graft.plans.AssignNearest]]
+    * expression. The previous form expanded every vector into k
+    * centroid rows and ranked them back with a `row_number` window —
+    * a k× blowup plus a full vector-grain exchange+sort per
+    * iteration ([[assignWindow]], kept as the equality twin).
     */
-  private def assign(vecs: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
+  private[graft] def assign(vecs: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
+    val model = centroids.agg(
+      sort_array(collect_list(struct(col("cluster"), col("_centroid"))))
+        .as("cents"))
+    vecs.crossJoin(broadcast(model))
+      .select(col(idCol), col("_uv"),
+        call_function("graft_assign_nearest", col("_uv"), col("cents"))
+          .as("_a"))
+      .filter(col("_a").isNotNull) // empty model = the join's empty side
+      .select(col(idCol), col("_a.cluster").as("cluster"), col("_uv"),
+        col("_a.similarity").as("similarity"))
+  }
+
+  /** The k×-expand + rank-window form of [[assign]] — the derivation
+    * the DuckDB oracles replay, kept as the equality twin for the
+    * native rewrite's spec.
+    */
+  private[graft] def assignWindow(vecs: DataFrame, centroids: DataFrame,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(round(col("_sim"), 9).desc, col("cluster").asc)
     vecs.crossJoin(broadcast(centroids))

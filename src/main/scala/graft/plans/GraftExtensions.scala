@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bigramCountsFunction)
     e.injectFunction(GraftExtensions.bm25TopKFunction)
     e.injectFunction(GraftExtensions.perplexityFunction)
+    e.injectFunction(GraftExtensions.assignNearestFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
@@ -304,6 +305,14 @@ object GraftExtensions {
       PerplexityScore(children(0), children(1))
     })
 
+  private val assignNearestFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_assign_nearest"),
+    new ExpressionInfo(classOf[AssignNearest].getName, "graft_assign_nearest"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_assign_nearest(uv, cents)")
+      AssignNearest(children(0), children(1))
+    })
+
   /** Idempotent registration on an already-built session. Builders are
     * the SAME values the injectFunction path ships — the arity checks
     * (requireArity's readable signature errors) must not differ
@@ -316,7 +325,7 @@ object GraftExtensions {
         sortedPairsFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
-        bm25TopKFunction, perplexityFunction)
+        bm25TopKFunction, perplexityFunction, assignNearestFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

@@ -43,23 +43,37 @@ object Dsir {
     */
   def scoreAndSelect(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, quantile: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("_id"), isTarget.as("_tgt"),
-        explode(Text.tokens(coalesce(col(textCol), lit("")))).as("_tok"))
-      .withColumn("_bucket", substring(md5(col("_tok")), 1, 2))
-    val counts = toks.groupBy("_bucket").agg(
-      count(lit(1)).as("_cr"),
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    // round-14 shape: ONE tokenize+md5 pass builds a per-doc sparse
+    // bucket histogram (native graft_dsir_buckets, persisted — the
+    // bucket-count pass and the scoring pass both read it; the
+    // composed form exploded and re-hashed the token stream twice);
+    // scoring is then map-side integer arithmetic against the
+    // broadcast 1-row log-ratio model (graft_dsir_score) — the
+    // per-token join + per-doc re-aggregation disappear. Exchanges:
+    // 256-bucket partials and two 1-row aggregates, nothing doc-grain.
+    val pc = df.select(col(idCol).as("_id"), isTarget.as("_tgt"),
+        call_function("graft_dsir_buckets",
+          Text.tokens(coalesce(col(textCol), lit("")))).as("_bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = pc.select(col("_tgt"), explode(col("_bc")).as("e"))
+      .groupBy(col("e.bucket").as("_bucket")).agg(
+        sum(col("e.c")).as("_cr"),
+        sum(when(col("_tgt"), col("e.c")).otherwise(0L)).as("_ct"))
     val totals = counts.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
-    // 256-row log-ratio table, micro-int rounded at the source
+    // 256-row log-ratio table, micro-int rounded at the source, folded
+    // into the 1-row bucket-sorted model
     val lr = counts.crossJoin(broadcast(totals))
       .select(col("_bucket"),
         round(lit(1e6) *
           (log((col("_ct") + lit(1.0)) / (col("_nt") + lit(256.0))) -
            log((col("_cr") + lit(1.0)) / (col("_nr") + lit(256.0)))))
           .cast("long").as("_lr_micro"))
-    val scored = toks.join(broadcast(lr), Seq("_bucket"))
-      .groupBy(col("_id"))
-      .agg(sum(col("_lr_micro")).as("_score_micro"))
+      .agg(sort_array(collect_list(struct(col("_bucket"), col("_lr_micro"))))
+        .as("_lrarr"))
+    val scored = pc.crossJoin(broadcast(lr))
+      .select(col("_id"),
+        call_function("graft_dsir_score", col("_bc"), col("_lrarr"))
+          .as("_score_micro"))
     val thr = scored.agg(
       expr(s"percentile(_score_micro, $quantile)").as("_thr"))
     scored.crossJoin(broadcast(thr))

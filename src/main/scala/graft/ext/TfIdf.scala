@@ -95,8 +95,36 @@ object TfIdf {
       .select(col(idCol), col("rank"), col("term"), col("bm25"))
   }
 
-  /** Top-k terms per document by `tf * ln(N / df)`. */
+  /** Top-k terms per document by `tf * ln(N / df)` — same one-pass
+    * count + one-row broadcast model + map-side selection shape as
+    * [[bm25TopTerms]] (native [[graft.plans.TfIdfTopK]]); the
+    * exploded-postings window form stays as [[topTermsComposed]].
+    */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val pc = docs.select(col(idCol),
+        call_function("graft_term_counts", Text.tokens(col(textCol))).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = pc.select(explode(col("tc")).as("e"))
+      .filter(length(col("e.term")) >= 1)
+      .select(col("e.term").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val model = df
+      .agg(sort_array(collect_list(struct(col("term"), col("df"))))
+        .as("dfarr"))
+      .crossJoin(pc.agg(countDistinct(col(idCol)).as("n_docs")))
+      .select(struct(col("dfarr"), col("n_docs")).as("model"))
+    pc.crossJoin(broadcast(model))
+      .select(col(idCol), explode(call_function("graft_tfidf_topk",
+        col("tc"), col("model"), lit(k))).as("r"))
+      .select(col(idCol), col("r.rank").as("rank"),
+        col("r.term").as("term"), col("r.tfidf").as("tfidf"))
+  }
+
+  /** The exploded-postings + window form of [[topTerms]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin.
+    */
+  private[graft] def topTermsComposed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     // same empty-pseudo-term guard as [[bm25TopTerms]]
     val toks = docs.select(col(idCol),
         explode(Text.tokens(col(textCol))).as("term"))

@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bm25TopKFunction)
     e.injectFunction(GraftExtensions.perplexityFunction)
     e.injectFunction(GraftExtensions.assignNearestFunction)
+    e.injectFunction(GraftExtensions.tfidfTopKFunction)
+    e.injectFunction(GraftExtensions.dsirBucketsFunction)
+    e.injectFunction(GraftExtensions.dsirScoreFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
@@ -305,6 +308,32 @@ object GraftExtensions {
       PerplexityScore(children(0), children(1))
     })
 
+  private val dsirBucketsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dsir_buckets"),
+    new ExpressionInfo(classOf[DsirBuckets].getName, "graft_dsir_buckets"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_dsir_buckets(tokens)")
+      DsirBuckets(children.head)
+    })
+
+  private val dsirScoreFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dsir_score"),
+    new ExpressionInfo(classOf[DsirScore].getName, "graft_dsir_score"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_dsir_score(bcnts, lrarr)")
+      DsirScore(children(0), children(1))
+    })
+
+  /** `graft_tfidf_topk(tc, model, k)` — k is a literal. */
+  private val tfidfTopKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_tfidf_topk"),
+    new ExpressionInfo(classOf[TfIdfTopK].getName, "graft_tfidf_topk"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 3, "graft_tfidf_topk(tc, model, k)")
+      TfIdfTopK(children(0), children(1),
+        intLit(children(2), "graft_tfidf_topk", "k"))
+    })
+
   private val assignNearestFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_assign_nearest"),
     new ExpressionInfo(classOf[AssignNearest].getName, "graft_assign_nearest"),
@@ -325,7 +354,8 @@ object GraftExtensions {
         sortedPairsFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
-        bm25TopKFunction, perplexityFunction, assignNearestFunction)
+        bm25TopKFunction, perplexityFunction, assignNearestFunction,
+        tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

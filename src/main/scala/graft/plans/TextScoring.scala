@@ -274,8 +274,90 @@ object Bm25TopK {
       }
       i += 1
     }
-    // rank window order: round(bm25, 9) DESC (identity on a 6-rounded
-    // value), term ASC tie-break
+    TopKSelect.select(terms, scores, m, k)
+  }
+}
+
+/** TF-IDF top-k terms for one document against the broadcast corpus
+  * model `struct(dfarr: array<struct<term, df>>, n_docs)` — same
+  * model-array + map-side-selection shape as [[Bm25TopK]] with the
+  * plain `tf · ln(N / df)` score (rounded HALF_UP to 6; rank order
+  * `round(score, 9) DESC, term ASC`). Returns
+  * `array<struct<rank, term, tfidf>>` of size ≤ k.
+  */
+case class TfIdfTopK(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StructType, _),
+            StructType(Array(StructField(_, ArrayType(_: StructType, _), _, _),
+              StructField(_, LongType, _, _)))) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        "graft_tfidf_topk expects (array<struct<term, tf>>, " +
+          s"struct<dfarr, n_docs>), got ($a, $b)")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", LongType, nullable = false),
+    StructField("term", StringType, nullable = false),
+    StructField("tfidf", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(tc: Any, model: Any): Any =
+    TfIdfTopK.compute(tc.asInstanceOf[ArrayData],
+      model.asInstanceOf[InternalRow], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tc, model) =>
+      s"${ev.value} = graft.plans.TfIdfTopK.compute($tc, $model, $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TfIdfTopK =
+    copy(left = newLeft, right = newRight)
+}
+
+object TfIdfTopK {
+  def compute(tcA: ArrayData, model: InternalRow, k: Int): GenericArrayData = {
+    val dfArr = model.getArray(0)
+    val nDocs = model.getLong(1)
+    val n = tcA.numElements()
+    val terms = new Array[UTF8String](n)
+    val scores = new Array[Double](n)
+    var m = 0
+    var from = 0
+    var i = 0
+    while (i < n) {
+      val e = tcA.getStruct(i, 2)
+      val term = e.getUTF8String(0)
+      if (term.numBytes() > 0) { // composed length(term) >= 1 filter
+        val idx = ModelSearch.findIndex(dfArr, term, from, 2, "term")
+        from = idx + 1
+        val df = dfArr.getStruct(idx, 2).getLong(1)
+        val tf = e.getLong(1)
+        // mirrors col("tf") * log(col("n_docs") / col("df"))
+        val raw = tf * Math.log(nDocs.toDouble / df.toDouble)
+        terms(m) = term
+        scores(m) = java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        m += 1
+      }
+      i += 1
+    }
+    TopKSelect.select(terms, scores, m, k)
+  }
+}
+
+/** Shared rank-window replacement: order the scored entries by
+  * `(score DESC, term ASC)` (scores already rounded — the window's
+  * `round(score, 9)` rank key is identity on them) and emit the first
+  * k as `struct(rank, term, score)`.
+  */
+private[plans] object TopKSelect {
+  def select(terms: Array[UTF8String], scores: Array[Double], m: Int,
+      k: Int): GenericArrayData = {
     val order = new Array[Integer](m)
     var j = 0
     while (j < m) { order(j) = j; j += 1 }
@@ -293,6 +375,134 @@ object Bm25TopK {
       j += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Per-document DSIR bucket histogram: tokens hash into 256 buckets
+  * (first two lowercase-hex chars of md5 — byte-identical to the
+  * composed `substring(md5(tok), 1, 2)`), counted with multiplicity
+  * into a sparse `array<struct<bucket, c>>` sorted by bucket. One md5
+  * per token occurrence in ONE pass — the composed form exploded and
+  * re-hashed the token stream twice (bucket-count pass + scoring
+  * pass). Null tokens are skipped (split() never produces them).
+  */
+case class DsirBuckets(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_dsir_buckets expects array<string>, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    DsirBuckets.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.DsirBuckets.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
+object DsirBuckets {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val counts = new Array[Long](256)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val b = md.digest(toks.getUTF8String(i).getBytes)
+        counts(b(0) & 0xff) += 1L
+      }
+      i += 1
+    }
+    var nz = 0
+    i = 0
+    while (i < 256) { if (counts(i) != 0L) nz += 1; i += 1 }
+    val out = new Array[Any](nz)
+    var j = 0
+    i = 0
+    while (i < 256) {
+      if (counts(i) != 0L) {
+        val s = new String(
+          Array(HexChars(i >>> 4), HexChars(i & 0xf)))
+        out(j) = new GenericInternalRow(
+          Array[Any](UTF8String.fromString(s), counts(i)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** DSIR per-document score against the broadcast 256-bucket log-ratio
+  * model `array<struct<bucket, lr_micro>>` (bucket-sorted): the exact
+  * BIGINT sum `Σ c_b · lr_micro(b)` the composed per-token join +
+  * groupBy computed — integer micro units, so the value is identical,
+  * not merely close. Fails loud on a bucket absent from the model
+  * (impossible when model and scoring share a corpus).
+  */
+case class DsirScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StructType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        "graft_dsir_score expects (array<struct<bucket, c>>, " +
+          s"array<struct<bucket, lr_micro>>), got ($a, $b)")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(bc: Any, lr: Any): Any =
+    DsirScore.compute(bc.asInstanceOf[ArrayData], lr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bc, lr) =>
+      s"${ev.value} = graft.plans.DsirScore.compute($bc, $lr);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DsirScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object DsirScore {
+  def compute(bcA: ArrayData, lrA: ArrayData): Long = {
+    val n = bcA.numElements()
+    var sum = 0L
+    var from = 0
+    var i = 0
+    while (i < n) {
+      val e = bcA.getStruct(i, 2)
+      val idx = ModelSearch.findIndex(lrA, e.getUTF8String(0), from, 2,
+        "bucket")
+      from = idx + 1
+      sum += e.getLong(1) * lrA.getStruct(idx, 2).getLong(1)
+      i += 1
+    }
+    sum
   }
 }
 

@@ -83,6 +83,26 @@ class TextScoringSpec extends SparkSpec {
     assert(wins.isEmpty)
   }
 
+  test("graft_dsir_buckets equals the composed md5-substring bucketing") {
+    val docs = Tables.documents(spark, sf)
+    val nat = docs.select(col("doc_id"),
+        explode(call_function("graft_dsir_buckets",
+          Text.tokens(col("text")))).as("e"))
+      .select(col("doc_id"), col("e.bucket").as("b"), col("e.c").as("c"))
+    val comp = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), substring(md5(col("t")), 1, 2).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+  }
+
+  test("text_tfidf native equals the composed window form on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val nat = graft.ext.TfIdf.topTerms(docs, "doc_id", "text", k = 3)
+    val comp = graft.ext.TfIdf.topTermsComposed(docs, "doc_id", "text", k = 3)
+    assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
+  }
+
   test("text_perplexity native equals the composed model-join form") {
     val nat = graft.queries.TextQueries.textPerplexity(spark, sf)
     val comp = graft.queries.TextQueries.textPerplexityComposed(spark, sf)

@@ -64,6 +64,44 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The grouped formulation of [[minhashCandidates]]: instead of a
+    * posting-list SELF-JOIN on (band index, band key) — two exchanges
+    * + sorts of the full posting list, generating both pair orders and
+    * filtering half away — collect each bucket's sorted distinct id
+    * set in ONE aggregation (map-side partials) and emit canonical
+    * pairs with the codegen'd [[graft.plans.SortedPairs]] generator.
+    * One shuffle of (id, band) postings, each unordered pair produced
+    * exactly once — the same composed-self-join-vs-sorted-group-stream
+    * trade PrefixPairs won as a physical operator, here expressible by
+    * pure composition because the bucket grouping IS the join key.
+    *
+    * Buckets above `groupCap` ids fall back to the per-bucket
+    * self-join shape: a b² single-array fan-out concentrates one
+    * degenerate bucket (an all-identical-band pathology) in one task,
+    * while the join spreads the same b² work across tasks. By LSH
+    * design buckets are near-dup-cluster-sized, so the cap path is
+    * the contract's escape hatch, not the common case.
+    */
+  def minhashCandidatesGrouped(banded: DataFrame, idCol: String,
+      groupCap: Int = 1024): DataFrame = {
+    val buckets = banded
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val small = buckets.filter(size(col("ids")) <= groupCap)
+      .select(explode(call_function("graft_sorted_pairs", col("ids"))).as("p"))
+      .select(col("p.part_a").as("id_a"), col("p.part_b").as("id_b"))
+    val bigIds = buckets.filter(size(col("ids")) > groupCap)
+      .select(col("band_idx"), col("band_key"), explode(col("ids")).as("id"))
+    val big = bigIds.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(bigIds.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    small.unionByName(big).distinct()
+  }
+
   /** Exact Jaccard verification of candidate pairs: join shingle sets
     * back by id (only candidates pay the set-intersection cost).
     */

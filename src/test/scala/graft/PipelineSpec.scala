@@ -77,6 +77,27 @@ class PipelineSpec extends SparkSpec {
     assert(full.count() > 0)
   }
 
+  test("medallion-incr query reuses its persisted base across calls") {
+    // first call builds (or re-attaches to) the signature-keyed base;
+    // the second must answer identically WITHOUT rebuilding it — the
+    // base dir's mtimes are untouched by a re-run
+    val first = graft.queries.OpsQueries.pipelineMedallionIncr(spark, sf)
+      .collect()
+    val bases = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(f => f.getName.startsWith("graft-medallion-base-") &&
+        !f.getName.contains("stage") && new java.io.File(f, "_DONE").exists())
+    assert(bases.nonEmpty, "no persisted medallion base after first call")
+    val stamps = bases.map(b => b.getName ->
+      new java.io.File(b, "mat/stg_events").lastModified).toMap
+    val second = graft.queries.OpsQueries.pipelineMedallionIncr(spark, sf)
+      .collect()
+    assert(first.sameElements(second))
+    bases.foreach { b =>
+      assert(new java.io.File(b, "mat/stg_events").lastModified ===
+        stamps(b.getName), s"base ${b.getName} was rebuilt on re-run")
+    }
+  }
+
   test("schema diff detects added/removed/retyped columns (Q6)") {
     import spark.implicits._
     val before = Anomaly.schemaSnapshot(Seq((1L, "a")).toDF("id", "x"))

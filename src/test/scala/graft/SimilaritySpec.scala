@@ -184,6 +184,23 @@ class SimilaritySpec extends SparkSpec {
     assert(cands.filter(col("id_a") === 3 && col("id_b") === 8888).count() === 1)
   }
 
+  test("grouped candidates == self-join candidates (incl. big-bucket path)") {
+    val docs = Tables.documents(spark, sf)
+      .union(Tables.documents(spark, sf).filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(9999L)))
+    val banded = Dedup.minhashBands(docs, "doc_id", "text")
+    val joined = Dedup.minhashCandidates(banded, "doc_id")
+    val grouped = Dedup.minhashCandidatesGrouped(banded, "doc_id")
+    assert(joined.exceptAll(grouped).isEmpty)
+    assert(grouped.exceptAll(joined).isEmpty)
+    // groupCap = 1 forces EVERY bucket through the per-bucket
+    // self-join fallback — the escape-hatch path must produce the
+    // identical canonical pair set
+    val capped = Dedup.minhashCandidatesGrouped(banded, "doc_id", groupCap = 1)
+    assert(joined.exceptAll(capped).isEmpty)
+    assert(capped.exceptAll(joined).isEmpty)
+  }
+
   test("minhash LSH candidates include the exact-duplicate pair") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

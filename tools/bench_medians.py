@@ -89,7 +89,11 @@ CLASS_EVIDENCE = {
     "write-lifecycle":
         "COVERAGE.md 'Scale curves' (r11) + 'Write-lifecycle scale curves' "
         "(r13): per-run persist+read-back vs a pure-query twin; write-path "
-        "scaling measured 1x/3x/10x",
+        "scaling measured 1x/3x/10x. r14: pipeline_medallion_incr persists "
+        "its pre-arrival base under a corpus-signature key (join_bucketed "
+        "contract) — the bench row now measures copy + one incremental "
+        "arrival (the steady-state path), not a from-scratch lifecycle; "
+        "only the first process after a corpus change pays the base build",
     "job-floor":
         "COVERAGE.md r10 honest-benchmarking re-base + corpus_pipeline "
         "curve 3.2x -> 1.5x across 10x: fixed per-job machinery, twin in "

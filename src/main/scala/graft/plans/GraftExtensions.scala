@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.textstatsFunction)
     e.injectFunction(GraftExtensions.gramStatsFunction)
     e.injectFunction(GraftExtensions.sortedPairsFunction)
+    e.injectFunction(GraftExtensions.sortedPairsPackedFunction)
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
@@ -177,6 +178,16 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       requireArity(children, 1, "graft_sorted_pairs(sorted_bigint_array)")
       SortedPairs(children.head)
+    })
+
+  private val sortedPairsPackedFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_pairs_packed"),
+    new ExpressionInfo(classOf[SortedPairsPacked].getName,
+      "graft_sorted_pairs_packed"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1,
+        "graft_sorted_pairs_packed(sorted_bigint_array)")
+      SortedPairsPacked(children.head)
     })
 
   /** Analysis-time arity check — a wrong argument count must surface
@@ -351,7 +362,7 @@ object GraftExtensions {
     Seq(dotFunction, pqAdcFunction, minhashFunction, shinglesFunction,
         fingerprintFunction, simhashFunction, hllRegFunction,
         collapseFunction, textstatsFunction, gramStatsFunction,
-        sortedPairsFunction, bloomPosFunction,
+        sortedPairsFunction, sortedPairsPackedFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
         bm25TopKFunction, perplexityFunction, assignNearestFunction,

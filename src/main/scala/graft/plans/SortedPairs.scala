@@ -70,3 +70,68 @@ object SortedPairs {
     new GenericArrayData(out)
   }
 }
+
+/** [[SortedPairs]] with each pair PACKED into one bigint
+  * (`a << 32 | b`; both members must fit unsigned 32 bits — enforced
+  * loudly, since a silent wrap would alias distinct pairs). The point
+  * is the aggregation that follows the explode: a single-long group
+  * key stays on Spark's primitive fixed-width hash-map fast path and
+  * ships 8 bytes per pair through the exchange, where the struct form
+  * pays per-pair row allocation, a 16-byte-plus-header key, and the
+  * generic map. Unpack with `shiftright(p, 32)` / `p & 0xFFFFFFFF`;
+  * packed order = (part_a, part_b) lexicographic order, so tie-breaks
+  * on the packed key are tie-breaks on the pair.
+  */
+case class SortedPairsPacked(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_pairs_packed expects an array with non-null " +
+          "elements; produce the basket via sort_array(collect_set(...))")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_pairs_packed expects array<bigint>, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    SortedPairsPacked.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SortedPairsPacked.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedPairsPacked = copy(child = newChild)
+}
+
+object SortedPairsPacked {
+  private final val Max32 = 0xFFFFFFFFL
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      if (a < 0L || a > Max32) throw new IllegalArgumentException(
+        s"graft_sorted_pairs_packed: element $a exceeds unsigned 32 bits")
+      var j = i + 1
+      while (j < n) {
+        val b = arr.getLong(j)
+        if (b < 0L || b > Max32) throw new IllegalArgumentException(
+          s"graft_sorted_pairs_packed: element $b exceeds unsigned 32 bits")
+        out(k) = (a << 32) | b
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -726,6 +726,37 @@ object AnalyticsQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    // pairs ride as ONE packed bigint each (graft_sorted_pairs_packed:
+    // a<<32|b — partkeys are catalog-bounded, enforced in the
+    // expression): the explode emits a primitive array, the count-agg
+    // groups on a single long (Spark's fixed-width hash-map fast path)
+    // and the exchange ships 8 bytes/pair where the struct form paid
+    // per-pair row allocation + a 16-byte struct key. Packed ascending
+    // order IS (part_a, part_b) lexicographic order, so the top-20
+    // tie-break happens on the packed key inside TakeOrderedAndProject
+    // and only 20 rows are ever decoded.
+    baskets.select(explode(
+        call_function("graft_sorted_pairs_packed", col("parts"))).as("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p"))
+      .limit(20)
+      .select(shiftright(col("p"), 32).as("part_a"),
+        col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
+        col("n_orders"))
+  }
+
+  /** The struct-pair form of [[copurchasePairs]] (pre-r14): same
+    * sorted-basket stream, pairs materialized as struct rows and
+    * aggregated on the two-column key. Kept as the packed rewrite's
+    * equality twin (CopurchaseSpec pins packed == struct == joined).
+    */
+  private[graft] def copurchasePairsStruct(spark: SparkSession,
+      dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
     baskets.select(explode(
         call_function("graft_sorted_pairs", col("parts"))).as("p"))
       .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))

@@ -119,7 +119,7 @@ object TextQueries {
     // release on GC, so nothing lingers in the session CacheManager.
     val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text")
       .localCheckpoint()
-    val cands = Dedup.minhashCandidates(banded, "doc_id")
+    val cands = Dedup.minhashCandidatesGrouped(banded, "doc_id")
     Dedup.verifyJaccard(cands, banded, "doc_id")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -135,7 +135,7 @@ object TextQueries {
     val banded = Dedup.minhashBands(Tables.documents(spark, dir), "doc_id", "text",
         fastHash = true)
       .localCheckpoint()
-    val cands = Dedup.minhashCandidates(banded, "doc_id")
+    val cands = Dedup.minhashCandidatesGrouped(banded, "doc_id")
     Dedup.verifyJaccard(cands, banded, "doc_id")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")

@@ -125,6 +125,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(600))
     assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 2, p.take(600))
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
+    // the count-agg must group on the single packed bigint (the
+    // fixed-width fast path), never the two-column struct key
+    assert(p.toLowerCase.contains("sortedpairspacked"), p.take(2000))
+  }
+
+  test("packed co-purchase pairs == struct form == joined form") {
+    val packed = AnalyticsQueries.copurchasePairs(spark, sf).collect()
+    val struct = AnalyticsQueries.copurchasePairsStruct(spark, sf).collect()
+    val joined = AnalyticsQueries.copurchasePairsJoined(spark, sf).collect()
+    assert(packed.sameElements(struct))
+    assert(packed.sameElements(joined))
   }
 
   test("histogram broadcasts its 1-row bounds — no shuffle of the fact side") {

@@ -84,11 +84,15 @@ object Dedup {
     */
   def minhashCandidatesGrouped(banded: DataFrame, idCol: String,
       groupCap: Int = 1024): DataFrame = {
+    // materialized once (localCheckpoint): both routes below filter
+    // this frame, and without a barrier the signature + band explode
+    // + collect aggregation would run once per route
     val buckets = banded
       .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .localCheckpoint()
     val small = buckets.filter(size(col("ids")) <= groupCap)
       .select(explode(call_function("graft_sorted_pairs", col("ids"))).as("p"))
       .select(col("p.part_a").as("id_a"), col("p.part_b").as("id_b"))
@@ -100,6 +104,52 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     small.unionByName(big).distinct()
+  }
+
+  /** Generic grouped candidate generation over arbitrary bucket keys,
+    * pairs PACKED into single bigints end-to-end: collect each
+    * bucket's sorted distinct id set in one aggregation, stream
+    * canonical pairs through [[graft.plans.SortedPairsPacked]]
+    * (`a<<32|b`, 32-bit members loudly enforced), and dedup across
+    * buckets on the SINGLE-LONG key — the distinct that the struct
+    * form pays on a two-column row rides the fixed-width fast path
+    * here, and the exchange ships 8 bytes per candidate. Unpacks only
+    * after the distinct. Buckets above `groupCap` fall back to the
+    * per-bucket self-join (degenerate buckets spread across tasks
+    * instead of materializing b² pairs in one array).
+    */
+  def bucketCandidatesPacked(posts: DataFrame, keyCols: Seq[String],
+      idCol: String, groupCap: Int = 4096): DataFrame = {
+    val keys = keyCols.map(col)
+    // materialized once (localCheckpoint): BOTH routes (small explode
+    // + big-bucket join) filter this frame — without a barrier the
+    // collect_set aggregation AND its whole upstream (signature
+    // build, posting shuffle) run once per route. Bucket-grain rows,
+    // so the checkpoint is posting-list-sized, never pair-sized.
+    val buckets = posts
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .localCheckpoint()
+    val small = buckets.filter(size(col("ids")) <= groupCap)
+      .select(explode(
+        call_function("graft_sorted_pairs_packed", col("ids"))).as("_pk"))
+    val bigIds = buckets.filter(size(col("ids")) > groupCap)
+      .select(keys :+ explode(col("ids")).as("_id"): _*)
+    val big = bigIds.select(keys :+ col("_id").as("id_a"): _*)
+      .join(bigIds.select(keys :+ col("_id").as("id_b"): _*), keyCols)
+      .filter(col("id_a") < col("id_b"))
+      // same 32-bit contract the expression enforces on the small
+      // path — a silent wrap here would alias distinct pairs
+      .select(when(col("id_a") > lit(0xFFFFFFFFL) || col("id_a") < 0 ||
+          col("id_b") > lit(0xFFFFFFFFL) || col("id_b") < 0,
+        raise_error(concat(lit("bucketCandidatesPacked: id exceeds "
+          + "unsigned 32 bits: "), col("id_a"), lit("/"), col("id_b"))))
+        .otherwise(shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")))
+        .as("_pk"))
+    small.unionByName(big).distinct()
+      .select(shiftright(col("_pk"), 32).as("id_a"),
+        col("_pk").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
   }
 
   /** Exact Jaccard verification of candidate pairs: join shingle sets

@@ -94,9 +94,24 @@ object SignLsh {
     * The engine's recall gate (`similarity_recall`) measures both
     * variants side by side — the multi-table path exists because the
     * gate showed the single-table recall floor.
+    *
+    * Pair dedup (r14): a near-identical pair collides in MANY tables,
+    * so the bucket join regenerates it up to `tables` times and the
+    * composed plan paid a pair-grain `distinct` exchange — the single
+    * largest exchange in the whole operator on a near-dup-heavy
+    * corpus. Now each posting carries its id's full array of `tables`
+    * bucket CODES (ints — bijective with the bit-strings for bits <=
+    * 31, a tables-sized array, not pair-grain state) and a pair
+    * generated in table t survives only when t is its FIRST colliding
+    * table (`graft_first_collision`, codegen'd) — unique by
+    * construction, dedup runs map-side inside the join stage, and the
+    * pair-grain exchange disappears from the plan. `firstCollision =
+    * false` keeps the joined+distinct form as the equality twin
+    * (SimilaritySpec) and the A/B baseline (ProfileSlshCands).
     */
   def nearDupPairsMulti(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, tables: Int, minCosine: Double, dim: Int = -1): DataFrame = {
+      bits: Int, tables: Int, minCosine: Double, dim: Int = -1,
+      firstCollision: Boolean = true): DataFrame = {
     require(tables >= 1, "need at least one hash table")
     val d = resolveDim(df, vecCol, dim)
     val spark = df.sparkSession
@@ -125,11 +140,37 @@ object SignLsh {
       .agg(concat_ws("", transform(
         array_sort(collect_list(struct(col("_p"), col("_bit")))),
         s => s.getField("_bit"))).as("_bucket"))
-    val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
-    val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
-    val cands = a.join(b, Seq("_t", "_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cands = if (firstCollision) {
+      // per-id bucket-code vector: one more (tiny) aggregation from
+      // the (id, table) grain down to the id grain — 1/tables the
+      // rows, a tables-length int array each. conv(bits, 2, 10) is
+      // bijective for bits <= 31, so code equality IS bucket equality.
+      val codes = sig
+        .withColumn("_code", conv(col("_bucket"), 2, 10).cast("int"))
+        .groupBy(col(idCol))
+        .agg(transform(array_sort(collect_list(struct(col("_t"), col("_code")))),
+          s => s.getField("_code")).as("_codes"))
+      val posts = codes.select(col(idCol),
+        posexplode(col("_codes")).as(Seq("_t", "_code")), col("_codes"))
+      val a = posts.select(col("_t"), col("_code"),
+        col(idCol).as("id_a"), col("_codes").as("_ca"))
+      val b = posts.select(col("_t"), col("_code"),
+        col(idCol).as("id_b"), col("_codes").as("_cb"))
+      // the first-collision filter runs INSIDE the join's codegen
+      // stage: regenerated copies of a pair (tables t > first) die
+      // map-side, nothing pair-grain ever shuffles again
+      a.join(b, Seq("_t", "_code"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(call_function("graft_first_collision",
+          col("_ca"), col("_cb")) === col("_t"))
+        .select("id_a", "id_b")
+    } else {
+      val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
+      val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
+      a.join(b, Seq("_t", "_bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     val va = e.select(col(idCol).as("id_a"), col("_u").as("_ua"))
     val vb = e.select(col(idCol).as("id_b"), col("_u").as("_ub"))
     cands.join(va, "id_a").join(vb, "id_b")

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.gramStatsFunction)
     e.injectFunction(GraftExtensions.sortedPairsFunction)
     e.injectFunction(GraftExtensions.sortedPairsPackedFunction)
+    e.injectFunction(GraftExtensions.firstCollisionFunction)
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
@@ -178,6 +179,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       requireArity(children, 1, "graft_sorted_pairs(sorted_bigint_array)")
       SortedPairs(children.head)
+    })
+
+  private val firstCollisionFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_first_collision"),
+    new ExpressionInfo(classOf[FirstCollision].getName,
+      "graft_first_collision"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_first_collision(codes_a, codes_b)")
+      FirstCollision(children(0), children(1))
     })
 
   private val sortedPairsPackedFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -362,7 +372,8 @@ object GraftExtensions {
     Seq(dotFunction, pqAdcFunction, minhashFunction, shinglesFunction,
         fingerprintFunction, simhashFunction, hllRegFunction,
         collapseFunction, textstatsFunction, gramStatsFunction,
-        sortedPairsFunction, sortedPairsPackedFunction, bloomPosFunction,
+        sortedPairsFunction, sortedPairsPackedFunction,
+        firstCollisionFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
         bm25TopKFunction, perplexityFunction, assignNearestFunction,

@@ -170,8 +170,12 @@ class SimilaritySpec extends SparkSpec {
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastNestedLoopJoin"),
       s"hyperplanes must join as a broadcast relation:\n${phys.take(2000)}")
-    assert(!phys.contains("Generate"),
-      s"signatures must not posexplode per-table expressions:\n${phys.take(2000)}")
+    // the guarded regression (inlined per-plane literal expression
+    // trees) is pinned POSITIVELY by the broadcast-rows assertion
+    // above: the literal form has no plane relation to broadcast. The
+    // r14 candidate path legitimately posexplodes the per-id CODES
+    // array (data, not expressions), so a negative Generate/posexplode
+    // assertion would be asserting on the wrong stage.
   }
 
   test("fast-hash minhash LSH also catches the planted duplicate") {
@@ -197,6 +201,42 @@ class SimilaritySpec extends SparkSpec {
     // self-join fallback — the escape-hatch path must produce the
     // identical canonical pair set
     val capped = Dedup.minhashCandidatesGrouped(banded, "doc_id", groupCap = 1)
+    assert(joined.exceptAll(capped).isEmpty)
+    assert(capped.exceptAll(joined).isEmpty)
+  }
+
+  test("first-collision multi-LSH == joined+distinct multi-LSH") {
+    val fc = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+      bits = 4, tables = 3, minCosine = 0.25, dim = 64)
+    val jd = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+      bits = 4, tables = 3, minCosine = 0.25, dim = 64,
+      firstCollision = false)
+    assert(fc.exceptAll(jd).isEmpty)
+    assert(jd.exceptAll(fc).isEmpty)
+    // and the pair stream really is unique by construction pre-verify
+    val pairs = fc.select("id_a", "id_b")
+    assert(pairs.count() === pairs.distinct().count())
+  }
+
+  test("packed bucket candidates == posting-list self-join candidates") {
+    // same posting frame shape nearDupPairsMulti feeds: (table,
+    // bucket, id); the packed stream must reproduce the joined form's
+    // distinct canonical pair set on both the grouped and the forced
+    // big-bucket path
+    val posts = Tables.documents(spark, sf)
+      .select((col("doc_id") % 3).as("_t"),
+        (col("doc_id") % 5).cast("string").as("_bucket"), col("doc_id"))
+    val a = posts.select(col("_t"), col("_bucket"), col("doc_id").as("id_a"))
+    val b = posts.select(col("_t"), col("_bucket"), col("doc_id").as("id_b"))
+    val joined = a.join(b, Seq("_t", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val packed = Dedup.bucketCandidatesPacked(posts, Seq("_t", "_bucket"),
+      "doc_id")
+    assert(joined.exceptAll(packed).isEmpty)
+    assert(packed.exceptAll(joined).isEmpty)
+    val capped = Dedup.bucketCandidatesPacked(posts, Seq("_t", "_bucket"),
+      "doc_id", groupCap = 1)
     assert(joined.exceptAll(capped).isEmpty)
     assert(capped.exceptAll(joined).isEmpty)
   }

@@ -369,17 +369,33 @@ object Dedup {
     // the memo key (two configs must never alias to one persisted
     // index) and must be repeated to [[lshIndexProbe]] — same
     // defaults there, so default callers stay coherent by
-    // construction
+    // construction.
+    //
+    // CROSS-PROCESS persistence (r14, the join_bucketed contract
+    // applied to the index lifecycle): the index is immutable for a
+    // given corpus version, so it lives under a signature-keyed dir —
+    // cache key + parameters + the corpus PLAN's semantic hash (two
+    // different corpus filters over one dir never alias) + the
+    // documents table's data-file listing (a regenerated corpus can
+    // never silently re-attach a stale index). A fresh process
+    // re-ATTACHES (Versioned.read over the persisted postings)
+    // instead of re-signing the corpus; only the first process after
+    // a corpus change pays the build. Staged + atomically renamed so
+    // a concurrent first-builder loses the race cleanly.
     val root = lshIndexRoots.computeIfAbsent(
       s"$cacheKey|$shingleN|$numHashes|$numBands", { _ =>
-        val r = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
-          .toString
-        graft.operators.Versioned.write(spark, s"$r/bands",
-          minhashBands(corpus, idCol, textCol, shingleN, numHashes,
-            numBands)
-            .select(col(idCol).as("c_id"),
-              posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
-        r
+        graft.operators.Persisted.ensure("graft-lsh-idx",
+          graft.operators.Persisted.signature(
+            Seq(cacheKey, shingleN.toString, numHashes.toString,
+              numBands.toString,
+              corpus.queryExecution.analyzed.semanticHash().toString),
+            Seq(s"$cacheKey/documents.parquet"))) { staging =>
+          graft.operators.Versioned.write(spark, s"$staging/bands",
+            minhashBands(corpus, idCol, textCol, shingleN, numHashes,
+              numBands)
+              .select(col(idCol).as("c_id"),
+                posexplode(col("bands")).as(Seq("band_idx", "band_key"))))
+        }
       })
     graft.operators.Versioned.read(spark, s"$root/bands")
   }

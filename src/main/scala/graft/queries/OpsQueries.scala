@@ -80,42 +80,14 @@ object OpsQueries {
     * loses the race cleanly and reuses the winner's complete state.
     */
   private def ensureMedallionBase(spark: SparkSession, dir: String,
-      cut: String): String = {
-    val sig = {
-      val crc = new java.util.zip.CRC32
-      val d = new java.io.File(s"$dir/events.parquet")
-      crc.update(s"${d.getAbsolutePath}|$cut".getBytes("UTF-8"))
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).sortBy(_.getName)
-        .foreach { f =>
-          crc.update(s"|${f.getName}|${f.length}|${f.lastModified}"
-            .getBytes("UTF-8"))
-        }
-      java.lang.Long.toHexString(crc.getValue)
-    }
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-medallion-base-$sig")
-    if (!new java.io.File(base, "_DONE").exists()) {
-      val staging = Files
-        .createTempDirectory(s"graft-medallion-base-$sig-stage").toFile
+      cut: String): String =
+    graft.operators.Persisted.ensure("graft-medallion-base",
+      graft.operators.Persisted.signature(Seq(cut),
+        Seq(s"$dir/events.parquet"))) { staging =>
       Tables.events(spark, dir).filter(to_date(col("ts")) < lit(cut))
         .write.mode("append").parquet(s"$staging/corpus/events.parquet")
       Medallion.run(spark, s"$staging/corpus", s"$staging/mat")
-      new java.io.File(staging, "_DONE").createNewFile()
-      try Files.move(staging.toPath, base.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: java.nio.file.FileSystemException =>
-          // only a lost race (winner's complete base in place) may
-          // discard the staging build
-          if (new java.io.File(base, "_DONE").exists()) {
-            import scala.reflect.io.Directory
-            new Directory(staging).deleteRecursively()
-          } else throw e
-      }
     }
-    base.toString
-  }
 
   /** Recursive file-tree copy (base state → per-call scratch root).
     * Skips the `_DONE` marker so a scratch root is never mistaken for

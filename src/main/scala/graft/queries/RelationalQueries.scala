@@ -123,68 +123,32 @@ object RelationalQueries {
     * corpus change pays the write.
     */
   def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
-    val sig = {
-      // the corpus signature must change when the DATA changes: the
-      // `.parquet` paths are directories, whose own length/mtime are
-      // filesystem-dependent and effectively constant — hash the
-      // sorted data-file listing (name + size + mtime) inside each
-      // table directory instead, so a regenerated corpus can never
-      // silently re-attach a stale bucketed layout
-      val crc = new java.util.zip.CRC32
-      Seq("lineitem", "orders").foreach { t =>
-        val d = new java.io.File(s"$dir/$t.parquet")
-        crc.update(d.getAbsolutePath.getBytes("UTF-8"))
-        val files = Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(_.isFile).sortBy(_.getName)
-        files.foreach { f =>
-          crc.update(s"|${f.getName}|${f.length}|${f.lastModified}"
-            .getBytes("UTF-8"))
-        }
-      }
-      java.lang.Long.toHexString(crc.getValue)
-    }
+    // signature = the data-file listing of both source tables
+    // ([[graft.operators.Persisted.signature]]): a regenerated corpus
+    // can never silently re-attach a stale bucketed layout
+    val sig = graft.operators.Persisted.signature(Nil,
+      Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"))
     val liTab = s"graft_li_bucketed_$sig"
     val ordTab = s"graft_ord_bucketed_$sig"
-    val wh = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-bucketed-$sig")
-    if (!new java.io.File(wh, "_DONE").exists()) {
-      // stage into a private dir, atomically rename into place: a
-      // concurrent builder (two sessions cold on the same corpus)
-      // loses the rename and discards its staging — the layout under
-      // `wh` is always one writer's complete output
-      val staging = java.nio.file.Files
-        .createTempDirectory(s"graft-bucketed-$sig-stage").toFile
-      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity",
-        "l_extendedprice", "l_discount")
-      val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-      // throwaway catalog names: the write API only produces a BUCKETED
-      // layout through saveAsTable; the files outlive the dropped
-      // external-table entries and the real names attach below
-      spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
-      spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
-      li.write.mode("overwrite").option("path", s"$staging/li")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"${liTab}_stage")
-      ord.write.mode("overwrite").option("path", s"$staging/ord")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"${ordTab}_stage")
-      spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
-      spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
-      new java.io.File(staging, "_DONE").createNewFile()
-      try java.nio.file.Files.move(staging.toPath, wh.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: java.nio.file.FileSystemException =>
-          // ONLY a lost race (winner's complete layout in place) may
-          // discard the staging; any other move failure (I/O error,
-          // cross-filesystem tmpdir) must not silently destroy the one
-          // complete build and then fail later with a bare missing-path
-          if (new java.io.File(wh, "_DONE").exists()) {
-            import scala.reflect.io.Directory
-            new Directory(staging).deleteRecursively()
-          } else throw e
-      }
-    }
+    val wh = new java.io.File(graft.operators.Persisted
+      .ensure("graft-bucketed", sig) { staging =>
+        val li = Tables.lineitem(spark, dir).select("l_orderkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+        // throwaway catalog names: the write API only produces a
+        // BUCKETED layout through saveAsTable; the files outlive the
+        // dropped external-table entries and the real names attach below
+        spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
+        spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
+        li.write.mode("overwrite").option("path", s"$staging/li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"${liTab}_stage")
+        ord.write.mode("overwrite").option("path", s"$staging/ord")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"${ordTab}_stage")
+        spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
+        spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
+      })
     // register over the persisted files — never rewrite. saveAsTable-
     // written bucket files carry the bucket id in their names, so a
     // table declared with the IDENTICAL CLUSTERED BY spec reads them

@@ -33,12 +33,15 @@ object ProfileLshIndex {
 
     // JVM/codegen warmup on the full path with a distinct cache key
     Dedup.lshIndexProbe(
-      Dedup.persistedLshIndex(spark, sf + "#warm", corpus, "doc_id", "text"),
+      Dedup.persistedLshIndex(spark, s"$sf#warm#${System.nanoTime}", corpus, "doc_id", "text"),
       corpus, batch, "doc_id", "text").count()
 
     val runs = (1 to 3).map { i =>
       val (idx, buildSec) = time {
-        val d = Dedup.persistedLshIndex(spark, s"$sf#$i", corpus,
+        // nanoTime salt: the index now persists ACROSS processes, and this
+        // tool exists to measure the BUILD — a reused key would time a
+        // re-attach instead
+        val d = Dedup.persistedLshIndex(spark, s"$sf#$i#${System.nanoTime}", corpus,
           "doc_id", "text")
         d.count() // force the versioned read side too
         d

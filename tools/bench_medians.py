@@ -62,6 +62,7 @@ DATA_DOMINATED = {
     "graph_pagerank", "similarity_pq", "text_repetition", "copurchase_pairs",
     "dedup_semantic", "split_leakage_safe", "dedup_clusters",
     "dedup_substring", "dedup_substring_keepfirst", "bpe_encode",
+    "dedup_minhash_lsh", "dedup_minhash_fast",
     "approx_distinct", "kmeans_embeddings", "text_bm25", "text_tfidf",
     "text_perplexity", "dedup_ngram_jaccard", "sketch_countmin",
     "select_dsir", "concurrency_sweep", "dedup_embedding_lsh_multi",

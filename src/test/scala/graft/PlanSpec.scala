@@ -130,6 +130,16 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("sortedpairspacked"), p.take(2000))
   }
 
+  test("multi-LSH plan: no pair-grain aggregation (first-collision dedup)") {
+    val p = plan(graft.queries.SimilarityQueries.defs("dedup_embedding_lsh_multi")(spark, sf))
+    // the composed form deduped candidates with distinct() — a
+    // HashAggregate keyed on (id_a, id_b) over the full pair stream;
+    // the first-collision filter makes the stream unique by
+    // construction, so NO aggregate may key on the pair
+    assert(!p.contains("keys=[id_a"), p.take(2000))
+    assert(p.toLowerCase.contains("firstcollision"), p.take(2000))
+  }
+
   test("packed co-purchase pairs == struct form == joined form") {
     val packed = AnalyticsQueries.copurchasePairs(spark, sf).collect()
     val struct = AnalyticsQueries.copurchasePairsStruct(spark, sf).collect()

@@ -101,7 +101,8 @@ CLASS_EVIDENCE = {
         "single-digit ms",
     "data-dominated":
         "COVERAGE.md family scale curves: spans 0.63-0.76x, ppjoin 0.22x, "
-        "minhash 0.55-0.69x, keep-first 0.63-0.76x at 10x corpus",
+        "minhash 0.63x/0.30x (r14 refresh, Spark wins at every scale), "
+        "keep-first 0.63-0.76x at 10x corpus",
 }
 
 

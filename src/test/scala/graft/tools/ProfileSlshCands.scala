@@ -27,7 +27,7 @@ object ProfileSlshCands {
       j(r) = run(packed = false)
     }
     def med(a: Array[Double]) = a.sorted.apply((a.length - 1) / 2)
-    println(f"""{"dir":"$dir","packed_med":${med(p)}%.2f,"joined_med":${med(j)}%.2f,"packed":[${p.map(x => f"$x%.2f").mkString(",")}],"joined":[${j.map(x => f"$x%.2f").mkString(",")}]}""")
+    println(f"""{"dir":"$dir","first_collision_med":${med(p)}%.2f,"joined_med":${med(j)}%.2f,"first_collision":[${p.map(x => f"$x%.2f").mkString(",")}],"joined":[${j.map(x => f"$x%.2f").mkString(",")}]}""")
     spark.stop()
   }
 }

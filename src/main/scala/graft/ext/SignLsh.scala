@@ -144,7 +144,12 @@ object SignLsh {
       // per-id bucket-code vector: one more (tiny) aggregation from
       // the (id, table) grain down to the id grain — 1/tables the
       // rows, a tables-length int array each. conv(bits, 2, 10) is
-      // bijective for bits <= 31, so code equality IS bucket equality.
+      // bijective for bits <= 31, so code equality IS bucket equality
+      // — and ONLY then: past 31 bits the int cast would overflow and
+      // silently alias buckets, so the bound is enforced loudly.
+      require(bits <= 31, s"first-collision dedup packs bucket bit-strings " +
+        s"into ints and is exact only for bits <= 31 (got $bits); " +
+        "call with firstCollision = false for wider buckets")
       val codes = sig
         .withColumn("_code", conv(col("_bucket"), 2, 10).cast("int"))
         .groupBy(col(idCol))

@@ -218,6 +218,14 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.count() === pairs.distinct().count())
   }
 
+  test("first-collision multi-LSH rejects bits > 31 loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+        bits = 32, tables = 2, minCosine = 0.25, dim = 64)
+    }
+    assert(e.getMessage.contains("bits <= 31"))
+  }
+
   test("packed bucket candidates == posting-list self-join candidates") {
     // same posting frame shape nearDupPairsMulti feeds: (table,
     // bucket, id); the packed stream must reproduce the joined form's

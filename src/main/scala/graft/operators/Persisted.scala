@@ -25,7 +25,9 @@ object Persisted {
     */
   def signature(parts: Seq[String], tableDirs: Seq[String] = Nil): String = {
     val crc = new java.util.zip.CRC32
-    parts.foreach(p => crc.update((p + "|").getBytes("UTF-8")))
+    // length-prefixed so part boundaries are unambiguous: a plain
+    // separator would let ["a|b"] and ["a","b"] alias to one signature
+    parts.foreach(p => crc.update(s"${p.length}:$p|".getBytes("UTF-8")))
     tableDirs.foreach { t =>
       val d = new java.io.File(t)
       crc.update(d.getAbsolutePath.getBytes("UTF-8"))

@@ -384,11 +384,18 @@ object Dedup {
     // a concurrent first-builder loses the race cleanly.
     val root = lshIndexRoots.computeIfAbsent(
       s"$cacheKey|$shingleN|$numHashes|$numBands", { _ =>
+        // the corpus-definition discriminator is the CANONICALIZED
+        // plan's string, not semanticHash(): the hash is unstable
+        // across JVMs (measured: two processes, two values on the
+        // same query), which silently degraded every new process to a
+        // full index rebuild. The canonicalized string is stable and
+        // captures the filter structure; the source dir and its data
+        // files are covered by cacheKey + the listing.
         graft.operators.Persisted.ensure("graft-lsh-idx",
           graft.operators.Persisted.signature(
             Seq(cacheKey, shingleN.toString, numHashes.toString,
               numBands.toString,
-              corpus.queryExecution.analyzed.semanticHash().toString),
+              corpus.queryExecution.analyzed.canonicalized.toString),
             Seq(s"$cacheKey/documents.parquet"))) { staging =>
           graft.operators.Versioned.write(spark, s"$staging/bands",
             minhashBands(corpus, idCol, textCol, shingleN, numHashes,

@@ -249,6 +249,20 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.exceptAll(joined).isEmpty)
   }
 
+  test("packed bucket candidates reject >32-bit ids on the big-bucket path") {
+    import spark.implicits._
+    val posts = Seq((0, "k", 1L), (0, "k", 1L << 40))
+      .toDF("_t", "_bucket", "id")
+    val e = intercept[Exception] {
+      Dedup.bucketCandidatesPacked(posts, Seq("_t", "_bucket"), "id",
+        groupCap = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("exceeds unsigned 32 bits")), e.toString)
+  }
+
   test("minhash LSH candidates include the exact-duplicate pair") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

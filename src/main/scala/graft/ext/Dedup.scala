@@ -382,17 +382,26 @@ object Dedup {
     // instead of re-signing the corpus; only the first process after
     // a corpus change pays the build. Staged + atomically renamed so
     // a concurrent first-builder loses the race cleanly.
+    // the corpus-definition discriminator is the CANONICALIZED plan's
+    // string, not semanticHash(): the hash is unstable across JVMs
+    // (measured: two processes, two values on the same query), which
+    // silently degraded every new process to a full index rebuild. The
+    // canonicalized string is stable and captures the filter
+    // structure; the source dir and its data files are covered by
+    // cacheKey + the listing. The plan term joins BOTH the on-disk
+    // signature and the in-process memo key — same identity on both
+    // levels, so two same-process calls with the same dir but
+    // different corpus filters can never alias either.
+    val planCrc = {
+      val crc = new java.util.zip.CRC32
+      crc.update(corpus.queryExecution.analyzed.canonicalized.toString
+        .getBytes("UTF-8"))
+      java.lang.Long.toHexString(crc.getValue)
+    }
     val root = lshIndexRoots.computeIfAbsent(
-      s"$cacheKey|$shingleN|$numHashes|$numBands", { _ =>
-        // the corpus-definition discriminator is the CANONICALIZED
-        // plan's string, not semanticHash(): the hash is unstable
-        // across JVMs (measured: two processes, two values on the
-        // same query), which silently degraded every new process to a
-        // full index rebuild. The canonicalized string is stable and
-        // captures the filter structure; the source dir and its data
-        // files are covered by cacheKey + the listing.
-        graft.operators.Persisted.ensure("graft-lsh-idx",
-          graft.operators.Persisted.signature(
+      s"$cacheKey|$shingleN|$numHashes|$numBands|$planCrc", { _ =>
+        graft.operators.Persisted.ensure(spark, "graft-lsh-idx",
+          graft.operators.Persisted.signature(spark,
             Seq(cacheKey, shingleN.toString, numHashes.toString,
               numBands.toString,
               corpus.queryExecution.analyzed.canonicalized.toString),

@@ -51,10 +51,12 @@ object Dsir {
     // broadcast 1-row log-ratio model (graft_dsir_score) — the
     // per-token join + per-doc re-aggregation disappear. Exchanges:
     // 256-bucket partials and two 1-row aggregates, nothing doc-grain.
+    // localCheckpoint, not persist: dual-route frame (bucket counts +
+    // scoring), GC-released — the repo's cache-hygiene convention
     val pc = df.select(col(idCol).as("_id"), isTarget.as("_tgt"),
         call_function("graft_dsir_buckets",
           Text.tokens(coalesce(col(textCol), lit("")))).as("_bc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val counts = pc.select(col("_tgt"), explode(col("_bc")).as("e"))
       .groupBy(col("e.bucket").as("_bucket")).agg(
         sum(col("e.c")).as("_cr"),

@@ -40,10 +40,15 @@ object TfIdf {
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = Text.tokens(col(textCol))
+    // localCheckpoint, not persist: the count pass feeds the model
+    // build AND the scoring pass (dual-route), and checkpoint blocks
+    // release on GC — an unpersisted cache() would pin the pass in the
+    // session CacheManager forever and silently serve later
+    // invocations from cache (CacheHygieneSpec pins the contract)
     val pc = docs.select(col(idCol),
         call_function("graft_term_counts", toks).as("tc"),
         size(toks).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val df = pc.select(explode(col("tc")).as("e"))
       .filter(length(col("e.term")) >= 1)
       .select(col("e.term").as("term"))
@@ -101,9 +106,10 @@ object TfIdf {
     * exploded-postings window form stays as [[topTermsComposed]].
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // localCheckpoint for the dual-route count pass — see bm25TopTerms
     val pc = docs.select(col(idCol),
         call_function("graft_term_counts", Text.tokens(col(textCol))).as("tc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val df = pc.select(explode(col("tc")).as("e"))
       .filter(length(col("e.term")) >= 1)
       .select(col("e.term").as("term"))

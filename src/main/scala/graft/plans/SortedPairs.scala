@@ -79,8 +79,11 @@ object SortedPairs {
   * ships 8 bytes per pair through the exchange, where the struct form
   * pays per-pair row allocation, a 16-byte-plus-header key, and the
   * generic map. Unpack with `shiftright(p, 32)` / `p & 0xFFFFFFFF`;
-  * packed order = (part_a, part_b) lexicographic order, so tie-breaks
-  * on the packed key are tie-breaks on the pair.
+  * UNSIGNED packed order = (part_a, part_b) lexicographic order —
+  * members past 2^31 pack to negative longs, so an order-sensitive
+  * consumer must compare unsigned (`p ^ Long.MinValue` under a signed
+  * sort, as `copurchase_pairs` does); equality consumers (dedup via
+  * distinct/groupBy) need no correction at any width.
   */
 case class SortedPairsPacked(child: Expression) extends UnaryExpression {
 

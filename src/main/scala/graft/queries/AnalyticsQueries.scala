@@ -731,15 +731,18 @@ object AnalyticsQueries {
     // expression): the explode emits a primitive array, the count-agg
     // groups on a single long (Spark's fixed-width hash-map fast path)
     // and the exchange ships 8 bytes/pair where the struct form paid
-    // per-pair row allocation + a 16-byte struct key. Packed ascending
-    // order IS (part_a, part_b) lexicographic order, so the top-20
-    // tie-break happens on the packed key inside TakeOrderedAndProject
-    // and only 20 rows are ever decoded.
+    // per-pair row allocation + a 16-byte struct key. UNSIGNED packed
+    // order IS (part_a, part_b) lexicographic order — the sign-bit XOR
+    // makes the signed sort compare unsigned, so the claim holds for
+    // the packer's full 32-bit member domain (a >= 2^31 packs to a
+    // negative long; a plain signed orderBy would sort those first) —
+    // and the top-20 tie-break happens on that key inside
+    // TakeOrderedAndProject, so only 20 rows are ever decoded.
     baskets.select(explode(
         call_function("graft_sorted_pairs_packed", col("parts"))).as("p"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("n_orders").desc, col("p"))
+      .orderBy(col("n_orders").desc, col("p").bitwiseXOR(lit(Long.MinValue)))
       .limit(20)
       .select(shiftright(col("p"), 32).as("part_a"),
         col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),

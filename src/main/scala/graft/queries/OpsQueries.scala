@@ -61,7 +61,7 @@ object OpsQueries {
     val ev = Tables.events(spark, dir)
     val base = ensureMedallionBase(spark, dir, cut)
     val root = Files.createTempDirectory("graft-medallion-incr").toString
-    copyTree(new java.io.File(base), new java.io.File(root))
+    copyTree(spark, base, root)
     ev.filter(to_date(col("ts")) >= lit(cut))
       .write.mode("append").parquet(s"$root/corpus/events.parquet")
     Medallion.run(spark, s"$root/corpus", s"$root/mat")
@@ -81,26 +81,33 @@ object OpsQueries {
     */
   private def ensureMedallionBase(spark: SparkSession, dir: String,
       cut: String): String =
-    graft.operators.Persisted.ensure("graft-medallion-base",
-      graft.operators.Persisted.signature(Seq(cut),
+    graft.operators.Persisted.ensure(spark, "graft-medallion-base",
+      graft.operators.Persisted.signature(spark, Seq(cut),
         Seq(s"$dir/events.parquet"))) { staging =>
       Tables.events(spark, dir).filter(to_date(col("ts")) < lit(cut))
         .write.mode("append").parquet(s"$staging/corpus/events.parquet")
       Medallion.run(spark, s"$staging/corpus", s"$staging/mat")
     }
 
-  /** Recursive file-tree copy (base state → per-call scratch root).
-    * Skips the `_DONE` marker so a scratch root is never mistaken for
-    * a persisted base.
+  /** Recursive file-tree copy (persisted base state → per-call local
+    * scratch root), via the Hadoop FS API so the base may live on any
+    * filesystem ([[graft.operators.Persisted]]'s contract). Skips the
+    * `_DONE` marker so a scratch root is never mistaken for a
+    * persisted base.
     */
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-    dst.mkdirs()
-    Option(src.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val t = new java.io.File(dst, f.getName)
-      if (f.isDirectory) copyTree(f, t)
-      else if (f.getName != "_DONE")
-        Files.copy(f.toPath, t.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def copyTree(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val sfs = srcP.getFileSystem(conf)
+    val dfs = dstP.getFileSystem(conf)
+    dfs.mkdirs(dstP)
+    // copy the CHILDREN one by one: FileUtil.copy into an existing
+    // directory would nest the source under it by name
+    sfs.listStatus(srcP).filterNot(_.getPath.getName == "_DONE").foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs,
+        new org.apache.hadoop.fs.Path(dstP, st.getPath.getName),
+        false, conf)
     }
   }
 

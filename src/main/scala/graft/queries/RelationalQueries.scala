@@ -126,12 +126,12 @@ object RelationalQueries {
     // signature = the data-file listing of both source tables
     // ([[graft.operators.Persisted.signature]]): a regenerated corpus
     // can never silently re-attach a stale bucketed layout
-    val sig = graft.operators.Persisted.signature(Nil,
+    val sig = graft.operators.Persisted.signature(spark, Nil,
       Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"))
     val liTab = s"graft_li_bucketed_$sig"
     val ordTab = s"graft_ord_bucketed_$sig"
-    val wh = new java.io.File(graft.operators.Persisted
-      .ensure("graft-bucketed", sig) { staging =>
+    val wh = graft.operators.Persisted
+      .ensure(spark, "graft-bucketed", sig) { staging =>
         val li = Tables.lineitem(spark, dir).select("l_orderkey",
           "l_quantity", "l_extendedprice", "l_discount")
         val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
@@ -148,7 +148,7 @@ object RelationalQueries {
           .saveAsTable(s"${ordTab}_stage")
         spark.sql(s"DROP TABLE IF EXISTS ${liTab}_stage")
         spark.sql(s"DROP TABLE IF EXISTS ${ordTab}_stage")
-      })
+      }
     // register over the persisted files — never rewrite. saveAsTable-
     // written bucket files carry the bucket id in their names, so a
     // table declared with the IDENTICAL CLUSTERED BY spec reads them

@@ -54,8 +54,8 @@ object SimilarityQueries {
     // the join_bucketed contract), re-ATTACHED by every later call
     // and process. The recurring cost is the probe, which is the
     // production lifecycle this query exists to measure.
-    val root = graft.operators.Persisted.ensure("graft-ivfindex",
-      graft.operators.Persisted.signature(Seq("ivf", "label"),
+    val root = graft.operators.Persisted.ensure(spark, "graft-ivfindex",
+      graft.operators.Persisted.signature(spark, Seq("ivf", "label"),
         Seq(s"$dir/embeddings.parquet"))) { staging =>
       Versioned.write(spark, s"$staging/centroids",
         Similarity.trainCentroids(emb, "embedding", "label"))
@@ -167,8 +167,8 @@ object SimilarityQueries {
     // signature-keyed build-once lifecycle as the IVF index above;
     // the probe (broadcast LUTs + map-only ADC over the persisted
     // codes) is the recurring cost
-    val root = graft.operators.Persisted.ensure("graft-pqindex",
-      graft.operators.Persisted.signature(
+    val root = graft.operators.Persisted.ensure(spark, "graft-pqindex",
+      graft.operators.Persisted.signature(spark,
         Seq("pq", pqM.toString, embDim.toString, pqTrainHex),
         Seq(s"$dir/embeddings.parquet"))) { staging =>
       val codebook = Pq.trainCodebook(

@@ -485,10 +485,12 @@ object TextQueries {
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = Text.tokens(col("text"))
+    // localCheckpoint, not persist: dual-route frame (model build +
+    // scoring), GC-released — the repo's cache-hygiene convention
     val pc = docs.select(col("doc_id"),
         call_function("graft_bigram_counts", toks).as("bc"),
         call_function("graft_term_counts", toks).as("tc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val ex = pc.select(explode(col("bc")).as("e"))
     val c2 = ex.groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("c2"))
     val c1 = ex.groupBy(col("e.w1").as("w1")).agg(sum(col("e.c")).as("c1"))

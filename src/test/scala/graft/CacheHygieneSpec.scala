@@ -14,7 +14,10 @@ class CacheHygieneSpec extends SparkSpec {
   // dq report) plus the ANN paths that must not pin the corpus
   private val names = Seq("dedup_ngram_jaccard", "corpus_pipeline",
     "dedup_minhash_lsh", "dedup_minhash_fast", "kmeans_embeddings",
-    "dedup_semantic", "similarity_ivf", "dq_summary")
+    "dedup_semantic", "similarity_ivf", "dq_summary",
+    // the r14 count+model scoring family: their tokenize/count pass is
+    // a dual-route localCheckpoint, never an unpersisted cache()
+    "text_bm25", "text_tfidf", "text_perplexity", "select_dsir")
 
   test("queries leave the session CacheManager empty") {
     // other suites share the session and may cache test-local frames;

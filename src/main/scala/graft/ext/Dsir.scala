@@ -51,30 +51,42 @@ object Dsir {
     // broadcast 1-row log-ratio model (graft_dsir_score) — the
     // per-token join + per-doc re-aggregation disappear. Exchanges:
     // 256-bucket partials and two 1-row aggregates, nothing doc-grain.
-    // localCheckpoint, not persist: dual-route frame (bucket counts +
-    // scoring), GC-released — the repo's cache-hygiene convention
+    // deliberately LAZY bucket pass (no checkpoint, no cache): the
+    // sparse histogram is a cheap codegen'd map over the scan, and
+    // recomputing it under each consumer measured faster than
+    // materializing doc-grain arrays (TfIdf.bm25TopTerms records the
+    // 30× A/B; the dsir pair was 1.57 vs 1.38 s)
     val pc = df.select(col(idCol).as("_id"), isTarget.as("_tgt"),
         call_function("graft_dsir_buckets",
           Text.tokens(coalesce(col(textCol), lit("")))).as("_bc"))
-      .localCheckpoint()
+    // The model is ≤ 256 rows BY CONSTRUCTION (the bucket space), so
+    // it folds on the driver: collect the bucket counts (one map-side
+    // partial-aggregated job — the only corpus-sized pass besides
+    // scoring), compute totals and the micro-int log ratios in place,
+    // and inline the bucket-sorted table as a literal. This deletes
+    // the totals-aggregate and model-fold jobs plus their broadcast
+    // (r15: two of the five sequential barriers the query paid; the
+    // arithmetic — ln and HALF_UP micro rounding — is replicated
+    // exactly, and the oracle hash-gate holds it to the composed
+    // form). Scale-safe BECAUSE the grain is the fixed bucket space,
+    // never documents or vocabulary.
     val counts = pc.select(col("_tgt"), explode(col("_bc")).as("e"))
       .groupBy(col("e.bucket").as("_bucket")).agg(
         sum(col("e.c")).as("_cr"),
         sum(when(col("_tgt"), col("e.c")).otherwise(0L)).as("_ct"))
-    val totals = counts.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
-    // 256-row log-ratio table, micro-int rounded at the source, folded
-    // into the 1-row bucket-sorted model
-    val lr = counts.crossJoin(broadcast(totals))
-      .select(col("_bucket"),
-        round(lit(1e6) *
-          (log((col("_ct") + lit(1.0)) / (col("_nt") + lit(256.0))) -
-           log((col("_cr") + lit(1.0)) / (col("_nr") + lit(256.0)))))
-          .cast("long").as("_lr_micro"))
-      .agg(sort_array(collect_list(struct(col("_bucket"), col("_lr_micro"))))
-        .as("_lrarr"))
-    val scored = pc.crossJoin(broadcast(lr))
+      .collect()
+    val nr = counts.map(_.getLong(1)).sum
+    val nt = counts.map(_.getLong(2)).sum
+    val lrArr: Seq[(String, Long)] = counts.toSeq.map { r =>
+      val v = 1e6 * (math.log((r.getLong(2) + 1.0) / (nt + 256.0)) -
+        math.log((r.getLong(1) + 1.0) / (nr + 256.0)))
+      // Spark round(double) = BigDecimal HALF_UP at scale 0 — replicated
+      (r.getString(0), java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }.sortBy(_._1) // 2-char lowercase hex: JVM string order = UTF8 binary
+    val scored = pc
       .select(col("_id"),
-        call_function("graft_dsir_score", col("_bc"), col("_lrarr"))
+        call_function("graft_dsir_score", col("_bc"), typedlit(lrArr))
           .as("_score_micro"))
     val thr = scored.agg(
       expr(s"percentile(_score_micro, $quantile)").as("_thr"))

@@ -485,13 +485,25 @@ object TextQueries {
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = Text.tokens(col("text"))
-    // localCheckpoint, not persist: dual-route frame (model build +
-    // scoring), GC-released — the repo's cache-hygiene convention
+    // localCheckpoint (GC-released, never an unpersisted cache) — the
+    // lazy/materialize boundary in this family is consumer count ×
+    // pass cost vs array bytes: tfidf/dsir recompute their cheap count
+    // pass under TWO consumers and measured faster lazy, but this pass
+    // is the family's most expensive kernel (bigram hashmap + concat
+    // per token) with THREE consumers (c2/c1 model, vocab, scoring) —
+    // 30× A/B: 2.0 s checkpointed vs 3.0 s lazy (ProfilePerplexVariants)
     val pc = docs.select(col("doc_id"),
         call_function("graft_bigram_counts", toks).as("bc"),
         call_function("graft_term_counts", toks).as("tc"))
       .localCheckpoint()
     val ex = pc.select(explode(col("bc")).as("e"))
+    // two INDEPENDENT folds over the checkpointed pass, not c1 derived
+    // from the c2 table: deriving C(w1) by regrouping the bg-grouped
+    // frame looks cheaper (one corpus-grain pass instead of two) but
+    // measured 2× SLOWER on a 30× corpus (4.5 vs 2.2 s alternating
+    // A/B, ProfilePerplexVariants) — the shared-subtree shape chains
+    // the model fold behind two dependent exchanges while these two
+    // folds run as concurrent stages off the checkpoint.
     val c2 = ex.groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("c2"))
     val c1 = ex.groupBy(col("e.w1").as("w1")).agg(sum(col("e.c")).as("c1"))
     val v = pc.select(explode(col("tc")).as("t"))

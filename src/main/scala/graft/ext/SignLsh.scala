@@ -140,7 +140,9 @@ object SignLsh {
       .agg(concat_ws("", transform(
         array_sort(collect_list(struct(col("_p"), col("_bit")))),
         s => s.getField("_bit"))).as("_bucket"))
-    val cands = if (firstCollision) {
+    val va = e.select(col(idCol).as("id_a"), col("_u").as("_ua"))
+    val vb = e.select(col(idCol).as("id_b"), col("_u").as("_ub"))
+    if (firstCollision) {
       // per-id bucket-code vector: one more (tiny) aggregation from
       // the (id, table) grain down to the id grain — 1/tables the
       // rows, a tables-length int array each. conv(bits, 2, 10) is
@@ -150,38 +152,114 @@ object SignLsh {
       require(bits <= 31, s"first-collision dedup packs bucket bit-strings " +
         s"into ints and is exact only for bits <= 31 (got $bits); " +
         "call with firstCollision = false for wider buckets")
+      // checkpointed: the codes frame feeds the pre-flight estimate
+      // AND both self-join sides (different projections of one frame —
+      // exchange reuse alone would re-sign the corpus once per side)
       val codes = sig
         .withColumn("_code", conv(col("_bucket"), 2, 10).cast("int"))
         .groupBy(col(idCol))
         .agg(transform(array_sort(collect_list(struct(col("_t"), col("_code")))),
           s => s.getField("_code")).as("_codes"))
+        .localCheckpoint()
       val posts = codes.select(col(idCol),
         posexplode(col("_codes")).as(Seq("_t", "_code")), col("_codes"))
-      val a = posts.select(col("_t"), col("_code"),
-        col(idCol).as("id_a"), col("_codes").as("_ca"))
-      val b = posts.select(col("_t"), col("_code"),
-        col(idCol).as("id_b"), col("_codes").as("_cb"))
-      // the first-collision filter runs INSIDE the join's codegen
-      // stage: regenerated copies of a pair (tables t > first) die
-      // map-side, nothing pair-grain ever shuffles again
-      a.join(b, Seq("_t", "_code"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(call_function("graft_first_collision",
-          col("_ca"), col("_cb")) === col("_t"))
-        .select("id_a", "id_b")
+      // PRE-FLIGHT (r15 verdict #4): the verify volume is knowable
+      // BEFORE any join runs — Σ over (table, bucket) of sz·(sz−1)/2,
+      // one tiny aggregation over the checkpointed postings. A
+      // pathological corpus (m² near-identical vectors) used to
+      // DISCOVER its ~2B candidate pairs by sorting them through the
+      // by-id verify join until the scratch disk died hours in. The
+      // estimate now picks the verify PLAN by regime:
+      //
+      //  - within budget: the posting-list verify (skinny candidate
+      //    pairs join unit vectors back BY ID) — optimal when the pair
+      //    stream is a small multiple of the corpus, and the 10×-curve
+      //    shape r14 measured.
+      //  - over budget: the IN-JOIN verify — postings carry their unit
+      //    vectors, and first-collision + exact cosine run INSIDE the
+      //    candidate join stage, so the pair stream exists only as an
+      //    iterator through the filters. The exchanges are corpus-
+      //    sized (postings × vector), never pair-grain: a 2B-pair
+      //    workload becomes bounded CPU, not a 266 GB sort. (A chunked
+      //    by-id verify was tried first and still died: each chunk's
+      //    surviving join leg sorts candidate×vector rows — bounding
+      //    the count doesn't shrink the 500-byte pair rows.)
+      //  - past `maxVerifyPairs × failCapChunks` (absurd volume, e.g.
+      //    a degenerate all-one-bucket signature): fail in seconds
+      //    with the estimate and the knobs in the message.
+      // budget denominated in ESTIMATED CANDIDATES: the by-id verify's
+      // scratch footprint is its wide join leg — surviving unique
+      // pairs × (ids + unit vector) ≈ 0.5 KB each at 64 dims — so the
+      // default keeps that leg in the tens of GB; size to deployment
+      // scratch. (Measured boundary on this host: 42M candidates ran
+      // by-id in seconds, 380M died mid-sort with 78 GB of scratch.)
+      val est = estimatePairs(posts)
+      val maxPairs = spark.conf
+        .get("spark.graft.slsh.maxVerifyPairs", "100000000").toLong
+      val failCap = maxPairs * spark.conf
+        .get("spark.graft.slsh.failCapChunks", "64").toLong
+      require(est <= failCap,
+        s"sign-LSH verify pre-flight estimates $est candidate pairs, " +
+          s"past the hard cap $failCap (spark.graft.slsh.maxVerifyPairs " +
+          s"× spark.graft.slsh.failCapChunks); raise the caps, raise " +
+          "bits, or reduce tables — refusing a verify that large")
+      if (est <= maxPairs) {
+        val a = posts.select(col("_t"), col("_code"),
+          col(idCol).as("id_a"), col("_codes").as("_ca"))
+        val b = posts.select(col("_t"), col("_code"),
+          col(idCol).as("id_b"), col("_codes").as("_cb"))
+        // the first-collision filter runs INSIDE the join's codegen
+        // stage: regenerated copies of a pair (tables t > first) die
+        // map-side, nothing pair-grain ever shuffles again
+        a.join(b, Seq("_t", "_code"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(call_function("graft_first_collision",
+            col("_ca"), col("_cb")) === col("_t"))
+          .select("id_a", "id_b")
+          .join(va, "id_a")
+          .join(vb, "id_b")
+          .withColumn("cosine", round(Vectors.dot(col("_ua"), col("_ub")), 4))
+          .filter(col("cosine") >= minCosine)
+          .select(col("id_a"), col("id_b"), col("cosine"))
+      } else {
+        val vecs = e.select(col(idCol), col("_u"))
+        val aV = posts.join(vecs, Seq(idCol)).select(col("_t"), col("_code"),
+          col(idCol).as("id_a"), col("_codes").as("_ca"), col("_u").as("_ua"))
+        val bV = posts.join(vecs, Seq(idCol)).select(col("_t"), col("_code"),
+          col(idCol).as("id_b"), col("_codes").as("_cb"), col("_u").as("_ub"))
+        aV.join(bV, Seq("_t", "_code"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(call_function("graft_first_collision",
+            col("_ca"), col("_cb")) === col("_t"))
+          .withColumn("cosine", round(Vectors.dot(col("_ua"), col("_ub")), 4))
+          .filter(col("cosine") >= minCosine)
+          .select(col("id_a"), col("id_b"), col("cosine"))
+      }
     } else {
       val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
       val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
       a.join(b, Seq("_t", "_bucket"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
+        .join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", round(Vectors.dot(col("_ua"), col("_ub")), 4))
+        .filter(col("cosine") >= minCosine)
+        .select(col("id_a"), col("id_b"), col("cosine"))
     }
-    val va = e.select(col(idCol).as("id_a"), col("_u").as("_ua"))
-    val vb = e.select(col(idCol).as("id_b"), col("_u").as("_ub"))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", round(Vectors.dot(col("_ua"), col("_ub")), 4))
-      .filter(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Candidate-pair volume of a bucket self-join, from the postings'
+    * bucket-size histogram: Σ over (table, bucket) of sz·(sz−1)/2 —
+    * exactly the `id_a < id_b` join output BEFORE first-collision
+    * dedup, which is the volume the verify stage must bound. One
+    * aggregation over (id, table, bucket) postings; never pair-grain.
+    */
+  private[graft] def estimatePairs(posts: DataFrame): Long = {
+    val r = posts.groupBy(col("_t"), col("_code"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n") * (col("_n") - lit(1L)) / lit(2.0)).as("_pairs"))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
   }
 
   /** The hyperplanes as DuckDB array literals (oracle parity). */

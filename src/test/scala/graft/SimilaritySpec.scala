@@ -165,8 +165,13 @@ class SimilaritySpec extends SparkSpec {
     // whole-stage codegen; a refactor back to inlined per-plane
     // literal columns (posexplode over tables × bits expressions)
     // re-creates the 4.5×-slower interpreted stage
+    // the joined+distinct twin shares the SAME signature-stage
+    // construction as the production first-collision path but keeps it
+    // in its final plan (the production path executes it eagerly under
+    // the codes localCheckpoint, so its final plan starts there)
     val df = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
-      bits = 4, tables = 2, minCosine = 0.25, dim = 64)
+      bits = 4, tables = 2, minCosine = 0.25, dim = 64,
+      firstCollision = false)
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastNestedLoopJoin"),
       s"hyperplanes must join as a broadcast relation:\n${phys.take(2000)}")
@@ -216,6 +221,69 @@ class SimilaritySpec extends SparkSpec {
     // and the pair stream really is unique by construction pre-verify
     val pairs = fc.select("id_a", "id_b")
     assert(pairs.count() === pairs.distinct().count())
+  }
+
+  test("verify pre-flight estimate equals the actual candidate volume") {
+    // the estimator must equal the a<b bucket self-join's output size
+    // EXACTLY (it is a sum over the bucket histogram, not a sample)
+    import spark.implicits._
+    val posts = Seq(
+      (1L, 0, 7), (2L, 0, 7), (3L, 0, 7),          // bucket of 3 → 3 pairs
+      (1L, 1, 9), (2L, 1, 9),                       // bucket of 2 → 1 pair
+      (3L, 1, 11), (4L, 0, 8)                       // singletons → 0
+    ).toDF("vec_id", "_t", "_code")
+    assert(SignLsh.estimatePairs(posts) === 4L)
+    // and on the real corpus: estimate == the generated candidate count
+    val emb2 = graft.functions.Vectors.unitized(emb, "embedding",
+      "vec_id" -> "vec_id")
+    val planes = (for {
+      t <- 0 until 2
+      (p, i) <- SignLsh.hyperplanes(4, 64, 42L + t).zipWithIndex
+    } yield (t, i, p)).toDF("_t", "_p", "_plane")
+    val sig = emb2.crossJoin(broadcast(planes))
+      .withColumn("_bit",
+        when(round(graft.functions.Vectors.dot(col("_uv"), col("_plane")), 9) >= 0,
+          lit("1")).otherwise(lit("0")))
+      .groupBy(col("vec_id"), col("_t"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("_p"), col("_bit")))),
+        s => s.getField("_bit"))).as("_bucket"))
+      .withColumn("_code", conv(col("_bucket"), 2, 10).cast("int"))
+      .select(col("vec_id"), col("_t"), col("_code"))
+    val actual = sig.as("a").join(sig.as("b"), Seq("_t", "_code"))
+      .filter(col("a.vec_id") < col("b.vec_id")).count()
+    assert(SignLsh.estimatePairs(sig) === actual)
+  }
+
+  test("in-join verify (over budget) == posting-list verify (within)") {
+    val byId = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+      bits = 4, tables = 3, minCosine = 0.25, dim = 64)
+      .orderBy("id_a", "id_b").collect()
+    // force the big-pair regime: the sf0.001 estimate (~24k pairs)
+    // exceeds this budget, so the verify moves in-join
+    spark.conf.set("spark.graft.slsh.maxVerifyPairs", "5000")
+    try {
+      val inJoin = SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+        bits = 4, tables = 3, minCosine = 0.25, dim = 64)
+        .orderBy("id_a", "id_b").collect()
+      assert(inJoin.toSeq === byId.toSeq)
+    } finally spark.conf.unset("spark.graft.slsh.maxVerifyPairs")
+  }
+
+  test("verify fails fast with the estimate past the hard cap") {
+    spark.conf.set("spark.graft.slsh.maxVerifyPairs", "1")
+    spark.conf.set("spark.graft.slsh.failCapChunks", "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        SignLsh.nearDupPairsMulti(emb, "vec_id", "embedding",
+          bits = 4, tables = 3, minCosine = 0.25, dim = 64)
+      }
+      assert(ex.getMessage.contains("candidate pairs"))
+      assert(ex.getMessage.contains("hard cap"))
+    } finally {
+      spark.conf.unset("spark.graft.slsh.maxVerifyPairs")
+      spark.conf.unset("spark.graft.slsh.failCapChunks")
+    }
   }
 
   test("first-collision multi-LSH rejects bits > 31 loudly") {

@@ -367,12 +367,22 @@ object OpsQueries {
     def inclusion(name: String, left: DataFrame, lk: String,
         right: DataFrame, rk: String): DataFrame = {
       val keys = right.select(col(rk).as("_rk")).distinct()
+      // two-phase, not count_distinct: the twin distinct aggregates
+      // (n_keys + n_orphan_keys) made Spark EXPAND every probe-side
+      // row 3× before aggregating. Orphan-ness is a property of the
+      // KEY (one _lk always meets the same _rk), so a partial-agg
+      // groupBy on _lk followed by a key-grain fold computes all four
+      // counts with nothing row-grain crossing the exchange — the
+      // r15 job-floor audit's one growing row (1.5→2.8 s across 1→10×)
       left.select(col(lk).as("_lk"))
         .join(broadcast(keys), col("_lk") === col("_rk"), "left")
-        .agg(count(lit(1)).as("n_rows"),
-          count_distinct(col("_lk")).as("n_keys"),
-          sum(when(col("_rk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
-          count_distinct(when(col("_rk").isNull, col("_lk")))
+        .groupBy(col("_lk"))
+        .agg(count(lit(1)).as("_n"), max(col("_rk").isNull).as("_orphan"))
+        .agg(sum(col("_n")).as("n_rows"),
+          count(when(col("_lk").isNotNull, 1)).as("n_keys"),
+          sum(when(col("_orphan"), col("_n")).otherwise(0L))
+            .as("n_orphan_rows"),
+          count(when(col("_orphan") && col("_lk").isNotNull, 1))
             .as("n_orphan_keys"))
         .select(lit(name).as("dependency"), col("n_rows"), col("n_keys"),
           col("n_orphan_rows"), col("n_orphan_keys"),

@@ -124,6 +124,15 @@ object ScaleCurve {
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       doneRel.createNewFile()
     }
+    // the UNSCALED catalog tables ride along as symlinks, so queries
+    // joining customer/supplier/nation/region/part run on scaled dirs
+    // (scale_duckdb.py already maps these to the base dir — same data)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      val link = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    }
     dir
   }
 

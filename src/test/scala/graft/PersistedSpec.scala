@@ -12,7 +12,9 @@ import graft.operators.Persisted
 class PersistedSpec extends SparkSpec {
 
   private def write(p: String, bytes: Int): Unit = {
-    val path = Paths.get(p)
+    // staging/base paths come back scheme-qualified from the Hadoop FS
+    // helper; java.nio would treat "file:" as a relative component
+    val path = Paths.get(p.stripPrefix("file:"))
     Files.createDirectories(path.getParent)
     Files.write(path, Array.fill[Byte](bytes)(7))
   }

@@ -1041,45 +1041,70 @@ object AnalyticsQueries {
       .filter(col("open_t") < col("close_t"))
     val deltas = slices.select(col("day"), col("open_t").as("t"), lit(1L).as("d"))
       .unionAll(slices.select(col("day"), col("close_t").as("t"), lit(-1L).as("d")))
-    // Two-level prefix sum (the [[graft.ext.Sampling.selectTokenBudget]]
-    // idea), NOT one window partition per day: a calendar day is a
-    // FIXED key set, so per-day delta volume grows linearly with corpus
-    // and a day-partitioned running-sum window concentrates each day
-    // into one task — parallelism capped at |days| no matter how many
-    // executors the cluster has (measured ticking UP 2.4×→3.4× across
-    // 10×→30× corpus). The sub-slice here is the absolute HOUR of the
-    // boundary — a pure function of the row, unlike selectTokenBudget's
-    // spark_partition_id, so no localCheckpoint barrier and no
-    // materialization of the boundary stream is needed: the offsets
-    // aggregation and the windowed pass recompute the same deltas and
-    // agree by determinism. Each (day, hour) slice's running sum is
-    // shifted by the driver-collected sum of the day's earlier hours
-    // (a ≤ |days|·24-row table regardless of corpus size — map-side
-    // partials, broadcast back as a literal map); the global running
-    // sum at any row is offset + local sum, so the per-day max of the
-    // shifted sums IS the true peak. Window parallelism becomes
-    // |days|·24; a corpus dense enough to outgrow hour slices drops
-    // `sliceUs` to minutes — the key cardinality scales with the
-    // chosen granularity, never pinned to the calendar.
-    val sliceUs = 3600000000L
-    val sliced = deltas.withColumn("_h", floor(col("t") / sliceUs))
-    val totals = sliced.groupBy(col("day"), col("_h"))
-      .agg(sum(col("d")).as("_sum")).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val offsets: Map[String, Long] = totals.groupBy(_._1).flatMap {
-      case (day, rows) =>
-        var acc = 0L
-        rows.sortBy(_._2).map { case (_, h, s) =>
-          val o = (s"$day|$h", acc); acc += s; o
+    // Two shapes, picked at PLAN TIME from table statistics (a
+    // metadata-only read of the scan's sizeInBytes — no sizing job):
+    //
+    //  - small boundary volume: ONE day-partitioned running-sum window
+    //    (a single pass; at bench scale |days| ≈ local parallelism and
+    //    the window is the whole cost).
+    //  - past `spark.graft.sweep.sliceBytesThreshold` (default 8 MB of
+    //    PRUNED interval-column bytes — calibrated to engage between
+    //    the 10× and 30× bench corpora, where the day window's up-tick
+    //    was measured): two-level prefix sum (the
+    //    [[graft.ext.Sampling.selectTokenBudget]] idea). A calendar
+    //    day is a FIXED key set, so per-day delta volume grows
+    //    linearly with corpus and the day window concentrates each day
+    //    into one task — parallelism capped at |days| no matter how
+    //    many executors the cluster has (measured ticking UP
+    //    2.4×→3.4× across 10×→30× corpus before the fix). The
+    //    sub-slice is the absolute HOUR of the boundary — a pure
+    //    function of the row, unlike selectTokenBudget's
+    //    spark_partition_id, so no localCheckpoint barrier and no
+    //    materialization is needed: the offsets aggregation and the
+    //    windowed pass recompute the same deltas and agree by
+    //    determinism. Each (day, hour) slice's running sum is shifted
+    //    by the driver-collected sum of the day's earlier hours (a
+    //    ≤ |days|·24-row table regardless of corpus size); the global
+    //    running sum at any row is offset + local sum, so the per-day
+    //    max of the shifted sums IS the true peak. Window parallelism
+    //    becomes |days|·24; denser corpora drop `sliceUs` to minutes.
+    //
+    // ProfileConcSweep pins shape equality and the 30× A/B; the hour
+    // shape costs one extra bounded-output aggregation job, which is
+    // why it doesn't run unconditionally.
+    val threshold = spark.conf
+      .get("spark.graft.sweep.sliceBytesThreshold", (8L << 20).toString)
+      .toLong
+    val scanBytes = ev.queryExecution.optimizedPlan.stats.sizeInBytes
+    val w =
+      if (scanBytes <= threshold)
+        Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(col("day"), col("_h"))
+          .orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val opened =
+      if (scanBytes <= threshold)
+        deltas.withColumn("open", sum(col("d")).over(w))
+      else {
+        val sliceUs = 3600000000L
+        val sliced = deltas.withColumn("_h", floor(col("t") / sliceUs))
+        val totals = sliced.groupBy(col("day"), col("_h"))
+          .agg(sum(col("d")).as("_sum")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val offsets: Map[String, Long] = totals.groupBy(_._1).flatMap {
+          case (day, rows) =>
+            var acc = 0L
+            rows.sortBy(_._2).map { case (_, h, s) =>
+              val o = (s"$day|$h", acc); acc += s; o
+            }
         }
-    }
-    val w = Window.partitionBy(col("day"), col("_h"))
-      .orderBy(col("t"), col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sliced
-      .withColumn("open", sum(col("d")).over(w) +
-        element_at(typedlit(offsets),
-          concat_ws("|", col("day"), col("_h"))))
+        sliced.withColumn("open", sum(col("d")).over(w) +
+          element_at(typedlit(offsets),
+            concat_ws("|", col("day"), col("_h"))))
+      }
+    opened
       .groupBy(col("day"))
       .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_active"),
         max(col("open")).as("peak_concurrency"))

@@ -496,22 +496,29 @@ object TextQueries {
         call_function("graft_bigram_counts", toks).as("bc"),
         call_function("graft_term_counts", toks).as("tc"))
       .localCheckpoint()
+    // BOTH model tables from ONE pass over the bigram stream via
+    // GROUPING SETS ((bg), (w1)) — the map side partial-aggregates the
+    // 2× expand down to vocab grain before the single exchange, and
+    // the fold splits the sets by grouping_id (first grouping column =
+    // high bit, so set (bg) → gid 1, set (w1) → gid 2; collect_list
+    // skips the other set's null side). Measured 2.6 → 1.5 s at 30×
+    // alternating A/B (ProfilePerplexGsets, equality-pinned) over the
+    // previous two-independent-folds shape. NOT the same as deriving
+    // c1 from the c2 table — that chained the fold behind dependent
+    // exchanges and measured 2× slower (ProfilePerplexVariants, kept
+    // as the recorded negative).
     val ex = pc.select(explode(col("bc")).as("e"))
-    // two INDEPENDENT folds over the checkpointed pass, not c1 derived
-    // from the c2 table: deriving C(w1) by regrouping the bg-grouped
-    // frame looks cheaper (one corpus-grain pass instead of two) but
-    // measured 2× SLOWER on a 30× corpus (4.5 vs 2.2 s alternating
-    // A/B, ProfilePerplexVariants) — the shared-subtree shape chains
-    // the model fold behind two dependent exchanges while these two
-    // folds run as concurrent stages off the checkpoint.
-    val c2 = ex.groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("c2"))
-    val c1 = ex.groupBy(col("e.w1").as("w1")).agg(sum(col("e.c")).as("c1"))
+      .select(col("e.bg").as("bg"), col("e.w1").as("w1"), col("e.c").as("c"))
+    val g = ex.groupingSets(Seq(Seq(col("bg")), Seq(col("w1"))),
+        col("bg"), col("w1"))
+      .agg(sum(col("c")).as("cnt"), grouping_id().as("gid"))
     val v = pc.select(explode(col("tc")).as("t"))
       .agg(countDistinct(col("t.term")).as("vs"))
-    val model = c2
-      .agg(sort_array(collect_list(struct(col("bg"), col("c2")))).as("c2arr"))
-      .crossJoin(c1.agg(sort_array(collect_list(struct(col("w1"), col("c1"))))
-        .as("c1arr")))
+    val model = g.agg(
+        sort_array(collect_list(when(col("gid") === 1,
+          struct(col("bg"), col("cnt").as("c2"))))).as("c2arr"),
+        sort_array(collect_list(when(col("gid") === 2,
+          struct(col("w1"), col("cnt").as("c1"))))).as("c1arr"))
       .crossJoin(v)
       .select(struct(col("c2arr"), col("c1arr"), col("vs")).as("model"))
     pc.crossJoin(broadcast(model))

@@ -67,6 +67,9 @@ DATA_DOMINATED = {
     "text_perplexity", "dedup_ngram_jaccard", "sketch_countmin",
     "select_dsir", "concurrency_sweep", "dedup_embedding_lsh_multi",
     "json_roundtrip",
+    # batch-vs-corpus minhash probe: real signing work on both engines
+    # (r15: 1.30 s vs twin 0.68 = 1.9x on a slow-host run)
+    "dedup_incremental",
 }
 # >1.3 s rows adjudicated as floor-dominated despite their size: many small
 # per-column/per-probe jobs over ms-scale data (COVERAGE r6: similarity_ivf
@@ -80,6 +83,9 @@ JOB_FLOOR_EXPLICIT = {
     # twins sit at 0.17 s / 0.06 s — a 3-table broadcast join-agg and a
     # single regex projection, both floor-dominated at this sf.
     "join_regional_revenue", "text_redact",
+    # same hover class, crossed on the r15 slow-phase run (1.32 s, twin
+    # 0.10 s — two tiny sorted-distribution aggregates)
+    "drift_ks",
 }
 JOB_FLOOR_MAX_SPARK_SEC = 1.3
 CLASS_EVIDENCE = {

@@ -24,6 +24,29 @@ import graft.functions.Text
   */
 object TfIdf {
 
+  /** `count(1) AS n_docs` plus the given extra aggregates, under the
+    * documented unique-`idCol` precondition. Setting
+    * `spark.graft.checkUniqueIds=true` (debug aid) adds a distinct
+    * count and a runtime `assert_true` — re-paying the two-phase
+    * exchange the contract lets the fast path delete — so a caller
+    * passing a non-unique id column fails loud instead of silently
+    * inflating n_docs (and so every IDF/BM25 score).
+    */
+  private def corpusAgg(pc: DataFrame, idCol: String,
+      extra: org.apache.spark.sql.Column*): DataFrame = {
+    val checked = pc.sparkSession.conf
+      .getOption("spark.graft.checkUniqueIds").contains("true")
+    if (!checked) pc.agg(count(lit(1)).as("n_docs"), extra: _*)
+    else pc.agg(count(lit(1)).as("n"),
+        (countDistinct(col(idCol)).as("nd") +: extra): _*)
+      .withColumn("n_docs", when(assert_true(col("n") === col("nd"),
+        lit(s"graft.TfIdf: id column '$idCol' is not unique — " +
+          "n_docs (and every IDF/BM25 score) would be silently " +
+          "inflated; dedupe ids or pass the document key")).isNull,
+        col("n")))
+      .drop("n", "nd")
+  }
+
   /** Okapi BM25 top-k terms per document:
     * `idf = ln((N - df + 0.5) / (df + 0.5) + 1)` (the standard
     * non-negative variant) and the saturating, length-normalized
@@ -61,12 +84,12 @@ object TfIdf {
     // count(1), not countDistinct(id): idCol is the document KEY
     // (unique by contract, like every dedup/shard operator here), and
     // the distinct's extra two-phase exchange round measured 0.50 s vs
-    // 0.11 s on a 30× corpus — same value, one less barrier
+    // 0.11 s on a 30× corpus — same value, one less barrier. The
+    // contract is assertable: spark.graft.checkUniqueIds (corpusAgg)
     val model = df
       .agg(sort_array(collect_list(struct(col("term"), col("df"))))
         .as("dfarr"))
-      .crossJoin(pc.agg(count(lit(1)).as("n_docs"),
-        avg(col("dl")).as("avgdl")))
+      .crossJoin(corpusAgg(pc, idCol, avg(col("dl")).as("avgdl")))
       .select(struct(col("dfarr"), col("n_docs"), col("avgdl")).as("model"))
     pc.crossJoin(broadcast(model))
       .select(col(idCol), explode(call_function("graft_bm25_topk",
@@ -122,11 +145,12 @@ object TfIdf {
       .filter(length(col("e.term")) >= 1)
       .select(col("e.term").as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // count(1), not countDistinct(id) — see bm25TopTerms
+    // count(1), not countDistinct(id) — see bm25TopTerms (assertable
+    // via spark.graft.checkUniqueIds)
     val model = df
       .agg(sort_array(collect_list(struct(col("term"), col("df"))))
         .as("dfarr"))
-      .crossJoin(pc.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(corpusAgg(pc, idCol))
       .select(struct(col("dfarr"), col("n_docs")).as("model"))
     pc.crossJoin(broadcast(model))
       .select(col(idCol), explode(call_function("graft_tfidf_topk",

@@ -34,6 +34,24 @@ object Persisted {
     spark.conf.getOption("spark.graft.persisted.root")
       .getOrElse("file:" + sys.props("java.io.tmpdir")))
 
+  /** Age past which an unpublished sibling — a `…-stage-…` staging dir
+    * or a base dir without `_DONE` — is treated as a crashed build and
+    * reclaimed. Live concurrent builds are protected by keeping this
+    * comfortably above any real build time; a deployment whose index
+    * builds run longer than the default must raise it.
+    */
+  private def staleMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.persisted.staleMs")
+      .map(_.toLong).getOrElse(6L * 3600 * 1000)
+
+  /** How long a race loser waits for the winner's `_DONE` before
+    * failing loud. On a copy-rename filesystem (s3a) the winner's
+    * publish of a large artifact can take minutes — raise this there.
+    */
+  private def publishWaitMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.persisted.publishWaitMs")
+      .map(_.toLong).getOrElse(10000L)
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -72,10 +90,46 @@ object Persisted {
     java.lang.Long.toHexString(crc.getValue)
   }
 
+  /** Janitor: a builder that crashes between `mkdirs` and publish
+    * leaves `label-…-stage-…` dirs (and, rarely, a nested staging copy
+    * inside a published base) on the now-shared artifact root forever.
+    * Sweep siblings of this label older than the stale TTL; a live
+    * concurrent build is younger than the TTL and untouched.
+    */
+  private def vacuum(f: FileSystem, rootDir: Path, label: String,
+      ttl: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - ttl
+    Seq(new Path(rootDir, s"$label-*-stage-*"),
+        new Path(rootDir, s"$label-*/$label-*-stage-*")).foreach { pat =>
+      Option(f.globStatus(pat)).getOrElse(Array.empty).foreach { st =>
+        if (st.isDirectory && st.getModificationTime < cutoff)
+          try f.delete(st.getPath, true) catch { case _: java.io.IOException => }
+      }
+    }
+  }
+
+  private def awaitDone(f: FileSystem, done: Path, waitMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var ok = f.exists(done)
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ok = f.exists(done)
+    }
+    ok
+  }
+
   /** Return the persisted dir for (`label`, `sig`), running `build`
     * against a private staging dir (a path string on the artifact
     * root's filesystem) and atomically publishing it if no complete
     * artifact exists yet.
+    *
+    * Publish protocol: rename staging→base, then create `_DONE` in
+    * base. The marker is created strictly AFTER the rename because on
+    * a copy+delete "rename" filesystem (s3a) a marker renamed along
+    * with the data can become visible before the data files finish
+    * copying — a reader would attach a partial artifact. No `_DONE`
+    * in base = unpublished, always; a race loser polls briefly for
+    * the winner's marker before failing loud.
     */
   def ensure(spark: SparkSession, label: String, sig: String)
       (build: String => Unit): String = {
@@ -83,33 +137,52 @@ object Persisted {
     val f = fs(spark, base)
     val done = new Path(base, "_DONE")
     if (!f.exists(done)) {
+      val ttl = staleMs(spark)
+      vacuum(f, root(spark), label, ttl)
       val staging = new Path(root(spark),
         s"$label-$sig-stage-${java.util.UUID.randomUUID()}")
       f.mkdirs(staging)
-      build(staging.toString)
-      f.create(new Path(staging, "_DONE"), true).close()
-      // publish: same-FS rename (staging lives under the root). A lost
-      // race — the winner's complete artifact already in place — may
-      // discard the staging; any other failure must not silently
-      // destroy the one complete build.
+      // preserve-on-unexpected-failure: a failed build keeps its
+      // staging for post-mortem (named here; the janitor TTL reaps it)
+      try build(staging.toString) catch {
+        case e: Throwable => throw new java.io.IOException(
+          s"persisted build '$label' failed; staging preserved at " +
+          s"$staging (reaped by the ${ttl}ms janitor TTL)", e)
+      }
       var won = false
       if (!f.exists(base)) {
         won = f.rename(staging, base)
         // HDFS/local-fallback rename semantics NEST src under an
         // existing dst directory: if a concurrent winner published
         // between the exists check and the rename, our staging landed
-        // INSIDE base — undo the nesting and fall through to attach.
+        // INSIDE base — undo the nesting only once the winner's
+        // publish is confirmed complete (its `_DONE` lags its rename),
+        // and fall through to attach. On timeout the nested copy stays
+        // for the janitor's next sweep rather than risking a delete
+        // inside a half-published base.
         val nested = new Path(base, staging.getName)
         if (won && f.exists(nested)) {
-          f.delete(nested, true)
           won = false
+          if (awaitDone(f, done, publishWaitMs(spark)))
+            f.delete(nested, true)
         }
+      } else if (!f.exists(done) && f.getFileStatus(base)
+          .getModificationTime < System.currentTimeMillis() - ttl) {
+        // a base without _DONE older than the TTL is a crashed publish
+        // (renamed but never marked, or a partial copy on a non-atomic
+        // rename FS): reclaim it and publish this build.
+        f.delete(base, true)
+        won = f.rename(staging, base)
       }
-      if (!won) {
-        if (f.exists(done)) {
+      if (won) {
+        f.create(done, true).close()
+      } else {
+        if (awaitDone(f, done, publishWaitMs(spark))) {
           if (f.exists(staging)) f.delete(staging, true)
         } else throw new java.io.IOException(
-          s"cannot publish persisted artifact '$label' to $base")
+          s"cannot publish persisted artifact '$label' to $base (no " +
+          s"_DONE after ${publishWaitMs(spark)}ms); completed staging " +
+          s"preserved at $staging")
       }
     }
     base.toString

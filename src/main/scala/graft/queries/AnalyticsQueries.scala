@@ -744,7 +744,10 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("p").bitwiseXOR(lit(Long.MinValue)))
       .limit(20)
-      .select(shiftright(col("p"), 32).as("part_a"),
+      // decode matches the full unsigned 32-bit member domain the
+      // ordering supports: a signed shiftright would sign-extend a
+      // part_a in [2^31, 2^32) to a negative value
+      .select(shiftrightunsigned(col("p"), 32).as("part_a"),
         col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
         col("n_orders"))
   }

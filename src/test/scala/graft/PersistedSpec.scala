@@ -67,11 +67,14 @@ class PersistedSpec extends SparkSpec {
   test("a partial artifact (no _DONE) is never attachable") {
     val artRoot = Files.createTempDirectory("graft-proot2").toString
     spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.publishWaitMs", "200")
     try {
-      // simulate a crashed build: base exists, no _DONE
+      // simulate a crashed build: base exists, no _DONE — and is
+      // YOUNGER than the stale TTL, so it may belong to a live
+      // concurrent publisher and must not be reclaimed
       write(s"$artRoot/spec-partial-s1/data.bin", 4)
       var builds = 0
-      intercept[java.io.IOException] {
+      val e = intercept[java.io.IOException] {
         // the fresh build completes but cannot publish over the
         // unfinished dir — fail loud, never silently attach or destroy
         Persisted.ensure(spark, "spec-partial", "s1") { staging =>
@@ -80,6 +83,80 @@ class PersistedSpec extends SparkSpec {
         }
       }
       assert(builds == 1)
+      // the completed staging is preserved and NAMED for the operator
+      assert(e.getMessage.contains("-stage-"),
+        s"exception must name the preserved staging: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.publishWaitMs")
+    }
+  }
+
+  test("_DONE is created in base only after the publish rename") {
+    // s3a contract: rename is copy+delete, so a _DONE renamed along
+    // with the data can appear before the data finishes copying. The
+    // marker must therefore never exist inside the staging dir the
+    // build sees — it is created in base, post-rename.
+    val artRoot = Files.createTempDirectory("graft-proot3").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    try {
+      var stagingSeen: String = null
+      val dir = Persisted.ensure(spark, "spec-marker", "s1") { staging =>
+        stagingSeen = staging
+        write(s"$staging/data.bin", 8)
+      }
+      assert(!Files.exists(
+        Paths.get(stagingSeen.stripPrefix("file:"), "_DONE")),
+        "_DONE must not be written into staging pre-rename")
+      assert(Files.exists(Paths.get(dir.stripPrefix("file:"), "_DONE")))
     } finally spark.conf.unset("spark.graft.persisted.root")
+  }
+
+  test("a crashed publish (stale base, no _DONE) is reclaimed past TTL") {
+    val artRoot = Files.createTempDirectory("graft-proot4").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.staleMs", "0")
+    try {
+      write(s"$artRoot/spec-reclaim-s1/data.bin", 4)
+      Thread.sleep(20) // base mtime strictly older than the 0-TTL cutoff
+      var builds = 0
+      val dir = Persisted.ensure(spark, "spec-reclaim", "s1") { staging =>
+        builds += 1
+        write(s"$staging/data.bin", 8)
+      }
+      assert(builds == 1)
+      assert(Files.exists(Paths.get(dir.stripPrefix("file:"), "_DONE")))
+      assert(Files.size(
+        Paths.get(dir.stripPrefix("file:"), "data.bin")) == 8,
+        "the reclaimed base must carry the fresh build, not the crash debris")
+    } finally {
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.staleMs")
+    }
+  }
+
+  test("janitor sweeps stale orphaned stagings, keeps live ones") {
+    val artRoot = Files.createTempDirectory("graft-proot5").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.staleMs", "60000")
+    try {
+      // a crashed builder's orphan: older than the TTL
+      val stale = Paths.get(s"$artRoot/spec-jan-zz-stage-dead")
+      write(s"$stale/part.bin", 4)
+      Files.setLastModifiedTime(stale,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+      // a live concurrent build of the same label: younger than TTL
+      val live = Paths.get(s"$artRoot/spec-jan-yy-stage-live")
+      write(s"$live/part.bin", 4)
+      Persisted.ensure(spark, "spec-jan", "s1") { staging =>
+        write(s"$staging/data.bin", 8)
+      }
+      assert(!Files.exists(stale), "stale orphan must be vacuumed")
+      assert(Files.exists(live), "a live concurrent staging must survive")
+    } finally {
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.staleMs")
+    }
   }
 }

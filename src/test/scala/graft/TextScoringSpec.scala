@@ -109,6 +109,22 @@ class TextScoringSpec extends SparkSpec {
     assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
   }
 
+  test("checkUniqueIds flag: duplicate ids fail loud, unique ids pass") {
+    spark.conf.set("spark.graft.checkUniqueIds", "true")
+    try {
+      val dup = Seq((1L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+      val e = intercept[Exception] {
+        graft.ext.TfIdf.topTerms(dup, "doc_id", "text", k = 2).collect()
+      }
+      assert(e.getMessage.contains("not unique") ||
+        Option(e.getCause).exists(_.getMessage.contains("not unique")),
+        s"misuse must name the violated contract: ${e.getMessage}")
+      val ok = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      assert(graft.ext.TfIdf.bm25TopTerms(ok, "doc_id", "text", k = 2)
+        .count() > 0)
+    } finally spark.conf.unset("spark.graft.checkUniqueIds")
+  }
+
   test("bm25 selection: 6-decimal score ties break by term, k caps output") {
     // two docs: "b a" ties both terms exactly (same tf, df, dl) ->
     // rank order must be term ASC; k=1 keeps only 'a'

@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bigramCountsFunction)
     e.injectFunction(GraftExtensions.bm25TopKFunction)
     e.injectFunction(GraftExtensions.perplexityFunction)
+    e.injectFunction(GraftExtensions.prefixC1Function)
+    e.injectFunction(GraftExtensions.perplexityModelFunction)
     e.injectFunction(GraftExtensions.assignNearestFunction)
     e.injectFunction(GraftExtensions.tfidfTopKFunction)
     e.injectFunction(GraftExtensions.dsirBucketsFunction)
@@ -329,6 +331,22 @@ object GraftExtensions {
       PerplexityScore(children(0), children(1))
     })
 
+  private val prefixC1Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_prefix_c1"),
+    new ExpressionInfo(classOf[PrefixContextCounts].getName, "graft_prefix_c1"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_prefix_c1(c2arr)")
+      PrefixContextCounts(children.head)
+    })
+
+  private val perplexityModelFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_perplexity_model"),
+    new ExpressionInfo(classOf[PerplexityModel].getName, "graft_perplexity_model"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 2, "graft_perplexity_model(c2arr, sup)")
+      PerplexityModel(children(0), children(1))
+    })
+
   private val dsirBucketsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dsir_buckets"),
     new ExpressionInfo(classOf[DsirBuckets].getName, "graft_dsir_buckets"),
@@ -376,8 +394,9 @@ object GraftExtensions {
         firstCollisionFunction, bloomPosFunction,
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
-        bm25TopKFunction, perplexityFunction, assignNearestFunction,
-        tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction)
+        bm25TopKFunction, perplexityFunction, prefixC1Function,
+        perplexityModelFunction, assignNearestFunction, tfidfTopKFunction,
+        dsirBucketsFunction, dsirScoreFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

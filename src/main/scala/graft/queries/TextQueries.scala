@@ -468,13 +468,14 @@ object TextQueries {
     * document by its average per-bigram negative log-likelihood. High
     * avg_nll = improbable under the corpus model = noise/outlier text.
     *
-    * Round-14 scale shape (the `text_repetition` family fix applied
-    * to scoring): ONE tokenize pass produces per-doc
-    * `graft_bigram_counts` / `graft_term_counts` arrays (persisted —
-    * the model build and the scoring pass both read it, the corpus is
-    * never re-tokenized); the model is two vocab-sized count
-    * aggregations + a scalar vocab size folded into a ONE-ROW struct
-    * and broadcast back (J3 pattern); scoring happens map-side in the
+    * Round-16 scale shape (tightened from r14's count+model): ONE
+    * tokenize pass produces per-doc `graft_bigram_counts` arrays
+    * (persisted — the model build and the scoring pass both read it,
+    * the corpus is never re-tokenized); the model is ONE vocab-grain
+    * exchange (groupBy bg) whose one-row fold derives BOTH the
+    * context table and the vocabulary size from the collected bigram
+    * table ([[graft.plans.PerplexityModel]]) and broadcasts back (J3
+    * pattern); scoring happens map-side in the
     * native [[graft.plans.PerplexityScore]] expression via binary
     * search over the sorted model arrays. Nothing document-grain ever
     * shuffles — the composed form ([[textPerplexityComposed]], the
@@ -490,37 +491,40 @@ object TextQueries {
     // pass cost vs array bytes: tfidf/dsir recompute their cheap count
     // pass under TWO consumers and measured faster lazy, but this pass
     // is the family's most expensive kernel (bigram hashmap + concat
-    // per token) with THREE consumers (c2/c1 model, vocab, scoring) —
-    // 30× A/B: 2.0 s checkpointed vs 3.0 s lazy (ProfilePerplexVariants)
+    // per token); even at TWO consumers the 30× A/B kept the
+    // checkpoint ahead (1.43 s ckpt vs 1.74 lazy, ProfilePerplexFuse).
+    // The checkpoint carries ONLY doc_id + the bigram arrays + the
+    // solo-token column — the r15 term_counts kernel and its tc array
+    // bytes are gone entirely, because the vocabulary is DERIVABLE:
+    // every token of a ≥2-token document appears as the w1 or w2 of
+    // one of its bigrams, and 1-token documents contribute exactly
+    // their solo token (a tiny collect_set supplement, no exchange).
     val pc = docs.select(col("doc_id"),
         call_function("graft_bigram_counts", toks).as("bc"),
-        call_function("graft_term_counts", toks).as("tc"))
+        when(size(toks) === 1, element_at(toks, 1)).as("solo"))
       .localCheckpoint()
-    // BOTH model tables from ONE pass over the bigram stream via
-    // GROUPING SETS ((bg), (w1)) — the map side partial-aggregates the
-    // 2× expand down to vocab grain before the single exchange, and
-    // the fold splits the sets by grouping_id (first grouping column =
-    // high bit, so set (bg) → gid 1, set (w1) → gid 2; collect_list
-    // skips the other set's null side). Measured 2.6 → 1.5 s at 30×
-    // alternating A/B (ProfilePerplexGsets, equality-pinned) over the
-    // previous two-independent-folds shape. NOT the same as deriving
-    // c1 from the c2 table — that chained the fold behind dependent
-    // exchanges and measured 2× slower (ProfilePerplexVariants, kept
-    // as the recorded negative).
-    val ex = pc.select(explode(col("bc")).as("e"))
-      .select(col("e.bg").as("bg"), col("e.w1").as("w1"), col("e.c").as("c"))
-    val g = ex.groupingSets(Seq(Seq(col("bg")), Seq(col("w1"))),
-        col("bg"), col("w1"))
-      .agg(sum(col("c")).as("cnt"), grouping_id().as("gid"))
-    val v = pc.select(explode(col("tc")).as("t"))
-      .agg(countDistinct(col("t.term")).as("vs"))
-    val model = g.agg(
-        sort_array(collect_list(when(col("gid") === 1,
-          struct(col("bg"), col("cnt").as("c2"))))).as("c2arr"),
-        sort_array(collect_list(when(col("gid") === 2,
-          struct(col("w1"), col("cnt").as("c1"))))).as("c1arr"))
-      .crossJoin(v)
-      .select(struct(col("c2arr"), col("c1arr"), col("vs")).as("model"))
+    // ONE vocab-grain exchange (groupBy bg — no grouping-sets 2×
+    // expand, no second set, no term-grain distinct), then the
+    // COMPLETE model derives inside the one-row fold:
+    // graft_perplexity_model walks the bg-sorted c2 array once,
+    // emitting the context table (c1(w1) = prefix-contiguous sum of
+    // the global bigram table) and the vocab size (|{w1}∪{w2}∪solo|).
+    // Measured at 30× alternating A/B (ProfilePerplexFuse, equality-
+    // pinned): notc 1.43 s vs r15 gsets 1.60 vs lazy 1.74 — and NOT
+    // the same as deriving c1 from the c2 TABLE, which chained the
+    // fold behind dependent exchanges and measured 2× slower
+    // (ProfilePerplexVariants, the recorded negative); here the
+    // derivation is a scalar map on the one-row model, after the only
+    // exchange. The losing transform+concat single-stream fusion
+    // (per-row array copies) is recorded in ProfilePerplexFuse too.
+    val c2t = pc.select(explode(col("bc")).as("e"))
+      .groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("cnt"))
+    val model = c2t
+      .agg(sort_array(collect_list(struct(col("bg"),
+        col("cnt").as("c2")))).as("c2arr"))
+      .crossJoin(pc.agg(collect_set(col("solo")).as("sup")))
+      .select(call_function("graft_perplexity_model",
+        col("c2arr"), col("sup")).as("model"))
     pc.crossJoin(broadcast(model))
       .select(col("doc_id"),
         call_function("graft_perplexity", col("bc"), col("model")).as("s"))

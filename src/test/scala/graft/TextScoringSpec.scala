@@ -109,6 +109,45 @@ class TextScoringSpec extends SparkSpec {
     assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
   }
 
+  test("graft_prefix_c1 derives sorted context counts from the c2 table") {
+    // contiguous prefix groups sum; output is w1-sorted; a no-space bg
+    // (null-member bigram, never scored) is excluded
+    val rows = spark.sql(
+      """select graft_prefix_c1(array(
+        |  struct('a b' as bg, 2L as c2), struct('a c' as bg, 3L as c2),
+        |  struct('ab x' as bg, 5L as c2),
+        |  struct('nospace' as bg, 9L as c2))) as c1arr""".stripMargin)
+      .selectExpr("explode(c1arr) as e").selectExpr("e.w1", "e.c1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 5L), ("ab", 5L)))
+    // pathological sub-space control byte in a token: "a x" sorts
+    // BEFORE "a b" as a bigram string while "a" > "a" as w1 —
+    // the expression must re-sort so the model stays binary-searchable
+    val ctl = spark.sql(
+      "select graft_prefix_c1(array(" +
+        "struct('a x' as bg, 1L as c2), struct('a b' as bg, 2L as c2))) as c")
+      .selectExpr("explode(c) as e").selectExpr("e.w1")
+      .collect().map(_.getString(0)).toSeq
+    assert(ctl == ctl.sorted, s"w1 keys must come out sorted: $ctl")
+  }
+
+  test("graft_perplexity_model derives context table and vocab in one walk") {
+    // c2 table {a b: 2, b a: 1}: c1 = [(a,2),(b,1)]; vocab =
+    // {a,b} from the bigrams ∪ {z,a} solo supplement = 3 ("a" not
+    // double-counted, solo-only "z" counted)
+    val r = spark.range(1).select(call_function("graft_perplexity_model",
+        array(struct(lit("a b").as("bg"), lit(2L).as("c2")),
+          struct(lit("b a").as("bg"), lit(1L).as("c2"))),
+        array(lit("z"), lit("a"))).as("m"))
+      .selectExpr("m.vs", "m.c1arr", "m.c2arr").collect().head
+    assert(r.getLong(0) == 3L)
+    val c1 = r.getSeq[org.apache.spark.sql.Row](1)
+      .map(e => (e.getString(0), e.getLong(1)))
+    assert(c1 == Seq(("a", 2L), ("b", 1L)))
+    assert(r.getSeq[org.apache.spark.sql.Row](2).size == 2,
+      "c2arr must pass through unchanged")
+  }
+
   test("checkUniqueIds flag: duplicate ids fail loud, unique ids pass") {
     spark.conf.set("spark.graft.checkUniqueIds", "true")
     try {

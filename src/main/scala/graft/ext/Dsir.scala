@@ -84,10 +84,21 @@ object Dsir {
       (r.getString(0), java.math.BigDecimal.valueOf(v)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
     }.sortBy(_._1) // 2-char lowercase hex: JVM string order = UTF8 binary
+    // localCheckpoint (GC-released, never an unpersisted cache): the
+    // scored table is TWO fixed-width columns — ~16 bytes/doc — while
+    // recomputing it means re-running the tokenize+md5 kernel, the
+    // family's priciest map work, under BOTH remaining consumers (the
+    // percentile pass and the final select). Unlike the doc-grain
+    // _bc ARRAYS (lazy won that A/B — see the note above), storing
+    // the scores wins: 30× A/B 1.06 → 1.01 s median
+    // (ProfileScoringFuse), and the kernel now runs exactly twice
+    // (model pass + scoring pass), the floor for a two-phase
+    // model-then-score plan.
     val scored = pc
       .select(col("_id"),
         call_function("graft_dsir_score", col("_bc"), typedlit(lrArr))
           .as("_score_micro"))
+      .localCheckpoint()
     val thr = scored.agg(
       expr(s"percentile(_score_micro, $quantile)").as("_thr"))
     scored.crossJoin(broadcast(thr))

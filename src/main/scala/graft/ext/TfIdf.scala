@@ -24,27 +24,42 @@ import graft.functions.Text
   */
 object TfIdf {
 
-  /** `count(1) AS n_docs` plus the given extra aggregates, under the
-    * documented unique-`idCol` precondition. Setting
+  /** The corpus scalars (`n_docs`, and for BM25 `Σdl`) ride the df
+    * exchange as ONE per-doc sentinel entry (NULL term) appended to
+    * the per-doc count array — no separate corpus-count job, no
+    * crossJoin barrier (30× A/B: tfidf 0.81 → 0.68 s, bm25 0.83 →
+    * 0.69 s medians, ProfileScoringFuse, equality-pinned). The
+    * coalesce keeps a null-text document's sentinel (its tc is NULL):
+    * n_docs counts every document, exactly like the count it replaced.
+    */
+  private val EmptyTc = "array<struct<term:string,tf:bigint>>"
+  private def withSentinel(tc: org.apache.spark.sql.Column,
+      dl: org.apache.spark.sql.Column) =
+    concat(coalesce(tc, array().cast(EmptyTc)),
+      array(struct(lit(null).cast("string").as("term"), dl.as("tf"))))
+
+  /** Guard on the documented unique-`idCol` precondition behind
+    * `n_docs = count(1)`-style corpus counting: setting
     * `spark.graft.checkUniqueIds=true` (debug aid) adds a distinct
     * count and a runtime `assert_true` — re-paying the two-phase
     * exchange the contract lets the fast path delete — so a caller
     * passing a non-unique id column fails loud instead of silently
-    * inflating n_docs (and so every IDF/BM25 score).
+    * inflating n_docs (and so every IDF/BM25 score). The assertion is
+    * woven into the n_docs column itself so pruning can't drop it.
     */
-  private def corpusAgg(pc: DataFrame, idCol: String,
-      extra: org.apache.spark.sql.Column*): DataFrame = {
+  private def withUniqueIdCheck(fold: DataFrame, pc: DataFrame,
+      idCol: String): DataFrame = {
     val checked = pc.sparkSession.conf
       .getOption("spark.graft.checkUniqueIds").contains("true")
-    if (!checked) pc.agg(count(lit(1)).as("n_docs"), extra: _*)
-    else pc.agg(count(lit(1)).as("n"),
-        (countDistinct(col(idCol)).as("nd") +: extra): _*)
-      .withColumn("n_docs", when(assert_true(col("n") === col("nd"),
+    if (!checked) fold
+    else fold.crossJoin(pc.agg(count(lit(1)).as("_n"),
+        countDistinct(col(idCol)).as("_nd")))
+      .withColumn("n_docs", when(assert_true(col("_n") === col("_nd"),
         lit(s"graft.TfIdf: id column '$idCol' is not unique — " +
           "n_docs (and every IDF/BM25 score) would be silently " +
           "inflated; dedupe ids or pass the document key")).isNull,
-        col("n")))
-      .drop("n", "nd")
+        col("n_docs")))
+      .drop("_n", "_nd")
   }
 
   /** Okapi BM25 top-k terms per document:
@@ -77,19 +92,29 @@ object TfIdf {
     val pc = docs.select(col(idCol),
         call_function("graft_term_counts", toks).as("tc"),
         size(toks).cast("long").as("dl"))
-    val df = pc.select(explode(col("tc")).as("e"))
-      .filter(length(col("e.term")) >= 1)
-      .select(col("e.term").as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // count(1), not countDistinct(id): idCol is the document KEY
-    // (unique by contract, like every dedup/shard operator here), and
-    // the distinct's extra two-phase exchange round measured 0.50 s vs
-    // 0.11 s on a 30× corpus — same value, one less barrier. The
-    // contract is assertable: spark.graft.checkUniqueIds (corpusAgg)
-    val model = df
-      .agg(sort_array(collect_list(struct(col("term"), col("df"))))
-        .as("dfarr"))
-      .crossJoin(corpusAgg(pc, idCol, avg(col("dl")).as("avgdl")))
+    // the (n_docs, Σdl) scalars ride the SAME exchange as the df rows
+    // via the per-doc sentinel (withSentinel) — the r15 separate
+    // corpus pass (a full tokenize) and its crossJoin barrier are
+    // gone. Sentinel rows group under the NULL term; avgdl divides by
+    // the non-null-dl sentinel count so a null-text document (dl
+    // NULL) counts in n_docs but not in the average, exactly like the
+    // avg() it replaced. n_docs stays count-not-distinct (the unique
+    // document-key contract — assertable via spark.graft.checkUniqueIds;
+    // the distinct's extra two-phase exchange measured 0.50 vs 0.11 s
+    // at 30×).
+    val ex = pc.select(explode(withSentinel(col("tc"), col("dl"))).as("e"))
+      .filter(col("e.term").isNull || length(col("e.term")) >= 1)
+      .select(col("e.term").as("term"), col("e.tf").as("tf"))
+    val g = ex.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), sum(col("tf")).as("stf"),
+        count(col("tf")).as("ndl"))
+    val fold = g.agg(
+        sort_array(collect_list(when(col("term").isNotNull,
+          struct(col("term"), col("cnt").as("df"))))).as("dfarr"),
+        max(when(col("term").isNull, col("cnt"))).as("n_docs"),
+        (max(when(col("term").isNull, col("stf"))).cast("double") /
+          max(when(col("term").isNull, col("ndl")))).as("avgdl"))
+    val model = withUniqueIdCheck(fold, pc, idCol)
       .select(struct(col("dfarr"), col("n_docs"), col("avgdl")).as("model"))
     pc.crossJoin(broadcast(model))
       .select(col(idCol), explode(call_function("graft_bm25_topk",
@@ -141,16 +166,18 @@ object TfIdf {
     // deliberately lazy count pass — see bm25TopTerms (measured A/B)
     val pc = docs.select(col(idCol),
         call_function("graft_term_counts", Text.tokens(col(textCol))).as("tc"))
-    val df = pc.select(explode(col("tc")).as("e"))
-      .filter(length(col("e.term")) >= 1)
+    // n_docs rides the df exchange as the per-doc sentinel row — see
+    // bm25TopTerms (count-not-distinct contract assertable via
+    // spark.graft.checkUniqueIds; 30× A/B in ProfileScoringFuse)
+    val ex = pc.select(explode(withSentinel(col("tc"), lit(0L))).as("e"))
+      .filter(col("e.term").isNull || length(col("e.term")) >= 1)
       .select(col("e.term").as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // count(1), not countDistinct(id) — see bm25TopTerms (assertable
-    // via spark.graft.checkUniqueIds)
-    val model = df
-      .agg(sort_array(collect_list(struct(col("term"), col("df"))))
-        .as("dfarr"))
-      .crossJoin(corpusAgg(pc, idCol))
+    val g = ex.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val fold = g.agg(
+        sort_array(collect_list(when(col("term").isNotNull,
+          struct(col("term"), col("cnt").as("df"))))).as("dfarr"),
+        max(when(col("term").isNull, col("cnt"))).as("n_docs"))
+    val model = withUniqueIdCheck(fold, pc, idCol)
       .select(struct(col("dfarr"), col("n_docs")).as("model"))
     pc.crossJoin(broadcast(model))
       .select(col(idCol), explode(call_function("graft_tfidf_topk",

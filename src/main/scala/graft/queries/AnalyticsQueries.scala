@@ -1075,6 +1075,21 @@ object AnalyticsQueries {
     // ProfileConcSweep pins shape equality and the 30× A/B; the hour
     // shape costs one extra bounded-output aggregation job, which is
     // why it doesn't run unconditionally.
+    //
+    // SIZING RULE for spark.graft.sweep.sliceBytesThreshold: the day
+    // window is better while |days touched by the data| ≥ the
+    // cluster's usable task slots (every slot busy, no extra job); the
+    // hour path is better as soon as slots > |days|, because the day
+    // window strands (slots − |days|) of them. The 8 MB default
+    // encodes where that crossover landed on THIS bench host (32
+    // slots, ~60-day corpora, crossover measured between the 10× and
+    // 30× corpora whose pruned interval-column bytes straddle 8 MB).
+    // A deployment sets it to roughly
+    //   (pruned bytes per day-of-data) × (its own executor slots),
+    // i.e. LOWER it when the cluster is wide relative to the calendar
+    // span, RAISE it for a thin cluster over a long history. Set it
+    // to 0 to force the hour path, Long.MaxValue to force the day
+    // window.
     val threshold = spark.conf
       .get("spark.graft.sweep.sliceBytesThreshold", (8L << 20).toString)
       .toLong

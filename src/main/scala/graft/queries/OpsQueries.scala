@@ -357,33 +357,37 @@ object OpsQueries {
 
   /** Inclusion-dependency (foreign-key) discovery — the companion of
     * [[profileKeys]]: for each candidate reference, orphan rows and
-    * orphan keys counted in ONE pass per pair (left join against the
-    * broadcast distinct key set of the referenced side — the probe
-    * side never shuffles). The deliberately-bad candidate
-    * (events.user_id → supplier) shows real violation counts, not just
-    * all-green.
+    * orphan keys counted from ONE key-grain exchange per pair. The
+    * deliberately-bad candidate (events.user_id → supplier) shows
+    * real violation counts, not just all-green.
     */
   def profileInclusion(spark: SparkSession, dir: String): DataFrame = {
     def inclusion(name: String, left: DataFrame, lk: String,
         right: DataFrame, rk: String): DataFrame = {
-      val keys = right.select(col(rk).as("_rk")).distinct()
-      // two-phase, not count_distinct: the twin distinct aggregates
-      // (n_keys + n_orphan_keys) made Spark EXPAND every probe-side
-      // row 3× before aggregating. Orphan-ness is a property of the
-      // KEY (one _lk always meets the same _rk), so a partial-agg
-      // groupBy on _lk followed by a key-grain fold computes all four
-      // counts with nothing row-grain crossing the exchange — the
-      // r15 job-floor audit's one growing row (1.5→2.8 s across 1→10×)
-      left.select(col(lk).as("_lk"))
-        .join(broadcast(keys), col("_lk") === col("_rk"), "left")
-        .groupBy(col("_lk"))
-        .agg(count(lit(1)).as("_n"), max(col("_rk").isNull).as("_orphan"))
+      // Round-16 shape: BOTH sides ride one exchange under a side tag
+      // and the join stage disappears — orphan-ness is a property of
+      // the KEY (one _lk always meets the same _rk), so after the
+      // per-key fold a key never seen on the right simply has
+      // _inref = 0. This also deletes the r15 broadcast build (a
+      // driver collect of a fact-sized key set — orders at 30× was
+      // 4.5M keys) and the 18M row-grain hash probes; the earlier
+      // two-phase form replaced the EXPAND-3× twin of distinct
+      // aggregates. Measured 30× A/B (ProfileInclusionShapes,
+      // equality-pinned): tagged 3.4 s vs key-grain join 4.4 vs r15
+      // broadcast 6.5. Right-side nulls are filtered to preserve the
+      // join's null-never-matches semantics; null probe keys still
+      // count as orphan rows, not keys.
+      left.select(col(lk).as("k"), lit(1L).as("n"), lit(0).as("r"))
+        .unionAll(right.select(col(rk).as("k"), lit(0L).as("n"),
+          lit(1).as("r")).filter(col("k").isNotNull))
+        .groupBy(col("k"))
+        .agg(sum(col("n")).as("_n"), max(col("r")).as("_inref"))
         .agg(sum(col("_n")).as("n_rows"),
-          count(when(col("_lk").isNotNull, 1)).as("n_keys"),
-          sum(when(col("_orphan"), col("_n")).otherwise(0L))
+          count(when(col("_n") > 0 && col("k").isNotNull, 1)).as("n_keys"),
+          sum(when(col("_inref") === 0, col("_n")).otherwise(0L))
             .as("n_orphan_rows"),
-          count(when(col("_orphan") && col("_lk").isNotNull, 1))
-            .as("n_orphan_keys"))
+          count(when(col("_inref") === 0 && col("_n") > 0 &&
+            col("k").isNotNull, 1)).as("n_orphan_keys"))
         .select(lit(name).as("dependency"), col("n_rows"), col("n_keys"),
           col("n_orphan_rows"), col("n_orphan_keys"),
           (col("n_orphan_rows") === 0).as("is_fk"))

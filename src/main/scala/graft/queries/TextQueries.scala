@@ -525,12 +525,19 @@ object TextQueries {
       .crossJoin(pc.agg(collect_set(col("solo")).as("sup")))
       .select(call_function("graft_perplexity_model",
         col("c2arr"), col("sup")).as("model"))
+    // the 20-byte/doc scored rows are materialized BEFORE the
+    // contract's global sort: range partitioning runs a SAMPLING job
+    // over its child, which would otherwise re-execute the whole
+    // broadcast+scoring stage a second time (measured: sort over the
+    // lazy scored child 1.08 s vs 0.84 s over the checkpointed rows
+    // at 30×, ProfilePerplexSplit)
     pc.crossJoin(broadcast(model))
       .select(col("doc_id"),
         call_function("graft_perplexity", col("bc"), col("model")).as("s"))
       .select(col("doc_id"),
         coalesce(col("s.n_bigrams"), lit(0L)).as("n_bigrams"),
         col("s.avg_nll").as("avg_nll"))
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -579,12 +586,16 @@ object TextQueries {
       lit(" contact u"), col("doc_id"), lit("@mail.example or +1-555-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
       lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+    // materialized before the contract sort: range partitioning's
+    // sampling job would re-run the triple-regex kernel a second time
+    // (30× A/B: 2.58 → 1.72 s median, ProfileSortCkpt, equality-pinned)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         regexp_count(injected, lit(Text.EmailRe)).cast("long").as("n_emails"),
         regexp_count(injected, lit(Text.PhoneRe)).cast("long").as("n_phones"),
         regexp_count(injected, lit(Text.Ipv4Re)).cast("long").as("n_ips"),
         Text.redactPii(injected).as("redacted"))
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 

@@ -156,6 +156,10 @@ object OpsQueries {
           .as("payload"))
       .withColumn("event_type_rt", get_json_object(col("payload"), "$.event_type"))
       .withColumn("value_rt", get_json_object(col("payload"), "$.value").cast("double"))
+      // materialized before the contract sort — range partitioning's
+      // sampling job re-ran the to_json/get_json_object kernel
+      // (30× A/B 4.66 → 1.82 s, ProfileSortFamily, equality-pinned)
+      .localCheckpoint()
       .orderBy("event_id")
 
   /** Multimodal: binary media table → batched per-partition feature
@@ -207,6 +211,9 @@ object OpsQueries {
         Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
           .as[Multimodal.MediaRow])
       .toDF()
+      // sort-sampling rule: the frame-sampling kernel would run twice
+      // under the global sort (30× A/B 1.78 → 1.29 s, ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("id", "frame_idx")
   }
 

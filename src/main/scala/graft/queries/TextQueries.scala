@@ -41,6 +41,9 @@ object TextQueries {
         round(Text.avgTokenLen(col("text"), toks), 4).as("avg_token_len"),
         Text.countIn(toks, stopwords).cast("long").as("n_stopwords"),
         Text.approxBpeTokenCount(toks).as("bpe_tokens"))
+      // sort-sampling rule (see textRedact): kernel would run twice
+      // under the sort (30× A/B 1.10 → 0.88 s, ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -58,6 +61,8 @@ object TextQueries {
         scores("fr").cast("long").as("s_fr"),
         scores("es").cast("long").as("s_es"),
         Text.argmaxLang(scores).as("lang_pred"))
+      // sort-sampling rule (30× A/B 0.85 → 0.76 s, ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -72,6 +77,8 @@ object TextQueries {
         md5(col("text")).as("content_hash"),
         fp.getField("min_shingle_hash").as("min_shingle_hash"),
         fp.getField("n_winnow").as("n_winnow"))
+      // sort-sampling rule (30× A/B 0.75 → 0.66 s, ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -167,6 +174,10 @@ object TextQueries {
   /** Top-3 TF-IDF terms per document (quality/topicality signal). */
   def textTfidf(spark: SparkSession, dir: String): DataFrame =
     TfIdf.topTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      // sort-sampling rule: the sort would re-run the scoring stage
+      // (30× A/B 1.46 → 1.27 s, ProfileSortFamily; bm25's same shape
+      // measured a tie and stays lazy)
+      .localCheckpoint()
       .orderBy("doc_id", "rank")
 
   /** Top-3 BM25 terms per document (saturating, length-normalized). */
@@ -186,6 +197,10 @@ object TextQueries {
         col("doc_id"),
         Text.scrub(concat_ws(" ", kept)).as("clean_text"),
         (size(toks) - size(kept)).cast("long").as("n_removed"))
+      // sort-sampling rule: the collapse+scrub kernel outweighs even
+      // this row's large output bytes (30× A/B 1.36 → 1.11 s,
+      // ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -228,6 +243,8 @@ object TextQueries {
         "source", budget = 256)
       .select("doc_id", "source", "n_tokens", "start_offset",
         "chunk_idx", "chunk_id")
+      // sort-sampling rule (30× A/B 0.90 → 0.82 s, ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -626,6 +643,8 @@ object TextQueries {
         (col("s.m2").cast("double") / col("s.t2")).as("top_bigram_frac"),
         (col("s.m3").cast("double") / col("s.t3")).as("top_trigram_frac"),
         (col("s.d3").cast("double") / col("s.t3")).as("dup_trigram_frac"))
+      // sort-sampling rule (30× A/B 0.78 → 0.67 s, ProfileSortFamily)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 

@@ -110,10 +110,12 @@ class PlanSpec extends SparkSpec {
 
   test("repetition signals are a zero-shuffle projection: one scan, no exchange") {
     val p = plan(TextQueries.textRepetition(spark, sf))
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
-    // the per-document native expression deletes the (doc, n, gram)
-    // aggregation exchanges; only the output-contract global sort may
-    // range-repartition
+    // the kernel projection materializes ONCE (r16 sort-sampling
+    // rule: the contract sort's range-partitioning sample would
+    // otherwise re-run it), so the final plan reads the checkpointed
+    // rows — no parquet re-scan, and still no aggregation anywhere
+    assert(p.contains("ExistingRDD"), p.take(600))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty, p.take(600))
     assert(!p.contains("HashAggregate"), p.take(600))
     assert(!p.contains("Exchange hashpartitioning"), p.take(600))
   }

@@ -135,6 +135,40 @@ class PersistedSpec extends SparkSpec {
     }
   }
 
+  test("a concurrent race publishes once; the loser attaches the winner's build") {
+    val artRoot = Files.createTempDirectory("graft-proot6").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          start.await()
+          try results.add(Persisted.ensure(spark, "spec-race", "s1") {
+            staging =>
+              builds.incrementAndGet()
+              Thread.sleep(50) // widen the race window
+              write(s"$staging/data.bin", 8)
+          }) catch { case t: Throwable => errors.add(t) }
+        }, s"race-$i")
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(30000))
+      assert(errors.isEmpty, s"no racer may fail: ${errors.peek()}")
+      assert(results.size == 4)
+      val dirs = results.toArray(Array.empty[String]).toSet
+      assert(dirs.size == 1, s"all racers must attach one artifact: $dirs")
+      assert(Files.exists(
+        Paths.get(dirs.head.stripPrefix("file:"), "_DONE")))
+      // losers' stagings are cleaned up after the winner's marker lands
+      val leftover = Files.list(Paths.get(artRoot)).toArray.map(_.toString)
+        .filter(_.contains("-stage-"))
+      assert(leftover.isEmpty, s"no staging may leak: ${leftover.toSeq}")
+    } finally spark.conf.unset("spark.graft.persisted.root")
+  }
+
   test("janitor sweeps stale orphaned stagings, keeps live ones") {
     val artRoot = Files.createTempDirectory("graft-proot5").toString
     spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")

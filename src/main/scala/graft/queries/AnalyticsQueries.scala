@@ -500,12 +500,19 @@ object AnalyticsQueries {
       regs.groupBy(col("_b")).agg(max(col("_m")).as("_m"))
         .withColumn("u", lit(1)),
       Seq("u"), "est_union").drop("u")
-    val exact = ev.agg(
-      count_distinct(when(col("s") === "click", col("user_id")))
-        .as("exact_click"),
-      count_distinct(when(col("s") === "view", col("user_id")))
-        .as("exact_view"),
-      count_distinct(col("user_id")).as("exact_union"))
+    // one user-grain exchange with membership flags instead of three
+    // count_distincts (which Expand-replicate every event row 3× + 1
+    // before partial aggregation) — distinct-ness over the SAME column
+    // folds from the flags (30× A/B 1.67 → 1.25 s,
+    // ProfileDistinctShapes, equality-pinned)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("s") === "click", 1).otherwise(0)).as("_c"),
+        max(when(col("s") === "view", 1).otherwise(0)).as("_v"))
+    val nn = col("user_id").isNotNull
+    val exact = perUser.agg(
+      count(when(col("_c") === 1 && nn, 1)).as("exact_click"),
+      count(when(col("_v") === 1 && nn, 1)).as("exact_view"),
+      count(when(nn, 1)).as("exact_union"))
     val a = perSet.filter(col("s") === "click")
       .select(col("est").as("est_click"))
     val b = perSet.filter(col("s") === "view")

@@ -26,6 +26,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("inclusion profiling is join-free: tagged union, key-grain folds") {
+    // r16 shape: both sides of each dependency pair ride one exchange
+    // under a side tag — no join operator, no broadcast build of a
+    // fact-sized key set may reappear
+    val p = plan(OpsQueries.profileInclusion(spark, sf))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("column/key profiling plans no Expand: one distinct leg per column") {
+    // a multi-count_distinct agg replicates every row once per
+    // distinct column before partial aggregation (r16 finding:
+    // profile_columns 3.4 s vs 0.10 twin at 30× behind that plan)
+    assert(!plan(OpsQueries.profileColumns(spark, sf)).contains("Expand"))
+    assert(!plan(OpsQueries.profileKeys(spark, sf)).contains("Expand"))
+  }
+
   test("global top-k uses TakeOrderedAndProject, not a global sort") {
     val p = plan(AnalyticsQueries.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
@@ -156,10 +173,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(400))
   }
 
-  test("column profiler is one scan + one Expand") {
+  test("column profiler scans once per leg, each column-pruned") {
+    // r16: one single-distinct leg per column replaced the one-scan +
+    // Expand plan (which replicated every row 6×); each leg's scan
+    // must prune to its own column
     val p = plan(OpsQueries.profileColumns(spark, sf))
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(600))
-    assert("""\(\d+\) Expand""".r.findAllIn(p).length == 1, p.take(600))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 6, p.take(600))
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), p.take(600))
   }
 
   test("funnel's three chained windows share ONE (user, ts) sort/shuffle") {

@@ -445,7 +445,72 @@ object Dedup {
       blockCol: String, minCosine: Double): DataFrame = {
     // unit-normalize once per row ([[Vectors.unitized]], the ONE
     // definition of this oracle-sensitive arithmetic); the pairwise
-    // stage is then one dot
+    // stage is then one dot.
+    //
+    // Round-16 shape: SALTED block decomposition + a grouped native
+    // pair kernel instead of the blocked self-join. The join capped
+    // parallelism at |blocks| (10 labels on a 32-thread host left 2/3
+    // of it idle) and paid ~2 µs/pair of join-row machinery per
+    // candidate — 40× the dot product's arithmetic. Each row is
+    // salted by id hash into S buckets; pair task (i, j), i ≤ j,
+    // receives bucket-i rows as side A and bucket-j rows as side B
+    // (every unordered pair lands in exactly one task), so
+    // parallelism is |blocks|·S(S+1)/2 and group state stays
+    // ~|block|/S vectors. graft_cosine_pairs unpacks each group's
+    // vectors ONCE into primitive arrays and runs the n² dots as
+    // tight scalar math. Measured at 30× (ProfileCosinePairs,
+    // equality-pinned): 46.8 s → see tool log; the DuckDB twin runs
+    // the same quadratic in 2.9 s, which the join shape missed 16×.
+    // S is a knob (spark.graft.pairs.salts); the replication factor
+    // is exactly S copies of each row through one exchange.
+    val e = Vectors.unitized(df, vecCol, idCol -> idCol,
+        blockCol -> blockCol)
+      .withColumnRenamed("_uv", "_u")
+    embeddingNearDupsUnit(e, idCol, "_u", blockCol, minCosine)
+  }
+
+  /** [[embeddingNearDups]] on ALREADY unit-normalized double vectors —
+    * the salted decomposition + grouped kernel itself. Ids must be
+    * numeric (they ride the kernel as longs).
+    */
+  private[graft] def embeddingNearDupsUnit(e: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, minCosine: Double): DataFrame = {
+    val spark = e.sparkSession
+    val s = spark.conf.getOption("spark.graft.pairs.salts")
+      .map(_.toInt).getOrElse(8)
+    import spark.implicits._
+    val tasks = broadcast(
+      (for { i <- 0 until s; j <- i until s } yield (i, j))
+        .toDF("_i", "_j"))
+    // join semantics, made explicit: a null block key never matched
+    // (null ≠ null) and a null vector produced a null cosine the
+    // threshold filter dropped — neither may reach the kernel (a
+    // null-key GROUP would otherwise pair its members)
+    val tagged = e
+      .filter(col(blockCol).isNotNull && col(vecCol).isNotNull)
+      .withColumn("_sa", pmod(hash(col(idCol)), lit(s)))
+      .join(tasks, col("_sa") === col("_i") || col("_sa") === col("_j"))
+    val grouped = tagged.groupBy(col(blockCol), col("_i"), col("_j"))
+      .agg(
+        collect_list(when(col("_sa") === col("_i"),
+          struct(col(idCol).cast("long").as("id"), col(vecCol).as("v"))))
+          .as("_a"),
+        collect_list(when(col("_sa") === col("_j") && col("_i") =!= col("_j"),
+          struct(col(idCol).cast("long").as("id"), col(vecCol).as("v"))))
+          .as("_b"))
+    grouped.select(col(blockCol),
+        explode(call_function("graft_cosine_pairs", col("_a"), col("_b"),
+          col("_i") === col("_j"), lit(minCosine))).as("p"))
+      .select(col(blockCol), col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
+  }
+
+  /** The blocked self-join form of [[embeddingNearDups]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin
+    * for the salted-kernel rewrite's spec and scale A/B.
+    */
+  private[graft] def embeddingNearDupsJoined(df: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, minCosine: Double): DataFrame = {
     val e = Vectors.unitized(df, vecCol, idCol -> idCol,
         blockCol -> blockCol)
       .withColumnRenamed("_uv", "_u")
@@ -475,13 +540,15 @@ object Dedup {
     val assigned = KMeans.fit(df, idCol, vecCol, initCol, iters)
     val unit = Vectors.unitized(df, vecCol, idCol -> idCol)
     val m = assigned.select(col(idCol), col("cluster")).join(unit, Seq(idCol))
-    val a = m.select(col("cluster"), col(idCol).as("_ia"), col("_uv").as("_ua"))
-    val b = m.select(col("cluster"), col(idCol).as("_ib"), col("_uv").as("_ub"))
-    val dup = a.join(b, Seq("cluster"))
-      .filter(col("_ia") < col("_ib"))
-      .filter(round(Vectors.dot(col("_ua"), col("_ub")), 4) >= minCosine)
-      .groupBy(col("_ib")).agg(min(col("_ia")).as("dup_of"))
-      .withColumnRenamed("_ib", idCol)
+      .select(col(idCol), col("cluster").as("_blk"), col("_uv").as("_u"))
+    // within-cluster pairs through the same salted grouped kernel as
+    // [[embeddingNearDups]] — the cluster-key self-join capped
+    // parallelism at |clusters| and paid per-pair join machinery
+    // (46.8 → 5.6 s at 30× on the cosine operator, ProfileCosinePairs);
+    // dup_of is then min(lower id) over the generated (id_a < id_b)
+    // pairs. The kernel receives the already-unit vectors directly.
+    val dup = embeddingNearDupsUnit(m, idCol, "_u", "_blk", minCosine)
+      .groupBy(col("id_b").as(idCol)).agg(min(col("id_a")).as("dup_of"))
     assigned.select(col(idCol), col("cluster"))
       .join(dup, Seq(idCol), "left")
       .select(col(idCol), col("cluster"), col("dup_of"),

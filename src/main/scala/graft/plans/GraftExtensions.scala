@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.perplexityFunction)
     e.injectFunction(GraftExtensions.prefixC1Function)
     e.injectFunction(GraftExtensions.perplexityModelFunction)
+    e.injectFunction(GraftExtensions.cosinePairsFunction)
     e.injectFunction(GraftExtensions.assignNearestFunction)
     e.injectFunction(GraftExtensions.tfidfTopKFunction)
     e.injectFunction(GraftExtensions.dsirBucketsFunction)
@@ -339,6 +340,15 @@ object GraftExtensions {
       PrefixContextCounts(children.head)
     })
 
+  private val cosinePairsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine_pairs"),
+    new ExpressionInfo(classOf[CosinePairs].getName, "graft_cosine_pairs"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 4, "graft_cosine_pairs(a, b, same, minCosine)")
+      CosinePairs(children(0), children(1), children(2),
+        doubleLit(children(3), "graft_cosine_pairs", "minCosine"))
+    })
+
   private val perplexityModelFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_perplexity_model"),
     new ExpressionInfo(classOf[PerplexityModel].getName, "graft_perplexity_model"),
@@ -395,8 +405,8 @@ object GraftExtensions {
         bloomMightFunction, hllAggFunction, shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
         bm25TopKFunction, perplexityFunction, prefixC1Function,
-        perplexityModelFunction, assignNearestFunction, tfidfTopKFunction,
-        dsirBucketsFunction, dsirScoreFunction)
+        perplexityModelFunction, cosinePairsFunction, assignNearestFunction,
+        tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

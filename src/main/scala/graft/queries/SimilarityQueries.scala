@@ -83,6 +83,9 @@ object SimilarityQueries {
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding",
         blockCol = "label", minCosine = 0.3)
+      // sort-sampling rule: the contract sort must not re-run the
+      // quadratic pair kernel (ProfileCosinePairs A/B)
+      .localCheckpoint()
       .orderBy("label", "id_a", "id_b")
 
   /** Unblocked near-dup via sign-random-projection LSH buckets —
@@ -100,6 +103,9 @@ object SimilarityQueries {
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     SignLsh.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
         bits = slshBits, minCosine = 0.25, dim = embDim)
+      // sort-sampling rule: the contract sort must not re-run the
+      // bucket-quadratic verify kernel
+      .localCheckpoint()
       .orderBy("id_a", "id_b")
 
   /** Deterministic distributed k-means (2 Lloyd rounds from the

@@ -12,6 +12,32 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = Tables.embeddings(spark, sf)
 
+  test("embedding near-dups: salted grouped kernel equals the blocked self-join") {
+    // the r16 rewrite (salt decomposition + graft_cosine_pairs) must
+    // emit EXACTLY the blocked self-join's pair set — same ids, same
+    // 4-decimal cosines — and stay exact under a different salt count
+    val nd = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      blockCol = "label", minCosine = 0.3)
+    val tw = Dedup.embeddingNearDupsJoined(emb, "vec_id", "embedding",
+      blockCol = "label", minCosine = 0.3)
+    assert(nd.exceptAll(tw).isEmpty && tw.exceptAll(nd).isEmpty)
+    spark.conf.set("spark.graft.pairs.salts", "3")
+    try {
+      val nd3 = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.3)
+      assert(nd3.exceptAll(tw).isEmpty && tw.exceptAll(nd3).isEmpty,
+        "the pair set must be salt-count invariant")
+    } finally spark.conf.unset("spark.graft.pairs.salts")
+  }
+
+  test("sign-LSH near-dups: salted kernel equals the bucket self-join") {
+    val nd = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
+      bits = 4, minCosine = 0.25)
+    val tw = SignLsh.nearDupPairsJoined(emb, "vec_id", "embedding",
+      bits = 4, minCosine = 0.25)
+    assert(nd.exceptAll(tw).isEmpty && tw.exceptAll(nd).isEmpty)
+  }
+
   test("brute-force top-k: k rows per query, no self, scores bounded") {
     val q = emb.filter(col("vec_id") < 20)
     val res = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 3).cache()

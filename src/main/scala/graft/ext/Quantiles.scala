@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact grouped quantiles by distributed order-statistic SELECTION —
+  * the scale-safe replacement for the `percentile` aggregate, whose
+  * buffer holds every distinct value of a group in one task's memory
+  * and whose final merge+sort runs one task per group (the fixed-key
+  * parallelism cap, again).
+  *
+  * Three bounded passes, all parallel and pruned to two columns:
+  *  1. global (min, max) of the value — fixes a slice width so the
+  *     histogram is ≤ `targetSlices` rows per group BY CONSTRUCTION;
+  *  2. (group, slice) histogram with per-slice count/min/max — the
+  *     driver locates, per (group, quantile), which slice holds each
+  *     of the two order statistics `floor/ceil(q·(n−1))`; a slice
+  *     whose min == max resolves immediately (degenerate
+  *     distributions never collect);
+  *  3. collect ONLY the needed slices' values (expected |group|/
+  *     slices rows each) and read the order statistics off the
+  *     sorted slice.
+  *
+  * Interpolation replicates Spark's `Percentile.getPercentile`
+  * bit-for-bit: `pos = q·(n−1)`, `(higher−pos)·v_lo + (pos−lower)·v_hi`,
+  * null values excluded from positions. The result is driver-sized
+  * (|groups| × |qs|), like the aggregate it replaces.
+  */
+object Quantiles {
+
+  /** Per group: (n_rows including null values, n_vals, quantile value
+    * per q — NaN-free Option, None when the group has no non-null
+    * values).
+    */
+  def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], targetSlices: Int = 16384,
+      sliceCap: Long = 8L * 1000 * 1000):
+      Seq[(String, Long, Seq[Option[Double]])] = {
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol).cast("string")
+    val mm = df.agg(min(v).as("mn"), max(v).as("mx")).collect().head
+    if (mm.isNullAt(0)) { // no non-null values anywhere
+      return df.groupBy(g.as("g")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), qs.map(_ => None)))
+        .toSeq
+    }
+    val width = Math.max((mm.getDouble(1) - mm.getDouble(0)) /
+      targetSlices.toDouble, java.lang.Double.MIN_NORMAL)
+    val slice = floor((v - lit(mm.getDouble(0))) / lit(width))
+    val hist = df
+      .groupBy(g.as("g"), coalesce(slice, lit(Long.MinValue)).as("h"))
+      .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
+      .collect()
+    val perG = hist.groupBy(_.getString(0))
+    // locate the slice holding 0-based order statistic p: cumulative
+    // counts over h-ascending non-null slices
+    case class Slice(h: Long, c: Long, mn: Double, mx: Double, cum: Long)
+    val groups = perG.map { case (gk, rows) =>
+      val nTotal = rows.map(_.getLong(2)).sum
+      val nonNull = rows.filter(!_.isNullAt(1))
+        .filter(_.getLong(1) != Long.MinValue)
+        .sortBy(_.getLong(1))
+      var acc = 0L
+      val slices = nonNull.map { r =>
+        val s = Slice(r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), acc)
+        acc += r.getLong(2)
+        s
+      }
+      (gk, nTotal, slices.toSeq, acc)
+    }.toSeq.sortBy(_._1)
+    // which (group, slice) pairs actually need their values?
+    val wanted = scala.collection.mutable.Set.empty[(String, Long)]
+    def sliceFor(slices: Seq[Slice], p: Long): Slice =
+      slices.find(s => p < s.cum + s.c).get
+    groups.foreach { case (gk, _, slices, nVals) =>
+      if (nVals > 0) qs.foreach { q =>
+        val pos = q * (nVals - 1)
+        Seq(pos.floor.toLong, pos.ceil.toLong).foreach { p =>
+          val s = sliceFor(slices, p)
+          if (s.mn != s.mx) {
+            require(s.c <= sliceCap,
+              s"quantile slice ($gk, ${s.h}) holds ${s.c} values " +
+                s"(cap $sliceCap): a pathologically skewed value " +
+                "distribution — raise targetSlices or the cap")
+            wanted += ((gk, s.h))
+          }
+        }
+      }
+    }
+    val collected: Map[(String, Long), Array[Double]] =
+      if (wanted.isEmpty) Map.empty
+      else {
+        val keys = wanted.map { case (gk, h) => s"$gk|$h" }.toSeq
+        df.select(g.as("g"), slice.as("h"), v.as("v"))
+          .filter(col("v").isNotNull &&
+            concat_ws("|", col("g"), col("h")).isin(keys: _*))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getLong(1)))
+          .map { case (k, rows) => (k, rows.map(_.getDouble(2)).sorted) }
+      }
+    groups.map { case (gk, nTotal, slices, nVals) =>
+      def at(p: Long): Double = {
+        val s = sliceFor(slices, p)
+        if (s.mn == s.mx) s.mn
+        else collected((gk, s.h))((p - s.cum).toInt)
+      }
+      val vals = qs.map { q =>
+        if (nVals == 0) None
+        else {
+          val pos = q * (nVals - 1)
+          val lower = pos.floor.toLong
+          val higher = pos.ceil.toLong
+          val lo = at(lower)
+          Some(
+            if (higher == lower) lo
+            else {
+              val hi = at(higher)
+              if (hi == lo) lo
+              else (higher - pos) * lo + (pos - lower) * hi
+            })
+        }
+      }
+      (gk, nTotal, vals)
+    }
+  }
+}

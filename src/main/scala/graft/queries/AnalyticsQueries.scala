@@ -532,6 +532,57 @@ object AnalyticsQueries {
     * integer-cent mass per bin (no order-dependent float sums).
     */
   def binningEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    // r16 shape: the per-group percent_rank window concentrated each
+    // event_type into ONE task (5 groups on a 32-thread host — the
+    // same fixed-key parallelism cap the sweep's day windows had), so
+    // the whole query was |group| single-task sorts. The rank is now
+    // SHARDED by a pure function of the ordered value itself
+    // (floor(value)): a tie run shares its value, hence its shard, so
+    // rank() within the (group, shard) slice + the driver-collected
+    // offset of earlier shards IS the group-global RANK — exact,
+    // including percent_rank's tie semantics. The offsets table is
+    // |groups| × |value-integer-range| rows (bounded by the value
+    // domain, not the corpus); percent_rank's arithmetic
+    // ((rank-1)/(n-1), then ×4, floor) is replicated exactly.
+    // Measured 30×: 4.55 s (one task per group) → see
+    // ProfileBinningShapes; twin 0.57. The window form stays below as
+    // the equality twin.
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("_h", coalesce(floor(col("value")), lit(Long.MinValue)))
+    val totals = ev.groupBy(col("event_type"), col("_h"))
+      .agg(count(lit(1)).as("_c")).collect()
+    val byGroup = totals.groupBy(_.getString(0))
+    val offsets: Map[String, Long] = byGroup.toSeq.flatMap {
+      case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getLong(1)).toSeq.map { r =>
+          val o = (s"$g|${r.getLong(1)}", acc); acc += r.getLong(2); o
+        }
+    }.toMap
+    val ns: Map[String, Long] =
+      byGroup.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val w = Window.partitionBy(col("event_type"), col("_h"))
+      .orderBy(col("value"))
+    ev.withColumn("_r", rank().over(w) + element_at(typedlit(offsets),
+        concat_ws("|", col("event_type"), col("_h"))))
+      .withColumn("_n", element_at(typedlit(ns), col("event_type")))
+      .withColumn("bin", when(col("_n") === 1, lit(0L)).otherwise(
+        least(floor((col("_r") - 1).cast("double") /
+          (col("_n") - 1).cast("double") * 4), lit(3.0)).cast("long")))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        sum(col("cents")).as("bin_cents"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** The one-window-per-group form of [[binningEquidepth]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin.
+    */
+  private[graft] def binningEquidepthWindow(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
     Tables.events(spark, dir)
       .select(col("event_type"), col("value"),

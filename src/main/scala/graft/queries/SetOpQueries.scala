@@ -89,7 +89,32 @@ object SetOpQueries {
     * priority — `percentile` in Spark and `quantile_cont` in DuckDB
     * share the linear-interpolation definition.
     */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    // r16: exact quantiles by distributed order-statistic SELECTION
+    // ([[graft.ext.Quantiles.groupedExact]]) instead of the
+    // `percentile` aggregate, whose buffer holds every value of a
+    // group in one task and whose final merge runs one task per group
+    // (2.15 s at 30× for 5 groups on 32 threads; the selection runs
+    // three parallel two-column passes and collects only the slices
+    // holding the order statistics). Interpolation replicates the
+    // aggregate bit-for-bit; the aggregate form stays below as the
+    // equality twin.
+    val res = graft.ext.Quantiles.groupedExact(Tables.orders(spark, dir),
+      "o_orderpriority", "o_totalprice", Seq(0.5, 0.9, 0.99))
+    def r4(d: Option[Double]): Option[Double] = d.map(x =>
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    import spark.implicits._
+    res.map { case (g, n, vs) => (g, r4(vs(0)), r4(vs(1)), r4(vs(2)), n) }
+      .toDF("o_orderpriority", "p50", "p90", "p99", "n")
+      .orderBy("o_orderpriority")
+  }
+
+  /** The `percentile`-aggregate form of [[percentiles]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin.
+    */
+  private[graft] def percentilesAgg(spark: SparkSession,
+      dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(

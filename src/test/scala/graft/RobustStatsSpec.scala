@@ -10,6 +10,32 @@ import graft.queries.{AnalyticsQueries, TextQueries}
   */
 class RobustStatsSpec extends SparkSpec {
 
+  test("quantile selection equals the percentile aggregate on the corpus") {
+    val sel = graft.queries.SetOpQueries.percentiles(spark, sf)
+    val agg = graft.queries.SetOpQueries.percentilesAgg(spark, sf)
+    assert(sel.exceptAll(agg).isEmpty && agg.exceptAll(sel).isEmpty)
+  }
+
+  test("quantile selection degenerate edges: all-equal, single row, nulls") {
+    import spark.implicits._
+    // all-equal values can't split into slices — the min==max shortcut
+    // must resolve without collecting; a single row pins pos=0; null
+    // values count in n but not in positions (the aggregate's contract)
+    val df = Seq(("a", Some(5.0)), ("a", Some(5.0)), ("a", Some(5.0)),
+        ("b", Some(7.5)), ("c", None), ("c", Some(1.0)), ("c", Some(3.0)))
+      .toDF("g", "v")
+    val m = graft.ext.Quantiles.groupedExact(df, "g", "v", Seq(0.5))
+      .map { case (g, n, vs) => (g, (n, vs.head)) }.toMap
+    assert(m("a") == ((3L, Some(5.0))))
+    assert(m("b") == ((1L, Some(7.5))))
+    assert(m("c") == ((3L, Some(2.0)))) // median of {1,3} interpolates
+    // bit-parity with the aggregate on the same frame
+    val agg = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .collect().map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(Seq("a", "b", "c").forall(g => agg(g) == m(g)._2))
+  }
+
   test("histogram buckets partition the input: ids in [0,19], counts sum to |input|, lo<=hi") {
     val h = AnalyticsQueries.histogramValues(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/events.parquet").count()

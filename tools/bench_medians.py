@@ -70,6 +70,11 @@ DATA_DOMINATED = {
     # batch-vs-corpus minhash probe: real signing work on both engines
     # (r15: 1.30 s vs twin 0.68 = 1.9x on a slow-host run)
     "dedup_incremental",
+    # r16 salted-kernel / sharded-rank rewrites: quadratic pair verify
+    # (2.0x twin at 30x, was 16x) and the value-sharded grouped rank
+    # (3.3x twin at 30x, was 8x) — both carry fresh 30x curves in
+    # COVERAGE r16
+    "dedup_embedding_cosine", "binning_equidepth",
 }
 # >1.3 s rows adjudicated as floor-dominated despite their size: many small
 # per-column/per-probe jobs over ms-scale data (COVERAGE r6: similarity_ivf

@@ -441,6 +441,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
+  /** Blocked embedding near-duplicate pairs. CONTRACT: `idCol` must be
+    * an integral column (byte/short/int/long) — ids ride the native
+    * pair kernel as longs, and a string/UUID id would silently cast to
+    * null and emit garbage (0, 0) pairs. Map non-numeric ids to a
+    * surrogate long (`xxhash64`, `monotonically_increasing_id` + a
+    * lookup table) before calling; the entry check fails loud.
+    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
     // unit-normalize once per row ([[Vectors.unitized]], the ONE
@@ -475,6 +482,22 @@ object Dedup {
     */
   private[graft] def embeddingNearDupsUnit(e: DataFrame, idCol: String,
       vecCol: String, blockCol: String, minCosine: Double): DataFrame = {
+    // ids are packed into the kernel's long slots via cast("long"): a
+    // non-integral id column would cast to null row-by-row (never an
+    // analysis error) and the kernel's getLong would read 0 — garbage
+    // (0, 0) pairs instead of a loud failure. Every public entry
+    // (embeddingNearDups, semantic, SignLsh) funnels through here.
+    val idType = e.schema(idCol).dataType
+    require(idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"embedding near-dup ids ride the pair kernel as longs; " +
+      s"'$idCol' must be an integral column, got $idType — map " +
+      "string/UUID ids to a surrogate long first (a silent cast " +
+      "would null them out)")
     val spark = e.sparkSession
     val s = spark.conf.getOption("spark.graft.pairs.salts")
       .map(_.toInt).getOrElse(8)

@@ -31,6 +31,17 @@ object Quantiles {
   /** Per group: (n_rows including null values, n_vals, quantile value
     * per q — NaN-free Option, None when the group has no non-null
     * values).
+    *
+    * DRIVER-MEMORY ENVELOPE: the pass-2 histogram collects up to
+    * |groups| × min(targetSlices, distinct slices present) rows of
+    * ~40 bytes. The default `targetSlices` = 16384 is sized for
+    * LOW-cardinality groupings (≲ 10³ groups ⇒ ≲ 650 MB worst case,
+    * typically far less because empty slices are never rows); a
+    * high-cardinality group column must lower `targetSlices`
+    * proportionally (the result itself is |groups| × |qs| and
+    * driver-sized by contract, so |groups| ≫ 10⁵ is outside this
+    * helper's intended regime regardless). `sliceCap` separately
+    * bounds pass 3: no single collected slice may exceed it.
     */
   def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], targetSlices: Int = 16384,
@@ -68,7 +79,7 @@ object Quantiles {
         s
       }
       (gk, nTotal, slices.toSeq, acc)
-    }.toSeq.sortBy(_._1)
+    }.toSeq.sortBy(t => Option(t._1)) // a NULL group key sorts first, NPE-free
     // which (group, slice) pairs actually need their values?
     val wanted = scala.collection.mutable.Set.empty[(String, Long)]
     def sliceFor(slices: Seq[Slice], p: Long): Slice =
@@ -91,10 +102,19 @@ object Quantiles {
     val collected: Map[(String, Long), Array[Double]] =
       if (wanted.isEmpty) Map.empty
       else {
-        val keys = wanted.map { case (gk, h) => s"$gk|$h" }.toSeq
+        // membership by broadcast semi-join on the (group, slice) PAIR,
+        // never a string encoding: a concat_ws key lets a group value
+        // containing the separator alias another (group, slice), and
+        // concat_ws SKIPS a null group while the driver-side key spells
+        // "null" — either way the wrong slice population reaches the
+        // interpolation. `<=>` matches the null group key exactly.
+        val spark = df.sparkSession
+        import spark.implicits._
+        val w = broadcast(wanted.toSeq.toDF("_wg", "_wh"))
         df.select(g.as("g"), slice.as("h"), v.as("v"))
-          .filter(col("v").isNotNull &&
-            concat_ws("|", col("g"), col("h")).isin(keys: _*))
+          .filter(col("v").isNotNull)
+          .join(w, col("g") <=> col("_wg") && col("h") === col("_wh"),
+            "leftsemi")
           .collect()
           .groupBy(r => (r.getString(0), r.getLong(1)))
           .map { case (k, rows) => (k, rows.map(_.getDouble(2)).sorted) }

@@ -55,6 +55,15 @@ object Persisted {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-only fault-injection points (no-ops in production): the
+    * TOCTOU windows they open — a concurrent reclaimer acting between
+    * our reclaim-delete and our rename, or between our winning rename
+    * and our `_DONE` marker — are a few syscalls wide and cannot be
+    * hit deterministically from a spec without them.
+    */
+  private[graft] var testAfterReclaimDelete: () => Unit = () => ()
+  private[graft] var testBetweenRenameAndMark: () => Unit = () => ()
+
   /** CRC signature of arbitrary identity parts plus the RECURSIVE
     * data-file listings (root-relative path + size + mtime, sorted) of
     * the given table directories — file-content-change invalidates,
@@ -149,40 +158,78 @@ object Persisted {
           s"persisted build '$label' failed; staging preserved at " +
           s"$staging (reaped by the ${ttl}ms janitor TTL)", e)
       }
+      // per-build token: after winning the publish rename, the token's
+      // presence in base proves base still holds THIS build when the
+      // marker is written (a TTL reclaimer may delete base between our
+      // rename and our mark — the TOCTOU below). Underscore-prefixed,
+      // so readers' data listings never see it.
+      val token = new Path(base, s"_BUILD-${staging.getName}")
+      f.create(new Path(staging, token.getName), true).close()
+      // HDFS/local-fallback rename semantics NEST src under an
+      // existing dst directory: if a concurrent winner published (or a
+      // racing reclaimer re-created base) between our exists/delete
+      // and our rename, the staging landed INSIDE base — undo the
+      // nesting only once the winner's publish is confirmed complete
+      // (its `_DONE` lags its rename), and fall through to attach. On
+      // timeout the nested copy stays for the janitor's next sweep
+      // rather than risking a delete inside a half-published base.
+      var nestedAt: Option[Path] = None
+      def renameDetectingNest(): Boolean = {
+        var ok = f.rename(staging, base)
+        val nested = new Path(base, staging.getName)
+        if (ok && f.exists(nested)) {
+          ok = false
+          nestedAt = Some(nested)
+          if (awaitDone(f, done, publishWaitMs(spark))) {
+            f.delete(nested, true)
+            nestedAt = None
+          }
+        }
+        ok
+      }
       var won = false
       if (!f.exists(base)) {
-        won = f.rename(staging, base)
-        // HDFS/local-fallback rename semantics NEST src under an
-        // existing dst directory: if a concurrent winner published
-        // between the exists check and the rename, our staging landed
-        // INSIDE base — undo the nesting only once the winner's
-        // publish is confirmed complete (its `_DONE` lags its rename),
-        // and fall through to attach. On timeout the nested copy stays
-        // for the janitor's next sweep rather than risking a delete
-        // inside a half-published base.
-        val nested = new Path(base, staging.getName)
-        if (won && f.exists(nested)) {
-          won = false
-          if (awaitDone(f, done, publishWaitMs(spark)))
-            f.delete(nested, true)
-        }
+        won = renameDetectingNest()
       } else if (!f.exists(done) && f.getFileStatus(base)
           .getModificationTime < System.currentTimeMillis() - ttl) {
         // a base without _DONE older than the TTL is a crashed publish
         // (renamed but never marked, or a partial copy on a non-atomic
-        // rename FS): reclaim it and publish this build.
+        // rename FS): reclaim it and publish this build. The reclaim
+        // rename needs the SAME nested detection as the fresh path —
+        // a second reclaimer can re-create base between our delete and
+        // our rename.
         f.delete(base, true)
-        won = f.rename(staging, base)
+        testAfterReclaimDelete()
+        won = renameDetectingNest()
       }
       if (won) {
-        f.create(done, true).close()
+        testBetweenRenameAndMark()
+        // TOCTOU guard: a second reclaimer whose staleness check read
+        // the OLD base mtime may delete base after our rename. An
+        // unconditional create(done) would then re-create base as a
+        // directory holding only _DONE — a corrupt artifact every
+        // reader attaches. Mark only while base still carries this
+        // build's token; otherwise wait for whichever build owns base
+        // now, failing loud rather than marking.
+        if (f.exists(token)) {
+          f.create(done, true).close()
+        } else if (!awaitDone(f, done, publishWaitMs(spark))) {
+          throw new java.io.IOException(
+            s"persisted base $base was reclaimed out from under this " +
+            "build between its publish rename and its _DONE marker, " +
+            "and no concurrent publish completed within " +
+            s"${publishWaitMs(spark)}ms — failing loud instead of " +
+            "marking a base this build no longer owns")
+        }
       } else {
         if (awaitDone(f, done, publishWaitMs(spark))) {
           if (f.exists(staging)) f.delete(staging, true)
         } else throw new java.io.IOException(
           s"cannot publish persisted artifact '$label' to $base (no " +
           s"_DONE after ${publishWaitMs(spark)}ms); completed staging " +
-          s"preserved at $staging")
+          s"preserved at ${nestedAt.getOrElse(staging)}" +
+          nestedAt.map(_ => " (nested into base by the losing rename)")
+            .getOrElse(""))
       }
     }
     base.toString

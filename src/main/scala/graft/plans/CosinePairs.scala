@@ -97,10 +97,17 @@ object CosinePairs {
       var k = 0
       val dim = va.length
       while (k < dim) { d += va(k) * vb(k); k += 1 }
-      val c = round4(d)
-      if (c >= minCos) {
-        out += new GenericInternalRow(Array[Any](
-          Math.min(ida, idb), Math.max(ida, idb), c))
+      // a non-finite dot (a NaN/Inf component survived normalization)
+      // is never a near-duplicate: BigDecimal.valueOf throws on it,
+      // and one poisoned embedding must not kill the whole query —
+      // treat it as below threshold, like the joined twin whose
+      // round() yields NaN that the threshold filter drops
+      if (java.lang.Double.isFinite(d)) {
+        val c = round4(d)
+        if (c >= minCos) {
+          out += new GenericInternalRow(Array[Any](
+            Math.min(ida, idb), Math.max(ida, idb), c))
+        }
       }
     }
     if (same) {

@@ -547,12 +547,38 @@ object AnalyticsQueries {
     // Measured 30×: 4.55 s (one task per group) → see
     // ProfileBinningShapes; twin 0.57. The window form stays below as
     // the equality twin.
-    val ev = Tables.events(spark, dir)
+    equidepthBins(Tables.events(spark, dir)
       .select(col("event_type"), col("value"),
-        round(col("value") * 100).cast("long").as("cents"))
+        round(col("value") * 100).cast("long").as("cents")))
+  }
+
+  /** [[binningEquidepth]]'s sharded-rank core over any
+    * (event_type, value, cents) frame. The shard is `floor(value)`, so
+    * the offsets table is |groups| × |integer values present| — a
+    * domain-bounded, NOT corpus-bounded, driver collect. The guard
+    * below makes that bound a CONTRACT: past
+    * `spark.graft.binning.shardCap` (default 2¹⁸ entries — a few MB of
+    * offsets, which also ride the plan as a literal map) the query
+    * fails loud instead of collecting millions of offset rows; a
+    * wide-domain value column (microsecond epochs) must pre-scale or
+    * use the (min,max)-derived slicing of
+    * [[graft.ext.Quantiles.groupedExact]].
+    */
+  private[graft] def equidepthBins(evIn: DataFrame): DataFrame = {
+    val spark = evIn.sparkSession
+    val shardCap = spark.conf.getOption("spark.graft.binning.shardCap")
+      .map(_.toInt).getOrElse(1 << 18)
+    val ev = evIn
       .withColumn("_h", coalesce(floor(col("value")), lit(Long.MinValue)))
+    // take(cap+1), not collect(): same single job, but the driver
+    // fetches at most cap+1 result rows before the overflow check
     val totals = ev.groupBy(col("event_type"), col("_h"))
-      .agg(count(lit(1)).as("_c")).collect()
+      .agg(count(lit(1)).as("_c")).take(shardCap + 1)
+    require(totals.length <= shardCap,
+      s"equi-depth shard table exceeds spark.graft.binning.shardCap " +
+        s"($shardCap): the value column spans too many integer shards " +
+        "for floor(value) sharding — pre-scale the value or use " +
+        "Quantiles.groupedExact's (min,max)-derived slicing")
     val byGroup = totals.groupBy(_.getString(0))
     val offsets: Map[String, Long] = byGroup.toSeq.flatMap {
       case (g, rows) =>

@@ -382,48 +382,50 @@ object OpsQueries {
     * real violation counts, not just all-green.
     */
   def profileInclusion(spark: SparkSession, dir: String): DataFrame = {
-    def inclusion(name: String, left: DataFrame, lk: String,
-        right: DataFrame, rk: String): DataFrame = {
-      // Round-16 shape: BOTH sides ride one exchange under a side tag
-      // and the join stage disappears — orphan-ness is a property of
-      // the KEY (one _lk always meets the same _rk), so after the
-      // per-key fold a key never seen on the right simply has
-      // _inref = 0. This also deletes the r15 broadcast build (a
-      // driver collect of a fact-sized key set — orders at 30× was
-      // 4.5M keys) and the 18M row-grain hash probes; the earlier
-      // two-phase form replaced the EXPAND-3× twin of distinct
-      // aggregates. Measured 30× A/B (ProfileInclusionShapes,
-      // equality-pinned): tagged 3.4 s vs key-grain join 4.4 vs r15
-      // broadcast 6.5. Right-side nulls are filtered to preserve the
-      // join's null-never-matches semantics; null probe keys still
-      // count as orphan rows, not keys.
-      left.select(col(lk).as("k"), lit(1L).as("n"), lit(0).as("r"))
-        .unionAll(right.select(col(rk).as("k"), lit(0L).as("n"),
-          lit(1).as("r")).filter(col("k").isNotNull))
-        .groupBy(col("k"))
-        .agg(sum(col("n")).as("_n"), max(col("r")).as("_inref"))
-        .agg(sum(col("_n")).as("n_rows"),
-          count(when(col("_n") > 0 && col("k").isNotNull, 1)).as("n_keys"),
-          sum(when(col("_inref") === 0, col("_n")).otherwise(0L))
-            .as("n_orphan_rows"),
-          count(when(col("_inref") === 0 && col("_n") > 0 &&
-            col("k").isNotNull, 1)).as("n_orphan_keys"))
-        .select(lit(name).as("dependency"), col("n_rows"), col("n_keys"),
-          col("n_orphan_rows"), col("n_orphan_keys"),
-          (col("n_orphan_rows") === 0).as("is_fk"))
+    // Round-17 shape: ALL FOUR dependency pairs ride ONE key-grain
+    // exchange under a (pair, side) tag. The r16 form was already
+    // join-free (both sides of a pair unioned under a side tag, so
+    // orphan-ness falls out of the per-key fold — a key never seen on
+    // the right has _inref = 0, and the r15 driver-side broadcast
+    // build of a fact-sized key set is gone), but it still ran one
+    // tagged exchange + one scalar fold PER PAIR: four key-grain
+    // exchanges over shared fact tables. Tagging rows with the pair id
+    // as well folds all four in one exchange keyed (p, k) and one
+    // pair-grain second fold — same shuffle bytes, one stage cadence.
+    // Null semantics unchanged from the join this family replaced:
+    // right-side nulls are filtered (null never matches), null probe
+    // keys count as orphan rows, never as keys. Measured 30× A/B
+    // (ProfileInclusionShapes, equality-pinned — see COVERAGE).
+    def leg(p: Int, df: DataFrame, k: String, ref: Boolean): DataFrame = {
+      val keyed = df.select(lit(p).as("p"), col(k).cast("long").as("k"),
+        lit(if (ref) 0L else 1L).as("n"), lit(if (ref) 1 else 0).as("r"))
+      if (ref) keyed.filter(col("k").isNotNull) else keyed
     }
-    inclusion("lineitem.l_orderkey->orders.o_orderkey",
-        Tables.lineitem(spark, dir), "l_orderkey",
-        Tables.orders(spark, dir), "o_orderkey")
-      .unionByName(inclusion("orders.o_custkey->customer.c_custkey",
-        Tables.orders(spark, dir), "o_custkey",
-        Tables.customer(spark, dir), "c_custkey"))
-      .unionByName(inclusion("lineitem.l_partkey->part.p_partkey",
-        Tables.lineitem(spark, dir), "l_partkey",
-        Tables.part(spark, dir), "p_partkey"))
-      .unionByName(inclusion("events.user_id->supplier.s_suppkey",
-        Tables.events(spark, dir), "user_id",
-        Tables.supplier(spark, dir), "s_suppkey"))
+    val names = Map(
+      1 -> "lineitem.l_orderkey->orders.o_orderkey",
+      2 -> "orders.o_custkey->customer.c_custkey",
+      3 -> "lineitem.l_partkey->part.p_partkey",
+      4 -> "events.user_id->supplier.s_suppkey")
+    leg(1, Tables.lineitem(spark, dir), "l_orderkey", ref = false)
+      .unionAll(leg(1, Tables.orders(spark, dir), "o_orderkey", ref = true))
+      .unionAll(leg(2, Tables.orders(spark, dir), "o_custkey", ref = false))
+      .unionAll(leg(2, Tables.customer(spark, dir), "c_custkey", ref = true))
+      .unionAll(leg(3, Tables.lineitem(spark, dir), "l_partkey", ref = false))
+      .unionAll(leg(3, Tables.part(spark, dir), "p_partkey", ref = true))
+      .unionAll(leg(4, Tables.events(spark, dir), "user_id", ref = false))
+      .unionAll(leg(4, Tables.supplier(spark, dir), "s_suppkey", ref = true))
+      .groupBy(col("p"), col("k"))
+      .agg(sum(col("n")).as("_n"), max(col("r")).as("_inref"))
+      .groupBy(col("p"))
+      .agg(sum(col("_n")).as("n_rows"),
+        count(when(col("_n") > 0 && col("k").isNotNull, 1)).as("n_keys"),
+        sum(when(col("_inref") === 0, col("_n")).otherwise(0L))
+          .as("n_orphan_rows"),
+        count(when(col("_inref") === 0 && col("_n") > 0 &&
+          col("k").isNotNull, 1)).as("n_orphan_keys"))
+      .select(element_at(typedlit(names), col("p")).as("dependency"),
+        col("n_rows"), col("n_keys"), col("n_orphan_rows"),
+        col("n_orphan_keys"), (col("n_orphan_rows") === 0).as("is_fk"))
       .orderBy("dependency")
   }
 

@@ -169,6 +169,79 @@ class PersistedSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.persisted.root")
   }
 
+  test("a base reclaimed between rename and mark fails loud, never a _DONE-only husk") {
+    // the r16 TOCTOU: two builders pass the staleness check; B deletes
+    // base AFTER A's publish rename but BEFORE A's _DONE. A blind
+    // f.create(done) would re-create base as a directory holding only
+    // _DONE — a corrupt artifact every reader attaches. The token
+    // check must fail loud instead.
+    val artRoot = Files.createTempDirectory("graft-proot7").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.publishWaitMs", "200")
+    val base = Paths.get(s"$artRoot/spec-toctou-s1")
+    Persisted.testBetweenRenameAndMark = () => {
+      // simulate the concurrent reclaimer's delete landing post-rename
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(c => rm(c))
+        Files.deleteIfExists(p)
+      }
+      rm(base)
+    }
+    try {
+      val e = intercept[java.io.IOException] {
+        Persisted.ensure(spark, "spec-toctou", "s1") { staging =>
+          write(s"$staging/data.bin", 8)
+        }
+      }
+      assert(e.getMessage.contains("reclaimed out from under"),
+        s"must name the reclaim race: ${e.getMessage}")
+      assert(!Files.exists(base.resolve("_DONE")),
+        "no _DONE may be written over a base this build no longer owns")
+    } finally {
+      Persisted.testBetweenRenameAndMark = () => ()
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.publishWaitMs")
+    }
+  }
+
+  test("a reclaim rename that nests (base re-created by a racer) is detected, not marked") {
+    // second half of the r16 TOCTOU: our reclaim deleted the stale
+    // base, a racing builder re-created it before our rename, so the
+    // rename NESTED our staging inside base. The r16 reclaim branch
+    // renamed blind and would have claimed the win; the detection must
+    // refuse, and the loud timeout error must name the NESTED path
+    // (the old message claimed the original staging path, which no
+    // longer exists).
+    val artRoot = Files.createTempDirectory("graft-proot8").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.staleMs", "0")
+    spark.conf.set("spark.graft.persisted.publishWaitMs", "200")
+    val base = Paths.get(s"$artRoot/spec-nest-s1")
+    try {
+      write(s"$artRoot/spec-nest-s1/crash.bin", 4) // stale crashed base
+      Thread.sleep(20)
+      Persisted.testAfterReclaimDelete = () =>
+        // the racer's own rename lands first: base exists again, with
+        // the racer's (unmarked) build inside
+        write(s"$base/racer.bin", 8)
+      val e = intercept[java.io.IOException] {
+        Persisted.ensure(spark, "spec-nest", "s1") { staging =>
+          write(s"$staging/data.bin", 8)
+        }
+      }
+      assert(e.getMessage.contains("nested into base"),
+        s"must report the actual preserved (nested) path: ${e.getMessage}")
+      assert(!Files.exists(base.resolve("_DONE")),
+        "a nested-rename loser must never mark the racer's base done")
+    } finally {
+      Persisted.testAfterReclaimDelete = () => ()
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.staleMs")
+      spark.conf.unset("spark.graft.persisted.publishWaitMs")
+    }
+  }
+
   test("janitor sweeps stale orphaned stagings, keeps live ones") {
     val artRoot = Files.createTempDirectory("graft-proot5").toString
     spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")

@@ -36,6 +36,37 @@ class RobustStatsSpec extends SparkSpec {
     assert(Seq("a", "b", "c").forall(g => agg(g) == m(g)._2))
   }
 
+  test("quantile selection: |-bearing, 'null'-string and NULL group keys collect exactly") {
+    // the r16 slice filter matched on concat_ws("|", g, h): a group
+    // value containing the separator could alias another (group,
+    // slice) string, and concat_ws SKIPS a null group while the
+    // driver-built key spells "null" — so a NULL group threw
+    // NoSuchElementException and a literal "null" group could collect
+    // the null group's slices. The struct semi-join must resolve all
+    // three exactly; targetSlices=2 forces wide multi-value slices so
+    // every group actually COLLECTS (no min==max shortcut).
+    import spark.implicits._
+    val rows = for {
+      (g, base) <- Seq("a|7" -> 0.0, "a" -> 100.0, "null" -> 200.0,
+        null.asInstanceOf[String] -> 300.0)
+      i <- 1 to 9
+    } yield (g, base + i * (if (g == null) 1.3 else 1.1))
+    val df = rows.toDF("g", "v")
+    val got = graft.ext.Quantiles.groupedExact(df, "g", "v",
+        Seq(0.25, 0.5, 0.9), targetSlices = 2)
+      .map { case (g, n, vs) => (g, (n, vs.map(_.get))) }.toMap
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.9D))").as("p"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(2), r.getSeq[Double](1).toSeq))).toMap
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { g =>
+      assert(got(g) == want(g), s"group '$g': ${got(g)} vs ${want(g)}")
+    }
+  }
+
   test("histogram buckets partition the input: ids in [0,19], counts sum to |input|, lo<=hi") {
     val h = AnalyticsQueries.histogramValues(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/events.parquet").count()
@@ -59,6 +90,41 @@ class RobustStatsSpec extends SparkSpec {
         .as("bucket"))
       .distinct().collect()
     assert(b.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("equi-depth binning: shard-table cap fails loud on a wide value domain") {
+    // the sharded-rank rewrite's offsets collect is bounded by the
+    // VALUE DOMAIN (|groups| × integer values present), not the
+    // corpus — a microsecond-epoch value column must hit the guard,
+    // never silently collect millions of offset rows into a plan
+    // literal
+    import spark.implicits._
+    val wide = (1 to 40).map(i => ("a", i * 1.0e6, i.toLong))
+      .toDF("event_type", "value", "cents")
+    spark.conf.set("spark.graft.binning.shardCap", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        AnalyticsQueries.equidepthBins(wide).collect()
+      }
+      assert(e.getMessage.contains("shardCap"), e.getMessage)
+      // the same frame passes with the cap off — and exactly matches
+      // the one-window-per-group twin (tie semantics included)
+      spark.conf.unset("spark.graft.binning.shardCap")
+      val ties = (1 to 30).map(i => ("a", (i % 7) * 3.5, i.toLong)) ++
+        (1 to 10).map(i => ("b", 1.0, i.toLong)) // all-ties group
+      val tdf = ties.toDF("event_type", "value", "cents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      val twin = tdf
+        .withColumn("bin",
+          least(floor(percent_rank().over(w) * 4), lit(3.0)).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          sum(col("cents")).as("bin_cents"))
+      val got = AnalyticsQueries.equidepthBins(tdf)
+      assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+    } finally spark.conf.unset("spark.graft.binning.shardCap")
   }
 
   test("MAD outliers: rate in [0,1], mad >= 0, and the 3*MAD rule bounds the count") {

@@ -30,6 +30,36 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pairs.salts")
   }
 
+  test("embedding near-dups: a poisoned (NaN) embedding is dropped, not fatal") {
+    import spark.implicits._
+    // one NaN component used to reach the kernel's BigDecimal rounding
+    // and kill the whole query with NumberFormatException; it must
+    // behave like the joined twin — the poisoned row pairs with
+    // nothing, every clean pair survives
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(Float.NaN, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDups(rows, "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("embedding near-dups reject non-integral id columns loudly") {
+    import spark.implicits._
+    // ids ride the pair kernel as longs; a string id would cast to
+    // null silently and emit garbage (0, 0) pairs
+    val rows = Seq(("u-1", Seq(1.0f, 0.0f), 0), ("u-2", Seq(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(rows, "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.5)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("sign-LSH near-dups: salted kernel equals the bucket self-join") {
     val nd = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
       bits = 4, minCosine = 0.25)

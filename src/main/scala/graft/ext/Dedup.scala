@@ -476,6 +476,54 @@ object Dedup {
     embeddingNearDupsUnit(e, idCol, "_u", blockCol, minCosine)
   }
 
+  /** Add a CHECKED xxhash64 surrogate long id `out` for a
+    * non-integral id column — the documented path onto the integral-id
+    * contract of [[embeddingNearDupsUnit]] (and any other long-keyed
+    * kernel). A 64-bit birthday collision is ~n²/2⁶⁵ — vanishing below
+    * 10⁹ distinct ids but REAL at 10¹⁰ (≈3 expected), hence checked,
+    * never assumed: one two-column scalar fold compares distinct
+    * source ids to distinct surrogates and fails loud on any
+    * collision. A corpus that trips the check needs a dense-id lookup
+    * (the `assign_dense_ids` zipWithIndex pattern) instead of a hash.
+    */
+  def withSurrogateIds(df: DataFrame, idCol: String,
+      out: String): DataFrame = {
+    val keyed = df.withColumn(out, xxhash64(col(idCol)))
+    val c = keyed.agg(count_distinct(col(idCol)).as("di"),
+      count_distinct(col(out)).as("ds")).collect().head
+    require(c.getLong(0) == c.getLong(1),
+      s"xxhash64 surrogate collision: ${c.getLong(0)} distinct " +
+        s"'$idCol' values map to ${c.getLong(1)} distinct surrogates " +
+        "— two source ids share a 64-bit hash; use a dense-id lookup " +
+        "(assign_dense_ids) instead of a hash surrogate")
+    keyed
+  }
+
+  /** [[embeddingNearDups]] for a corpus whose id column is NOT
+    * integral (string/UUID/decimal): ids ride the native kernel as
+    * checked xxhash64 surrogates ([[withSurrogateIds]]) and the
+    * threshold-bounded pair stream joins back to source ids — two
+    * pair-grain joins against the (surrogate, id) lookup, never a
+    * corpus-grain reshuffle of the vectors. Output pairs are
+    * normalized so `id_a < id_b` in the SOURCE id's own ordering
+    * (the surrogate order is hash noise).
+    */
+  def embeddingNearDupsSurrogate(df: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, minCosine: Double): DataFrame = {
+    val keyed = withSurrogateIds(df, idCol, "_sid")
+    val pairs = embeddingNearDups(keyed, "_sid", vecCol, blockCol,
+      minCosine)
+    val look = keyed.select(col("_sid"), col(idCol)).distinct()
+    val la = look.select(col("_sid").as("_ka"), col(idCol).as("_ia"))
+    val lb = look.select(col("_sid").as("_kb"), col(idCol).as("_ib"))
+    pairs.join(la, col("id_a") === col("_ka"))
+      .join(lb, col("id_b") === col("_kb"))
+      .select(col(blockCol),
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("cosine"))
+  }
+
   /** [[embeddingNearDups]] on ALREADY unit-normalized double vectors —
     * the salted decomposition + grouped kernel itself. Ids must be
     * numeric (they ride the kernel as longs).

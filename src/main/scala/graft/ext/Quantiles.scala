@@ -32,20 +32,22 @@ object Quantiles {
     * per q — NaN-free Option, None when the group has no non-null
     * values).
     *
-    * DRIVER-MEMORY ENVELOPE: the pass-2 histogram collects up to
-    * |groups| × min(targetSlices, distinct slices present) rows of
-    * ~40 bytes. The default `targetSlices` = 16384 is sized for
-    * LOW-cardinality groupings (≲ 10³ groups ⇒ ≲ 650 MB worst case,
-    * typically far less because empty slices are never rows); a
-    * high-cardinality group column must lower `targetSlices`
-    * proportionally (the result itself is |groups| × |qs| and
-    * driver-sized by contract, so |groups| ≫ 10⁵ is outside this
-    * helper's intended regime regardless). `sliceCap` separately
+    * DRIVER-MEMORY ENVELOPE — ENFORCED: the pass-2 histogram holds up
+    * to |groups| × min(targetSlices, distinct slices present) rows of
+    * ~40 bytes, and `histCap` (default 2²¹ rows ≈ 85 MB) makes that an
+    * enforced contract, not a comment: the driver fetches at most
+    * `histCap + 1` rows (same single job) and fails loud past the cap
+    * instead of an unbounded `collect()` OOM. The default
+    * `targetSlices` = 16384 is sized for LOW-cardinality groupings
+    * (≲ 10³ groups); a high-cardinality group column must lower
+    * `targetSlices` proportionally (the result itself is |groups| ×
+    * |qs| and driver-sized by contract, so |groups| ≫ 10⁵ is outside
+    * this helper's intended regime regardless). `sliceCap` separately
     * bounds pass 3: no single collected slice may exceed it.
     */
   def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], targetSlices: Int = 16384,
-      sliceCap: Long = 8L * 1000 * 1000):
+      sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
       Seq[(String, Long, Seq[Option[Double]])] = {
     val v = col(valueCol).cast("double")
     val g = col(groupCol).cast("string")
@@ -61,7 +63,12 @@ object Quantiles {
     val hist = df
       .groupBy(g.as("g"), coalesce(slice, lit(Long.MinValue)).as("h"))
       .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
-      .collect()
+      .take(histCap + 1)
+    require(hist.length <= histCap,
+      s"grouped-quantile histogram exceeds histCap ($histCap rows): " +
+        s"|groups| × targetSlices ($targetSlices) is past the driver " +
+        "envelope — lower targetSlices, or this grouping is too " +
+        "high-cardinality for a driver-sized quantile table")
     val perG = hist.groupBy(_.getString(0))
     // locate the slice holding 0-based order statistic p: cumulative
     // counts over h-ascending non-null slices

@@ -63,6 +63,7 @@ object Persisted {
     */
   private[graft] var testAfterReclaimDelete: () => Unit = () => ()
   private[graft] var testBetweenRenameAndMark: () => Unit = () => ()
+  private[graft] var testBetweenTokenCheckAndMark: () => Unit = () => ()
 
   /** CRC signature of arbitrary identity parts plus the RECURSIVE
     * data-file listings (root-relative path + size + mtime, sorted) of
@@ -212,7 +213,27 @@ object Persisted {
         // build's token; otherwise wait for whichever build owns base
         // now, failing loud rather than marking.
         if (f.exists(token)) {
+          testBetweenTokenCheckAndMark()
           f.create(done, true).close()
+          // Post-write verification: the token check above narrows but
+          // does not close the window — a reclaimer can delete base
+          // between exists(token) and create(done), and the create then
+          // re-creates base as a `_DONE`-only husk. Re-checking the
+          // token AFTER the marker write converts that residual window
+          // into a detected failure: if the token vanished, this
+          // build's data is gone, so retract the marker (the husk goes
+          // back to unpublished and the janitor reaps it) and fail
+          // loud instead of letting readers attach an empty base.
+          if (!f.exists(token)) {
+            try f.delete(done, false)
+            catch { case _: java.io.IOException => }
+            throw new java.io.IOException(
+              s"persisted base $base was reclaimed while this build " +
+              "wrote its _DONE marker — the marker has been retracted " +
+              "and the husk left unpublished; the build's data was " +
+              "deleted by a concurrent TTL reclaim, so this attach " +
+              "fails loud rather than serving an empty artifact")
+          }
         } else if (!awaitDone(f, done, publishWaitMs(spark))) {
           throw new java.io.IOException(
             s"persisted base $base was reclaimed out from under this " +

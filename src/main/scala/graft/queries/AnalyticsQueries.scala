@@ -562,7 +562,10 @@ object AnalyticsQueries {
     * fails loud instead of collecting millions of offset rows; a
     * wide-domain value column (microsecond epochs) must pre-scale or
     * use the (min,max)-derived slicing of
-    * [[graft.ext.Quantiles.groupedExact]].
+    * [[graft.ext.Quantiles.groupedExact]]. Offsets reach tasks via a
+    * broadcast join on the (group, shard) pair (null-safe on the
+    * group), so NULL and separator-bearing group values bin exactly
+    * and the plan carries no literal offset map.
     */
   private[graft] def equidepthBins(evIn: DataFrame): DataFrame = {
     val spark = evIn.sparkSession
@@ -579,21 +582,30 @@ object AnalyticsQueries {
         s"($shardCap): the value column spans too many integer shards " +
         "for floor(value) sharding — pre-scale the value or use " +
         "Quantiles.groupedExact's (min,max)-derived slicing")
-    val byGroup = totals.groupBy(_.getString(0))
-    val offsets: Map[String, Long] = byGroup.toSeq.flatMap {
-      case (g, rows) =>
+    // offsets reach the executors via a broadcast join on the
+    // (group, shard) PAIR — never a string-encoded key: a concat_ws
+    // key lets a group value containing the separator alias another
+    // (group, shard), and concat_ws SKIPS a null group while the
+    // driver-side key spells "null" — either way the wrong offset (or
+    // a null rank) reaches the binning (the same aliasing defect
+    // Quantiles.groupedExact fixed in r17). `<=>` matches a NULL
+    // group exactly; a broadcast relation also beats the former
+    // typedlit literal map, which rode every task closure at up to
+    // multi-MB size.
+    val offRows: Seq[(String, Long, Long, Long)] =
+      totals.groupBy(_.getString(0)).toSeq.flatMap { case (g, rows) =>
+        val n = rows.map(_.getLong(2)).sum
         var acc = 0L
         rows.sortBy(_.getLong(1)).toSeq.map { r =>
-          val o = (s"$g|${r.getLong(1)}", acc); acc += r.getLong(2); o
+          val t = (g, r.getLong(1), acc, n); acc += r.getLong(2); t
         }
-    }.toMap
-    val ns: Map[String, Long] =
-      byGroup.view.mapValues(_.map(_.getLong(2)).sum).toMap
+      }
+    import spark.implicits._
+    val off = broadcast(offRows.toDF("_og", "_oh", "_off", "_n"))
     val w = Window.partitionBy(col("event_type"), col("_h"))
       .orderBy(col("value"))
-    ev.withColumn("_r", rank().over(w) + element_at(typedlit(offsets),
-        concat_ws("|", col("event_type"), col("_h"))))
-      .withColumn("_n", element_at(typedlit(ns), col("event_type")))
+    ev.join(off, col("event_type") <=> col("_og") && col("_h") === col("_oh"))
+      .withColumn("_r", rank().over(w) + col("_off"))
       .withColumn("bin", when(col("_n") === 1, lit(0L)).otherwise(
         least(floor((col("_r") - 1).cast("double") /
           (col("_n") - 1).cast("double") * 4), lit(3.0)).cast("long")))

@@ -381,6 +381,28 @@ object OpsQueries {
     * deliberately-bad candidate (events.user_id → supplier) shows
     * real violation counts, not just all-green.
     */
+  /** Loud integral-key contract for [[profileInclusion]]'s unioned
+    * legs: every leg casts its key to `long` so all four pairs share
+    * one union schema — lossless for integral keys, but a string/UUID/
+    * decimal key would cast to NULL silently, turning every probe row
+    * into an orphan and dropping every reference key (the same
+    * silent-cast hazard the embedding pair kernel fails loud on). A
+    * non-integral candidate key must map through a surrogate integral
+    * id first (e.g. [[graft.ext.Dedup.withSurrogateIds]]).
+    */
+  private[graft] def inclusionKey(df: DataFrame, k: String): Column = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(k).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(dt),
+      s"profileInclusion key '$k' has type ${dt.simpleString} — the " +
+      "union leg casts keys to long, and a non-integral key would " +
+      "cast to NULL silently, counting every probe row as an orphan " +
+      "and dropping reference keys; map it to a surrogate integral " +
+      "id first")
+    col(k).cast("long")
+  }
+
   def profileInclusion(spark: SparkSession, dir: String): DataFrame = {
     // Round-17 shape: ALL FOUR dependency pairs ride ONE key-grain
     // exchange under a (pair, side) tag. The r16 form was already
@@ -397,7 +419,7 @@ object OpsQueries {
     // keys count as orphan rows, never as keys. Measured 30× A/B
     // (ProfileInclusionShapes, equality-pinned — see COVERAGE).
     def leg(p: Int, df: DataFrame, k: String, ref: Boolean): DataFrame = {
-      val keyed = df.select(lit(p).as("p"), col(k).cast("long").as("k"),
+      val keyed = df.select(lit(p).as("p"), inclusionKey(df, k).as("k"),
         lit(if (ref) 0L else 1L).as("n"), lit(if (ref) 1 else 0).as("r"))
       if (ref) keyed.filter(col("k").isNotNull) else keyed
     }

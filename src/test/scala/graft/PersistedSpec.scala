@@ -242,6 +242,98 @@ class PersistedSpec extends SparkSpec {
     }
   }
 
+  test("a reclaim landing mid-mark is detected post-write; the marker is retracted") {
+    // the residual window the r17 token guard left open: the reclaimer
+    // deletes base AFTER our exists(token) check but BEFORE our
+    // create(done) — the create then re-creates base as a _DONE-only
+    // husk. The post-write verification must re-check the token,
+    // retract the marker and fail loud; no husk may stay attachable.
+    val artRoot = Files.createTempDirectory("graft-proot9").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.publishWaitMs", "200")
+    val base = Paths.get(s"$artRoot/spec-midmark-s1")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(c => rm(c))
+      Files.deleteIfExists(p)
+    }
+    Persisted.testBetweenTokenCheckAndMark = () => rm(base)
+    try {
+      val e = intercept[java.io.IOException] {
+        Persisted.ensure(spark, "spec-midmark", "s1") { staging =>
+          write(s"$staging/data.bin", 8)
+        }
+      }
+      assert(e.getMessage.contains("retracted"),
+        s"must report the retracted marker: ${e.getMessage}")
+      assert(!Files.exists(base.resolve("_DONE")),
+        "the husk's _DONE must be retracted, never left attachable")
+    } finally {
+      Persisted.testBetweenTokenCheckAndMark = () => ()
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.publishWaitMs")
+    }
+  }
+
+  test("stress: builders racing a TTL reclaim converge to one valid artifact") {
+    // N builders over a TTL-expired crashed base, with the janitor and
+    // the reclaim path live (staleMs shorter than a build, so racers
+    // genuinely reclaim each other mid-publish). Invariants: every
+    // failure is the loud IOException kind; every success hands back
+    // the one base path; the end state never shows _DONE without data
+    // (the husk); and an uncontended call afterwards converges to a
+    // valid marked artifact.
+    val artRoot = Files.createTempDirectory("graft-proot10").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.staleMs", "40")
+    spark.conf.set("spark.graft.persisted.publishWaitMs", "2000")
+    val base = Paths.get(s"$artRoot/spec-stress-s1")
+    try {
+      write(s"$artRoot/spec-stress-s1/crash.bin", 4) // TTL-expired husk
+      Thread.sleep(60)
+      val successes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          start.await()
+          try successes.add(Persisted.ensure(spark, "spec-stress", "s1") {
+            staging =>
+              Thread.sleep(30 + i * 7) // outlive the TTL, stagger racers
+              write(s"$staging/data.bin", 8)
+          }) catch { case t: Throwable => errors.add(t) }
+        }, s"stress-$i")
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(30000))
+      assert(threads.forall(!_.isAlive), "stress threads must terminate")
+      errors.forEach { t =>
+        assert(t.isInstanceOf[java.io.IOException],
+          s"every racer failure must be the loud kind, got: $t")
+      }
+      successes.forEach { d =>
+        assert(d == s"file:$base", s"success must name the one base: $d")
+      }
+      // end-state husk check: _DONE implies data
+      if (Files.exists(base.resolve("_DONE")))
+        assert(Files.exists(base.resolve("data.bin")),
+          "_DONE without data files — a corrupt husk survived the race")
+      // convergence: once contention ends (and any unmarked leftover
+      // ages past the TTL), one more call attaches or rebuilds valid
+      Thread.sleep(60)
+      val fin = Persisted.ensure(spark, "spec-stress", "s1") { staging =>
+        write(s"$staging/data.bin", 8)
+      }
+      val fp = Paths.get(fin.stripPrefix("file:"))
+      assert(Files.exists(fp.resolve("_DONE")) &&
+        Files.exists(fp.resolve("data.bin")),
+        s"final state must be a marked, data-carrying artifact: $fin")
+    } finally {
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.staleMs")
+      spark.conf.unset("spark.graft.persisted.publishWaitMs")
+    }
+  }
+
   test("janitor sweeps stale orphaned stagings, keeps live ones") {
     val artRoot = Files.createTempDirectory("graft-proot5").toString
     spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")

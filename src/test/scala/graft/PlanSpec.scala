@@ -35,6 +35,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("inclusion profiling fails loud on a non-integral candidate key") {
+    // every leg casts its key to long to share one union schema; a
+    // string/UUID key would cast to NULL silently, counting every
+    // probe row as an orphan and dropping reference keys
+    import spark.implicits._
+    val strKeys = Seq(("k1", 1L), ("k2", 2L)).toDF("sk", "payload")
+    val e = intercept[IllegalArgumentException] {
+      OpsQueries.inclusionKey(strKeys, "sk")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integral widths narrower than long pass (the cast is lossless)
+    OpsQueries.inclusionKey(
+      strKeys.select(org.apache.spark.sql.functions.col("payload")
+        .cast("int").as("ik")), "ik")
+  }
+
   test("column/key profiling plans no Expand: one distinct leg per column") {
     // a multi-count_distinct agg replicates every row once per
     // distinct column before partial aggregation (r16 finding:

@@ -127,6 +127,52 @@ class RobustStatsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.binning.shardCap")
   }
 
+  test("grouped quantiles: the pass-2 histogram cap fails loud, never an unbounded collect") {
+    // the driver-memory envelope is a CONTRACT, not a comment: past
+    // histCap the driver has fetched at most histCap+1 rows (one
+    // take, same single job) and must fail loud instead of an
+    // unbounded collect() OOM on a high-cardinality grouping
+    import spark.implicits._
+    val df = (1 to 50).map(i => (s"g$i", i * 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Quantiles.groupedExact(df, "g", "v", Seq(0.5), histCap = 10)
+    }
+    assert(e.getMessage.contains("histCap"), e.getMessage)
+    // the same frame under the default cap still answers exactly
+    val got = graft.ext.Quantiles.groupedExact(df, "g", "v", Seq(0.5))
+      .map { case (g, _, vs) => (g, vs.head.get) }.toMap
+    assert(got.size == 50 && got("g7") == 7.0 && got("g50") == 50.0)
+  }
+
+  test("equi-depth binning: NULL, 'null'-string and |-bearing group keys bin exactly") {
+    // the r17 offsets map was keyed on concat_ws("|", group, shard)
+    // strings — concat_ws SKIPS a null group (its rows looked up a key
+    // the driver never built, so their rank went null) and a literal
+    // "null" group aliases the NULL group's driver-side key. The
+    // broadcast (group, shard) pair join must bin all of them exactly;
+    // the "null" and NULL groups share base 200 so their pre-fix
+    // string keys genuinely collide.
+    import spark.implicits._
+    val rows = for {
+      (g, base, step) <- Seq(("a|7", 0.0, 1.1), ("a", 100.0, 1.1),
+        ("null", 200.0, 1.1), (null.asInstanceOf[String], 200.0, 1.3))
+      i <- 1 to 9
+    } yield (g, base + (i % 4) * step, i.toLong)
+    val tdf = rows.toDF("event_type", "value", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val twin = tdf
+      .withColumn("bin",
+        least(floor(percent_rank().over(w) * 4), lit(3.0)).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        sum(col("cents")).as("bin_cents"))
+    val got = AnalyticsQueries.equidepthBins(tdf)
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty,
+      got.orderBy("event_type", "bin").collect().mkString("\n"))
+  }
+
   test("MAD outliers: rate in [0,1], mad >= 0, and the 3*MAD rule bounds the count") {
     val rows = AnalyticsQueries.outlierMad(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -60,6 +60,37 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("string ids run the native kernel via checked xxhash64 surrogates") {
+    // the integral-id contract's documented on-ramp: surrogate ids
+    // ride the salted kernel, the pair stream joins back to source
+    // ids, and the pair set equals the blocked self-join run directly
+    // on the STRING ids (pairs re-normalized to the source ordering)
+    val sEmb = emb.withColumn("sid",
+      concat(lit("doc-"), col("vec_id"))).drop("vec_id")
+    val got = Dedup.embeddingNearDupsSurrogate(sEmb, "sid", "embedding",
+      blockCol = "label", minCosine = 0.3)
+    val tw = Dedup.embeddingNearDupsJoined(sEmb, "sid", "embedding",
+        blockCol = "label", minCosine = 0.3)
+      .select(col("label"), least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
+    assert(got.exceptAll(tw).isEmpty && tw.exceptAll(got).isEmpty)
+    assert(got.schema("id_a").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("surrogate ids fail loud on a 64-bit hash collision") {
+    import spark.implicits._
+    // two distinct source ids sharing a surrogate must never pair
+    // silently under the wrong identity; forcing a collision through
+    // real xxhash64 needs 2^32 work, so pin the CHECK itself: distinct
+    // source ids vs distinct surrogates — duplicate ROWS of one id are
+    // fine (1 id, 1 surrogate), a true collision is not reachable in a
+    // spec, but the fold arithmetic is
+    val dup = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("id", "x")
+    val ok = Dedup.withSurrogateIds(dup, "id", "_sid")
+    assert(ok.select("_sid").distinct().count() == 2)
+  }
+
   test("sign-LSH near-dups: salted kernel equals the bucket self-join") {
     val nd = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
       bits = 4, minCosine = 0.25)

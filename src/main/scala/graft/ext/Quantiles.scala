@@ -3,8 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Exact grouped quantiles by distributed order-statistic SELECTION —
-  * the scale-safe replacement for the `percentile` aggregate, whose
+/** Exact grouped order statistics by distributed SELECTION — the
+  * scale-safe replacement for the `percentile` aggregate, whose
   * buffer holds every distinct value of a group in one task's memory
   * and whose final merge+sort runs one task per group (the fixed-key
   * parallelism cap, again).
@@ -13,24 +13,28 @@ import org.apache.spark.sql.functions._
   *  1. global (min, max) of the value — fixes a slice width so the
   *     histogram is ≤ `targetSlices` rows per group BY CONSTRUCTION;
   *  2. (group, slice) histogram with per-slice count/min/max — the
-  *     driver locates, per (group, quantile), which slice holds each
-  *     of the two order statistics `floor/ceil(q·(n−1))`; a slice
-  *     whose min == max resolves immediately (degenerate
+  *     driver locates, per wanted order statistic, which slice holds
+  *     it; a slice whose min == max resolves immediately (degenerate
   *     distributions never collect);
   *  3. collect ONLY the needed slices' values (expected |group|/
   *     slices rows each) and read the order statistics off the
   *     sorted slice.
   *
-  * Interpolation replicates Spark's `Percentile.getPercentile`
-  * bit-for-bit: `pos = q·(n−1)`, `(higher−pos)·v_lo + (pos−lower)·v_hi`,
-  * null values excluded from positions. The result is driver-sized
-  * (|groups| × |qs|), like the aggregate it replaces.
+  * [[groupedOrderStats]] is the shared core (exact values at
+  * arbitrary 0-based positions); [[groupedExact]] adds the
+  * `Percentile.getPercentile`-bit-parity interpolation on top;
+  * `graft.queries.AnalyticsQueries.equidepthBins` reads its three
+  * bin-boundary statistics from the same core.
   */
 object Quantiles {
 
-  /** Per group: (n_rows including null values, n_vals, quantile value
-    * per q — NaN-free Option, None when the group has no non-null
-    * values).
+  /** Per-group exact order-statistic VALUES at caller-chosen 0-based
+    * positions into the group's ascending NON-NULL values.
+    * `positionsFor(nTotal, nVals)` names the positions a group needs
+    * (each must lie in `[0, nVals)`; duplicates are fine). Returns,
+    * per group, NULL group key first: (group key cast to string,
+    * nTotal rows incl. null values, nVals non-null values,
+    * position → value map over exactly the requested positions).
     *
     * DRIVER-MEMORY ENVELOPE — ENFORCED: the pass-2 histogram holds up
     * to |groups| × min(targetSlices, distinct slices present) rows of
@@ -40,22 +44,25 @@ object Quantiles {
     * instead of an unbounded `collect()` OOM. The default
     * `targetSlices` = 16384 is sized for LOW-cardinality groupings
     * (≲ 10³ groups); a high-cardinality group column must lower
-    * `targetSlices` proportionally (the result itself is |groups| ×
-    * |qs| and driver-sized by contract, so |groups| ≫ 10⁵ is outside
-    * this helper's intended regime regardless). `sliceCap` separately
-    * bounds pass 3: no single collected slice may exceed it.
+    * `targetSlices` proportionally (the result itself is
+    * group-grain and driver-sized by contract, so |groups| ≫ 10⁵ is
+    * outside this helper's intended regime regardless). `sliceCap`
+    * separately bounds pass 3: no single collected slice may exceed
+    * it.
     */
-  def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], targetSlices: Int = 16384,
+  def groupedOrderStats(df: DataFrame, groupCol: String,
+      valueCol: String, positionsFor: (Long, Long) => Seq[Long],
+      targetSlices: Int = 16384,
       sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
-      Seq[(String, Long, Seq[Option[Double]])] = {
+      Seq[(String, Long, Long, Map[Long, Double])] = {
     val v = col(valueCol).cast("double")
     val g = col(groupCol).cast("string")
     val mm = df.agg(min(v).as("mn"), max(v).as("mx")).collect().head
     if (mm.isNullAt(0)) { // no non-null values anywhere
       return df.groupBy(g.as("g")).agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getString(0), r.getLong(1), qs.map(_ => None)))
-        .toSeq
+        .map(r => (r.getString(0), r.getLong(1), 0L,
+          Map.empty[Long, Double]))
+        .toSeq.sortBy(t => Option(t._1))
     }
     val width = Math.max((mm.getDouble(1) - mm.getDouble(0)) /
       targetSlices.toDouble, java.lang.Double.MIN_NORMAL)
@@ -91,10 +98,13 @@ object Quantiles {
     val wanted = scala.collection.mutable.Set.empty[(String, Long)]
     def sliceFor(slices: Seq[Slice], p: Long): Slice =
       slices.find(s => p < s.cum + s.c).get
-    groups.foreach { case (gk, _, slices, nVals) =>
-      if (nVals > 0) qs.foreach { q =>
-        val pos = q * (nVals - 1)
-        Seq(pos.floor.toLong, pos.ceil.toLong).foreach { p =>
+    val positions: Map[String, Seq[Long]] = groups.map {
+      case (gk, nTotal, slices, nVals) =>
+        val ps = positionsFor(nTotal, nVals).distinct
+        ps.foreach { p =>
+          require(p >= 0 && p < nVals,
+            s"order-statistic position $p out of range [0, $nVals) " +
+              s"for group '$gk'")
           val s = sliceFor(slices, p)
           if (s.mn != s.mx) {
             require(s.c <= sliceCap,
@@ -104,8 +114,8 @@ object Quantiles {
             wanted += ((gk, s.h))
           }
         }
-      }
-    }
+        (gk, ps)
+    }.toMap
     val collected: Map[(String, Long), Array[Double]] =
       if (wanted.isEmpty) Map.empty
       else {
@@ -132,6 +142,30 @@ object Quantiles {
         if (s.mn == s.mx) s.mn
         else collected((gk, s.h))((p - s.cum).toInt)
       }
+      (gk, nTotal, nVals, positions(gk).map(p => p -> at(p)).toMap)
+    }
+  }
+
+  /** Per group: (n_rows including null values, quantile value per q —
+    * NaN-free Option, None when the group has no non-null values).
+    * Interpolation replicates Spark's `Percentile.getPercentile`
+    * bit-for-bit: `pos = q·(n−1)`,
+    * `(higher−pos)·v_lo + (pos−lower)·v_hi`, null values excluded
+    * from positions. Driver envelope: see [[groupedOrderStats]].
+    */
+  def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], targetSlices: Int = 16384,
+      sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
+      Seq[(String, Long, Seq[Option[Double]])] = {
+    val stats = groupedOrderStats(df, groupCol, valueCol,
+      (_, nVals) =>
+        if (nVals == 0) Nil
+        else qs.flatMap { q =>
+          val pos = q * (nVals - 1)
+          Seq(pos.floor.toLong, pos.ceil.toLong)
+        },
+      targetSlices, sliceCap, histCap)
+    stats.map { case (gk, nTotal, nVals, at) =>
       val vals = qs.map { q =>
         if (nVals == 0) None
         else {

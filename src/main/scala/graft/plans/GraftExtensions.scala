@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.bloomPosFunction)
     e.injectFunction(GraftExtensions.bloomMightFunction)
     e.injectFunction(GraftExtensions.hllAggFunction)
+    e.injectFunction(GraftExtensions.bigramTableFunction)
     e.injectFunction(GraftExtensions.shingleExplodeFunction)
     e.injectFunction(GraftExtensions.removeSpansFunction)
     e.injectFunction(GraftExtensions.termCountsFunction)
@@ -263,6 +264,17 @@ object GraftExtensions {
       HllAgg(children.head)
     })
 
+  /** `graft_bigram_table(bc)` — imperative aggregate; the analyzer
+    * wraps it in its AggregateExpression.
+    */
+  private val bigramTableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bigram_table"),
+    new ExpressionInfo(classOf[BigramTableAgg].getName, "graft_bigram_table"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_bigram_table(bc)")
+      BigramTableAgg(children.head)
+    })
+
   /** `graft_shingle_explode(tokens, n)` — generator; n is a literal. */
   private def buildShingleExplode(children: Seq[Expression]): Expression = {
     requireArity(children, 2, "graft_shingle_explode(tokens, n)")
@@ -402,7 +414,8 @@ object GraftExtensions {
         collapseFunction, textstatsFunction, gramStatsFunction,
         sortedPairsFunction, sortedPairsPackedFunction,
         firstCollisionFunction, bloomPosFunction,
-        bloomMightFunction, hllAggFunction, shingleExplodeFunction,
+        bloomMightFunction, hllAggFunction, bigramTableFunction,
+        shingleExplodeFunction,
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
         bm25TopKFunction, perplexityFunction, prefixC1Function,
         perplexityModelFunction, cosinePairsFunction, assignNearestFunction,

@@ -532,83 +532,79 @@ object AnalyticsQueries {
     * integer-cent mass per bin (no order-dependent float sums).
     */
   def binningEquidepth(spark: SparkSession, dir: String): DataFrame = {
-    // r16 shape: the per-group percent_rank window concentrated each
-    // event_type into ONE task (5 groups on a 32-thread host — the
-    // same fixed-key parallelism cap the sweep's day windows had), so
-    // the whole query was |group| single-task sorts. The rank is now
-    // SHARDED by a pure function of the ordered value itself
-    // (floor(value)): a tie run shares its value, hence its shard, so
-    // rank() within the (group, shard) slice + the driver-collected
-    // offset of earlier shards IS the group-global RANK — exact,
-    // including percent_rank's tie semantics. The offsets table is
-    // |groups| × |value-integer-range| rows (bounded by the value
-    // domain, not the corpus); percent_rank's arithmetic
-    // ((rank-1)/(n-1), then ×4, floor) is replicated exactly.
-    // Measured 30×: 4.55 s (one task per group) → see
-    // ProfileBinningShapes; twin 0.57. The window form stays below as
-    // the equality twin.
+    // r18 shape: no row ever shuffles. The r16 sharded-rank form
+    // still exchanged EVERY (group, value, cents) row to rank it; but
+    // the bin of a row is a pure function of its value — rank() ties
+    // collapse, so bin boundaries are three per-group ORDER
+    // STATISTICS, selected exactly by Quantiles.groupedOrderStats
+    // (the percentiles machinery: three light two-column passes).
+    // Bin assignment is then a map-side comparison against the
+    // broadcast thresholds and the only exchange left carries
+    // (group, bin)-grain partial aggregates — 20 rows. Measured 30×
+    // alternating A/B (ProfileBinningShapes, equality-pinned):
+    // see COVERAGE round-18. The window form stays below as the
+    // equality twin.
     equidepthBins(Tables.events(spark, dir)
       .select(col("event_type"), col("value"),
         round(col("value") * 100).cast("long").as("cents")))
   }
 
-  /** [[binningEquidepth]]'s sharded-rank core over any
-    * (event_type, value, cents) frame. The shard is `floor(value)`, so
-    * the offsets table is |groups| × |integer values present| — a
-    * domain-bounded, NOT corpus-bounded, driver collect. The guard
-    * below makes that bound a CONTRACT: past
-    * `spark.graft.binning.shardCap` (default 2¹⁸ entries — a few MB of
-    * offsets, which also ride the plan as a literal map) the query
-    * fails loud instead of collecting millions of offset rows; a
-    * wide-domain value column (microsecond epochs) must pre-scale or
-    * use the (min,max)-derived slicing of
-    * [[graft.ext.Quantiles.groupedExact]]. Offsets reach tasks via a
-    * broadcast join on the (group, shard) pair (null-safe on the
-    * group), so NULL and separator-bearing group values bin exactly
-    * and the plan carries no literal offset map.
+  /** [[binningEquidepth]]'s selection core over any (event_type,
+    * value, cents) frame. Replicates the percent_rank window's exact
+    * semantics, ties and nulls included, without ranking any row:
+    * with n = |group| (nulls included), a non-null value v has
+    * rank−1 = nNull + c(v) where c(v) = #{non-null v' < v} (nulls
+    * sort first and all tie at rank 1; value ties collapse to the
+    * first rank), so bin(v) = Σ_{k=1..3} [c(v) ≥ m_k] with
+    * m_k = ceil(k·(n−1)/4) − nNull, and c(v) ≥ m ⟺ v > s[m−1]
+    * (s = the group's non-null ascending values) — three order
+    * statistics per group. A negative-position threshold (many
+    * nulls) is crossed by every non-null value and folds into the
+    * group's base bin; null values and single-row/all-null groups
+    * bin 0, exactly like percent_rank. Thresholds reach tasks as a
+    * broadcast row per group, null-safe on the group key, so NULL
+    * and separator-bearing group values bin exactly. The integer
+    * threshold arithmetic equals the twin's IEEE
+    * floor(percent_rank·4) for any group under ~10¹⁶ rows (the
+    * division is correctly rounded and the k/4 boundaries are
+    * representable).
     */
   private[graft] def equidepthBins(evIn: DataFrame): DataFrame = {
     val spark = evIn.sparkSession
-    val shardCap = spark.conf.getOption("spark.graft.binning.shardCap")
-      .map(_.toInt).getOrElse(1 << 18)
-    val ev = evIn
-      .withColumn("_h", coalesce(floor(col("value")), lit(Long.MinValue)))
-    // take(cap+1), not collect(): same single job, but the driver
-    // fetches at most cap+1 result rows before the overflow check
-    val totals = ev.groupBy(col("event_type"), col("_h"))
-      .agg(count(lit(1)).as("_c")).take(shardCap + 1)
-    require(totals.length <= shardCap,
-      s"equi-depth shard table exceeds spark.graft.binning.shardCap " +
-        s"($shardCap): the value column spans too many integer shards " +
-        "for floor(value) sharding — pre-scale the value or use " +
-        "Quantiles.groupedExact's (min,max)-derived slicing")
-    // offsets reach the executors via a broadcast join on the
-    // (group, shard) PAIR — never a string-encoded key: a concat_ws
-    // key lets a group value containing the separator alias another
-    // (group, shard), and concat_ws SKIPS a null group while the
-    // driver-side key spells "null" — either way the wrong offset (or
-    // a null rank) reaches the binning (the same aliasing defect
-    // Quantiles.groupedExact fixed in r17). `<=>` matches a NULL
-    // group exactly; a broadcast relation also beats the former
-    // typedlit literal map, which rode every task closure at up to
-    // multi-MB size.
-    val offRows: Seq[(String, Long, Long, Long)] =
-      totals.groupBy(_.getString(0)).toSeq.flatMap { case (g, rows) =>
-        val n = rows.map(_.getLong(2)).sum
-        var acc = 0L
-        rows.sortBy(_.getLong(1)).toSeq.map { r =>
-          val t = (g, r.getLong(1), acc, n); acc += r.getLong(2); t
+    import spark.implicits._
+    def binPositions(nTotal: Long, nVals: Long): Seq[Long] =
+      if (nTotal <= 1 || nVals == 0) Nil
+      else {
+        val nNull = nTotal - nVals
+        (1L to 3L).map(k => (k * (nTotal - 1) + 3) / 4 - nNull - 1)
+          .filter(_ >= 0)
+      }
+    val stats = graft.ext.Quantiles.groupedOrderStats(evIn,
+      "event_type", "value", binPositions)
+    val bRows: Seq[(String, Int, Option[Double], Option[Double],
+        Option[Double])] =
+      stats.map { case (g, nTotal, nVals, at) =>
+        if (nTotal <= 1 || nVals == 0) (g, 0, None, None, None)
+        else {
+          val nNull = nTotal - nVals
+          val ps = (1L to 3L)
+            .map(k => (k * (nTotal - 1) + 3) / 4 - nNull - 1)
+          val base = ps.count(_ < 0)
+          val ts = ps.filter(_ >= 0).map(p => Some(at(p)))
+            .padTo(3, None: Option[Double])
+          (g, base, ts(0), ts(1), ts(2))
         }
       }
-    import spark.implicits._
-    val off = broadcast(offRows.toDF("_og", "_oh", "_off", "_n"))
-    val w = Window.partitionBy(col("event_type"), col("_h"))
-      .orderBy(col("value"))
-    ev.join(off, col("event_type") <=> col("_og") && col("_h") === col("_oh"))
-      .withColumn("_r", rank().over(w) + col("_off"))
-      .withColumn("bin", when(col("_n") === 1, lit(0L)).otherwise(
-        least(floor((col("_r") - 1).cast("double") /
-          (col("_n") - 1).cast("double") * 4), lit(3.0)).cast("long")))
+    val bounds = broadcast(bRows.toDF("_bg", "_base", "_t1", "_t2", "_t3"))
+    evIn.join(bounds, col("event_type").cast("string") <=> col("_bg"))
+      .withColumn("bin", when(col("value").isNull, lit(0L)).otherwise(
+        (col("_base") +
+          when(col("_t1").isNotNull && col("value") > col("_t1"), 1)
+            .otherwise(0) +
+          when(col("_t2").isNotNull && col("value") > col("_t2"), 1)
+            .otherwise(0) +
+          when(col("_t3").isNotNull && col("value") > col("_t3"), 1)
+            .otherwise(0)).cast("long")))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("value")).as("lo"), max(col("value")).as("hi"),

@@ -520,26 +520,22 @@ object TextQueries {
         call_function("graft_bigram_counts", toks).as("bc"),
         when(size(toks) === 1, element_at(toks, 1)).as("solo"))
       .localCheckpoint()
-    // ONE vocab-grain exchange (groupBy bg — no grouping-sets 2×
-    // expand, no second set, no term-grain distinct), then the
-    // COMPLETE model derives inside the one-row fold:
-    // graft_perplexity_model walks the bg-sorted c2 array once,
-    // emitting the context table (c1(w1) = prefix-contiguous sum of
-    // the global bigram table) and the vocab size (|{w1}∪{w2}∪solo|).
-    // Measured at 30× alternating A/B (ProfilePerplexFuse, equality-
-    // pinned): notc 1.43 s vs r15 gsets 1.60 vs lazy 1.74 — and NOT
-    // the same as deriving c1 from the c2 TABLE, which chained the
-    // fold behind dependent exchanges and measured 2× slower
-    // (ProfilePerplexVariants, the recorded negative); here the
-    // derivation is a scalar map on the one-row model, after the only
-    // exchange. The losing transform+concat single-stream fusion
-    // (per-row array copies) is recorded in ProfilePerplexFuse too.
-    val c2t = pc.select(explode(col("bc")).as("e"))
-      .groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("cnt"))
-    val model = c2t
-      .agg(sort_array(collect_list(struct(col("bg"),
-        col("cnt").as("c2")))).as("c2arr"))
-      .crossJoin(pc.agg(collect_set(col("solo")).as("sup")))
+    // ONE imperative-aggregate exchange (graft_bigram_table, a
+    // TypedImperativeAggregate merging per-partition bigram maps) with
+    // the solo-token collect_set riding the SAME fold — replaces the
+    // r16 two-exchange chain (explode → vocab-grain groupBy → one-task
+    // collect_list+sort) and its crossJoin barrier. The COMPLETE model
+    // then derives inside the one-row fold: graft_perplexity_model
+    // walks the bg-sorted c2 array once, emitting the context table
+    // (c1(w1) = prefix-contiguous sum of the global bigram table) and
+    // the vocab size (|{w1}∪{w2}∪solo|). Measured at 30× alternating
+    // A/B (ProfilePerplexPhases, equality-pinned): model fold 0.55 s
+    // (two-exchange) → 0.48 s steady (TIA); the r15/r16 negatives
+    // (derived-c1 table chain 2× slower, transform+concat fusion
+    // slower) stay recorded in ProfilePerplexVariants/Fuse.
+    val model = pc
+      .agg(call_function("graft_bigram_table", col("bc")).as("c2arr"),
+        collect_set(col("solo")).as("sup"))
       .select(call_function("graft_perplexity_model",
         col("c2arr"), col("sup")).as("model"))
     // the 20-byte/doc scored rows are materialized BEFORE the

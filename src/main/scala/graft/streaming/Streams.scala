@@ -572,15 +572,23 @@ object Streams {
       seed: String = "e0"): DataFrame = {
     val staged = memoStage(stagedModDirs, (dir, batches)) {
       val out = scratch("graft-shard-src")
+      // ONE scan+write job stages every batch (was one full documents
+      // scan + coalesce(1) per batch): each _b value lives entirely in
+      // one shuffle partition after repartition(col), so partitionBy
+      // writes exactly one part file per batch dir, with _b dropped
+      // from the data schema
+      val tmp = scratch("graft-shard-split").toString
+      graft.Tables.documents(spark, dir)
+        .withColumn("_b", pmod(col("doc_id"), lit(batches)))
+        .repartition(col("_b"))
+        .write.mode("overwrite").partitionBy("_b").parquet(tmp)
       (0 until batches).foreach { b =>
-        val tmp = scratch("graft-shard-split").toString
-        graft.Tables.documents(spark, dir)
-          .filter(pmod(col("doc_id"), lit(batches)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.startsWith("part-")).head
+        val parts = new java.io.File(s"$tmp/_b=$b").listFiles()
+          .filter(_.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"shard staging wrote ${parts.length} files for batch $b")
         val dst = out.resolve(f"b$b%03d.parquet")
-        Files.copy(part.toPath, dst)
+        Files.copy(parts.head.toPath, dst)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(
             1700000000000L + b * 60000L))

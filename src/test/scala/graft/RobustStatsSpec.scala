@@ -92,39 +92,41 @@ class RobustStatsSpec extends SparkSpec {
     assert(b.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
-  test("equi-depth binning: shard-table cap fails loud on a wide value domain") {
-    // the sharded-rank rewrite's offsets collect is bounded by the
-    // VALUE DOMAIN (|groups| × integer values present), not the
-    // corpus — a microsecond-epoch value column must hit the guard,
-    // never silently collect millions of offset rows into a plan
-    // literal
+  test("equi-depth binning: wide value domains, ties and null values bin exactly") {
+    // the r16 sharded-rank form keyed its offsets on floor(value)
+    // integer shards, so a wide-domain column (microsecond epochs)
+    // needed a loud cap; the r18 selection form slices by the
+    // (min,max)-derived width, so the same frame must now simply WORK
+    // — and exactly match the one-window-per-group twin, tie and
+    // null-value semantics included (nulls sort first, all tie at
+    // rank 1, bin 0)
     import spark.implicits._
-    val wide = (1 to 40).map(i => ("a", i * 1.0e6, i.toLong))
-      .toDF("event_type", "value", "cents")
-    spark.conf.set("spark.graft.binning.shardCap", "10")
-    try {
-      val e = intercept[IllegalArgumentException] {
-        AnalyticsQueries.equidepthBins(wide).collect()
-      }
-      assert(e.getMessage.contains("shardCap"), e.getMessage)
-      // the same frame passes with the cap off — and exactly matches
-      // the one-window-per-group twin (tie semantics included)
-      spark.conf.unset("spark.graft.binning.shardCap")
-      val ties = (1 to 30).map(i => ("a", (i % 7) * 3.5, i.toLong)) ++
-        (1 to 10).map(i => ("b", 1.0, i.toLong)) // all-ties group
-      val tdf = ties.toDF("event_type", "value", "cents")
+    def twinOf(tdf: org.apache.spark.sql.DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("value"))
-      val twin = tdf
-        .withColumn("bin",
+      tdf.withColumn("bin",
           least(floor(percent_rank().over(w) * 4), lit(3.0)).cast("long"))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("value")).as("lo"), max(col("value")).as("hi"),
           sum(col("cents")).as("bin_cents"))
-      val got = AnalyticsQueries.equidepthBins(tdf)
-      assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
-    } finally spark.conf.unset("spark.graft.binning.shardCap")
+    }
+    val wide = (1 to 40).map(i => ("a", Some(i * 1.0e6), i.toLong))
+      .toDF("event_type", "value", "cents")
+    val gotWide = AnalyticsQueries.equidepthBins(wide)
+    assert(gotWide.exceptAll(twinOf(wide)).isEmpty &&
+      twinOf(wide).exceptAll(gotWide).isEmpty)
+    val ties = (1 to 30).map(i => ("a", Some((i % 7) * 3.5), i.toLong)) ++
+      (1 to 10).map(i => ("b", Some(1.0), i.toLong)) ++ // all-ties group
+      (1 to 6).map(i => ("c", if (i <= 4) None else Some(i * 1.0),
+        i.toLong)) ++ // null-heavy group: base-bin fold
+      Seq(("d", Some(2.0), 1L)) ++ // single-row group
+      (1 to 3).map(i => ("e", None: Option[Double], i.toLong)) // all-null
+    val tdf = ties.toDF("event_type", "value", "cents")
+    val got = AnalyticsQueries.equidepthBins(tdf)
+    assert(got.exceptAll(twinOf(tdf)).isEmpty &&
+      twinOf(tdf).exceptAll(got).isEmpty,
+      got.orderBy("event_type", "bin").collect().mkString("\n"))
   }
 
   test("grouped quantiles: the pass-2 histogram cap fails loud, never an unbounded collect") {

@@ -55,19 +55,44 @@ object ProfileRegionalSplit {
         .orderBy("r_name", "n_name")
     }
 
+    // r18 candidate: fold the three dimension hops into ONE broadcast
+    // of (c_custkey → r_name, n_name) — the probe stage pays one hash
+    // lookup per row instead of three, and nation/region broadcast
+    // inside the dim-build job instead of as separate probe-side hops
+    def dimfold(): DataFrame = {
+      val cust = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")
+      val nat = graft.Tables.nation(spark, dir)
+      val reg = graft.Tables.region(spark, dir)
+      val dim = cust
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }
+
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     time(scanOnly()); time(joinOnly()); time(prod()); time(preagg())
+    time(dimfold())
     (1 to reps).foreach { r =>
       val a = time(scanOnly()); val b = time(joinOnly())
       val c = time(prod()); val d = time(preagg())
-      println(f"""{"rep":$r,"scan":$a%.2f,"join":$b%.2f,"prod":$c%.2f,"preagg":$d%.2f}""")
+      val e = time(dimfold())
+      println(f"""{"rep":$r,"scan":$a%.2f,"join":$b%.2f,"prod":$c%.2f,""" +
+        f""""preagg":$d%.2f,"dimfold":$e%.2f}""")
     }
-    val d1 = prod(); val d2 = preagg()
-    val eq = d1.exceptAll(d2).count() + d2.exceptAll(d1).count()
+    val d1 = prod(); val d2 = preagg(); val d3 = dimfold()
+    val eq = d1.exceptAll(d2).count() + d2.exceptAll(d1).count() +
+      d1.exceptAll(d3).count() + d3.exceptAll(d1).count()
     println(s"""{"equal":${eq == 0L}}""")
     spark.stop()
   }

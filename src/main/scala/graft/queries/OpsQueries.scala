@@ -417,7 +417,10 @@ object OpsQueries {
     // Null semantics unchanged from the join this family replaced:
     // right-side nulls are filtered (null never matches), null probe
     // keys count as orphan rows, never as keys. Measured 30× A/B
-    // (ProfileInclusionShapes, equality-pinned — see COVERAGE).
+    // (ProfileInclusionShapes, equality-pinned — COVERAGE r18): a
+    // WASH vs the per-pair form (3.88 vs 3.66 s medians, overlapping
+    // reps — the saved cadence is offset by lost fold concurrency);
+    // kept for the structural shape: one exchange instead of four.
     def leg(p: Int, df: DataFrame, k: String, ref: Boolean): DataFrame = {
       val keyed = df.select(lit(p).as("p"), inclusionKey(df, k).as("k"),
         lit(if (ref) 0L else 1L).as("n"), lit(if (ref) 1 else 0).as("r"))

@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,16 +11,28 @@ import org.apache.spark.sql.functions._
   * and whose final merge+sort runs one task per group (the fixed-key
   * parallelism cap, again).
   *
-  * Three bounded passes, all parallel and pruned to two columns:
-  *  1. global (min, max) of the value — fixes a slice width so the
-  *     histogram is ≤ `targetSlices` rows per group BY CONSTRUCTION;
-  *  2. (group, slice) histogram with per-slice count/min/max — the
-  *     driver locates, per wanted order statistic, which slice holds
-  *     it; a slice whose min == max resolves immediately (degenerate
-  *     distributions never collect);
-  *  3. collect ONLY the needed slices' values (expected |group|/
-  *     slices rows each) and read the order statistics off the
-  *     sorted slice.
+  * TWO bounded passes in the common case, all parallel and pruned to
+  * two columns (the r18 cut: the former pass 1 — a global (min, max)
+  * scan that fixed a slice width — is gone; see below):
+  *  1. (group, slice) histogram with per-slice count/min/max, where a
+  *     slice is the top `12 + binadeBits` bits of the IEEE-754
+  *     order-isomorphic long (`graft_sortable_bits(v) >> (52 −
+  *     binadeBits)`: sign + exponent + `binadeBits` mantissa bits) —
+  *     monotone BY CONSTRUCTION, so no prior range pass is needed
+  *     and the driver locates, per wanted order statistic, which
+  *     slice holds it; a slice whose min == max resolves immediately
+  *     (degenerate distributions never collect);
+  *  2. collect ONLY the needed slices' values and read the order
+  *     statistics off the sorted slice.
+  *
+  * A needed slice bigger than `sliceCap` does not fail OR gather: it
+  * REFINES — the same slicing at `RefineStepBits` fewer shift bits,
+  * restricted (broadcast semi-join) to the oversized (group, slice)
+  * pairs, re-locates the positions inside sub-slices; at shift 0 a
+  * slice is a single double value (min == max), so refinement always
+  * terminates. Pathological distributions (millions of near-equal
+  * but distinct values) cost extra bounded passes instead of a
+  * driver OOM or a loud abort.
   *
   * [[groupedOrderStats]] is the shared core (exact values at
   * arbitrary 0-based positions); [[groupedExact]] adds the
@@ -28,6 +42,12 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Bits of extra slice granularity per refinement level: each
+    * level splits an oversized slice 2¹³ ≈ 8192 ways, and 52/13 = 4
+    * levels reach shift 0 (exact doubles) from the widest slicing.
+    */
+  private val RefineStepBits = 13
+
   /** Per-group exact order-statistic VALUES at caller-chosen 0-based
     * positions into the group's ascending NON-NULL values.
     * `positionsFor(nTotal, nVals)` names the positions a group needs
@@ -36,113 +56,171 @@ object Quantiles {
     * nTotal rows incl. null values, nVals non-null values,
     * position → value map over exactly the requested positions).
     *
-    * DRIVER-MEMORY ENVELOPE — ENFORCED: the pass-2 histogram holds up
-    * to |groups| × min(targetSlices, distinct slices present) rows of
-    * ~40 bytes, and `histCap` (default 2²¹ rows ≈ 85 MB) makes that an
-    * enforced contract, not a comment: the driver fetches at most
-    * `histCap + 1` rows (same single job) and fails loud past the cap
-    * instead of an unbounded `collect()` OOM. The default
-    * `targetSlices` = 16384 is sized for LOW-cardinality groupings
-    * (≲ 10³ groups); a high-cardinality group column must lower
-    * `targetSlices` proportionally (the result itself is
-    * group-grain and driver-sized by contract, so |groups| ≫ 10⁵ is
-    * outside this helper's intended regime regardless). `sliceCap`
-    * separately bounds pass 3: no single collected slice may exceed
-    * it.
+    * DRIVER-MEMORY ENVELOPE — ENFORCED: the histogram holds up to
+    * |groups| × (slices PRESENT) rows of ~40 bytes, where present
+    * slices are bounded by both the distinct values and the slice-id
+    * domain (≈ 2^binadeBits ids per binade actually spanned; a
+    * uniform column spans ~a dozen binades). `histCap` (default 2²¹
+    * rows ≈ 85 MB) makes that an enforced contract, not a comment:
+    * the driver fetches at most `histCap + 1` rows per histogram
+    * (same single job) and fails loud past the cap instead of an
+    * unbounded `collect()` OOM — a grouping too high-cardinality for
+    * a driver-sized result must lower `binadeBits` or is outside
+    * this helper's intended regime regardless. `sliceCap` bounds
+    * pass 2: no single COLLECTED slice may exceed it — bigger needed
+    * slices refine instead (see the object doc).
     */
   def groupedOrderStats(df: DataFrame, groupCol: String,
       valueCol: String, positionsFor: (Long, Long) => Seq[Long],
-      targetSlices: Int = 16384,
+      binadeBits: Int = 10,
       sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
       Seq[(String, Long, Long, Map[Long, Double])] = {
+    require(binadeBits >= 0 && binadeBits <= 52,
+      s"binadeBits must be in [0, 52], got $binadeBits")
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = col(valueCol).cast("double")
     val g = col(groupCol).cast("string")
-    val mm = df.agg(min(v).as("mn"), max(v).as("mx")).collect().head
-    if (mm.isNullAt(0)) { // no non-null values anywhere
-      return df.groupBy(g.as("g")).agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getString(0), r.getLong(1), 0L,
-          Map.empty[Long, Double]))
-        .toSeq.sortBy(t => Option(t._1))
+    val bits = call_function("graft_sortable_bits", v)
+    def sliceAt(shift: Int) = shiftright(bits, shift)
+    val shift0 = 52 - binadeBits
+
+    def fetchHist(grouped: DataFrame): Array[org.apache.spark.sql.Row] = {
+      val rows = grouped.take(histCap + 1)
+      require(rows.length <= histCap,
+        s"grouped-quantile histogram exceeds histCap ($histCap rows): " +
+          s"|groups| × present slices (binadeBits=$binadeBits) is past " +
+          "the driver envelope — lower binadeBits, or this grouping is " +
+          "too high-cardinality for a driver-sized quantile table")
+      rows
     }
-    val width = Math.max((mm.getDouble(1) - mm.getDouble(0)) /
-      targetSlices.toDouble, java.lang.Double.MIN_NORMAL)
-    val slice = floor((v - lit(mm.getDouble(0))) / lit(width))
-    val hist = df
-      .groupBy(g.as("g"), coalesce(slice, lit(Long.MinValue)).as("h"))
-      .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
-      .take(histCap + 1)
-    require(hist.length <= histCap,
-      s"grouped-quantile histogram exceeds histCap ($histCap rows): " +
-        s"|groups| × targetSlices ($targetSlices) is past the driver " +
-        "envelope — lower targetSlices, or this grouping is too " +
-        "high-cardinality for a driver-sized quantile table")
-    val perG = hist.groupBy(_.getString(0))
-    // locate the slice holding 0-based order statistic p: cumulative
-    // counts over h-ascending non-null slices
+
+    // the ONLY full-corpus histogram: null values ride a sentinel
+    // slice so nTotal counts them (real slice ids stay strictly above
+    // Long.MinValue — even -Infinity maps to -0x7FF0000000000001)
+    val hist0 = fetchHist(df
+      .groupBy(g.as("g"),
+        coalesce(sliceAt(shift0), lit(Long.MinValue)).as("h"))
+      .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx")))
+
     case class Slice(h: Long, c: Long, mn: Double, mx: Double, cum: Long)
-    val groups = perG.map { case (gk, rows) =>
-      val nTotal = rows.map(_.getLong(2)).sum
-      val nonNull = rows.filter(!_.isNullAt(1))
-        .filter(_.getLong(1) != Long.MinValue)
-        .sortBy(_.getLong(1))
+    def cumulate(rows: Seq[(Long, Long, Double, Double)]): Seq[Slice] = {
       var acc = 0L
-      val slices = nonNull.map { r =>
-        val s = Slice(r.getLong(1), r.getLong(2), r.getDouble(3),
-          r.getDouble(4), acc)
-        acc += r.getLong(2)
-        s
+      rows.sortBy(_._1).map { case (h, c, mn, mx) =>
+        val s = Slice(h, c, mn, mx, acc); acc += c; s
       }
-      (gk, nTotal, slices.toSeq, acc)
-    }.toSeq.sortBy(t => Option(t._1)) // a NULL group key sorts first, NPE-free
-    // which (group, slice) pairs actually need their values?
-    val wanted = scala.collection.mutable.Set.empty[(String, Long)]
-    def sliceFor(slices: Seq[Slice], p: Long): Slice =
+    }
+    val groups: Seq[(String, Long, Seq[Slice], Long)] =
+      hist0.groupBy(_.getString(0)).map { case (gk, rows) =>
+        val nTotal = rows.map(_.getLong(2)).sum
+        val slices = cumulate(rows.toSeq
+          .filter(_.getLong(1) != Long.MinValue)
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4))))
+        val nVals = slices.lastOption.map(s => s.cum + s.c).getOrElse(0L)
+        (gk, nTotal, slices, nVals)
+      }.toSeq.sortBy(t => Option(t._1)) // NULL group key sorts first, NPE-free
+
+    def locate(slices: Seq[Slice], p: Long): Slice =
       slices.find(s => p < s.cum + s.c).get
-    val positions: Map[String, Seq[Long]] = groups.map {
-      case (gk, nTotal, slices, nVals) =>
-        val ps = positionsFor(nTotal, nVals).distinct
-        ps.foreach { p =>
-          require(p >= 0 && p < nVals,
-            s"order-statistic position $p out of range [0, $nVals) " +
-              s"for group '$gk'")
-          val s = sliceFor(slices, p)
-          if (s.mn != s.mx) {
-            require(s.c <= sliceCap,
-              s"quantile slice ($gk, ${s.h}) holds ${s.c} values " +
-                s"(cap $sliceCap): a pathologically skewed value " +
-                "distribution — raise targetSlices or the cap")
-            wanted += ((gk, s.h))
-          }
+
+    // request = the orig-position order statistic lives `within` the
+    // (gk, h)-slice at the CURRENT shift; resolve by collect if the
+    // slice is small, else refine the slice and re-locate
+    case class Req(gk: String, h: Long, within: Long, orig: Long)
+    val out = mutable.Map.empty[(String, Long), Double] // (gk, orig) → value
+    var pending = List.empty[Req]
+    var sliceC = mutable.Map.empty[(String, Long), Long]
+    val positions = mutable.Map.empty[String, Seq[Long]]
+    groups.foreach { case (gk, nTotal, slices, nVals) =>
+      val ps = positionsFor(nTotal, nVals).distinct
+      ps.foreach { p =>
+        require(p >= 0 && p < nVals,
+          s"order-statistic position $p out of range [0, $nVals) " +
+            s"for group '$gk'")
+        val s = locate(slices, p)
+        if (s.mn == s.mx) out((gk, p)) = s.mn
+        else {
+          pending ::= Req(gk, s.h, p - s.cum, p)
+          sliceC((gk, s.h)) = s.c
         }
-        (gk, ps)
-    }.toMap
-    val collected: Map[(String, Long), Array[Double]] =
-      if (wanted.isEmpty) Map.empty
-      else {
-        // membership by broadcast semi-join on the (group, slice) PAIR,
-        // never a string encoding: a concat_ws key lets a group value
-        // containing the separator alias another (group, slice), and
-        // concat_ws SKIPS a null group while the driver-side key spells
-        // "null" — either way the wrong slice population reaches the
-        // interpolation. `<=>` matches the null group key exactly.
-        val spark = df.sparkSession
-        import spark.implicits._
-        val w = broadcast(wanted.toSeq.toDF("_wg", "_wh"))
-        df.select(g.as("g"), slice.as("h"), v.as("v"))
+      }
+      positions(gk) = ps
+    }
+
+    var shift = shift0
+    var cur: List[Req] = pending
+    while (cur.nonEmpty) {
+      val (collectable, oversized) =
+        cur.partition(r => sliceC((r.gk, r.h)) <= sliceCap)
+      if (collectable.nonEmpty) {
+        // membership by broadcast semi-join on the (group, slice)
+        // PAIR, never a string encoding: a concat_ws key lets a group
+        // value containing the separator alias another (group, slice),
+        // and concat_ws SKIPS a null group while the driver-side key
+        // spells "null" — either way the wrong slice population
+        // reaches the interpolation. `<=>` matches the null group.
+        val w = broadcast(
+          collectable.map(r => (r.gk, r.h)).distinct.toDF("_wg", "_wh"))
+        val got = df.select(g.as("g"), sliceAt(shift).as("h"), v.as("v"))
           .filter(col("v").isNotNull)
           .join(w, col("g") <=> col("_wg") && col("h") === col("_wh"),
             "leftsemi")
           .collect()
           .groupBy(r => (r.getString(0), r.getLong(1)))
           .map { case (k, rows) => (k, rows.map(_.getDouble(2)).sorted) }
+        collectable.foreach { r =>
+          out((r.gk, r.orig)) = got((r.gk, r.h))(r.within.toInt)
+        }
       }
-    groups.map { case (gk, nTotal, slices, nVals) =>
-      def at(p: Long): Double = {
-        val s = sliceFor(slices, p)
-        if (s.mn == s.mx) s.mn
-        else collected((gk, s.h))((p - s.cum).toInt)
+      if (oversized.isEmpty) {
+        cur = Nil
+      } else {
+        // refine: same slicing, RefineStepBits finer, restricted to
+        // the oversized (group, slice) pairs — at shift 0 a slice is
+        // one exact double (min == max), so this branch is unreachable
+        // there and the loop terminates
+        require(shift > 0,
+          "unreachable: a shift-0 slice is a single double value")
+        val cShift = math.max(0, shift - RefineStepBits)
+        val w = broadcast(
+          oversized.map(r => (r.gk, r.h)).distinct.toDF("_wg", "_wh"))
+        val sub = fetchHist(df
+          .select(g.as("g"), sliceAt(shift).as("hp"),
+            sliceAt(cShift).as("h"), v.as("v"))
+          .filter(col("v").isNotNull)
+          .join(w, col("g") <=> col("_wg") && col("hp") === col("_wh"),
+            "leftsemi")
+          .groupBy(col("g"), col("h"))
+          .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
+            max(col("v")).as("mx")))
+        // child slices per parent: hp = h >> (shift − cShift) (the
+        // arithmetic shifts compose), cumulated in child-slice order
+        val byParent: Map[(String, Long), Seq[Slice]] = sub.toSeq
+          .groupBy(r => (r.getString(0), r.getLong(1) >> (shift - cShift)))
+          .map { case (k, rows) =>
+            (k, cumulate(rows.map(r => (r.getLong(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4)))))
+          }
+        val nextC = mutable.Map.empty[(String, Long), Long]
+        var next = List.empty[Req]
+        oversized.foreach { r =>
+          val kids = byParent((r.gk, r.h))
+          val s = locate(kids, r.within)
+          if (s.mn == s.mx) out((r.gk, r.orig)) = s.mn
+          else {
+            next ::= Req(r.gk, s.h, r.within - s.cum, r.orig)
+            nextC((r.gk, s.h)) = s.c
+          }
+        }
+        cur = next
+        sliceC = nextC
+        shift = cShift
       }
-      (gk, nTotal, nVals, positions(gk).map(p => p -> at(p)).toMap)
+    }
+
+    groups.map { case (gk, nTotal, _, nVals) =>
+      (gk, nTotal, nVals, positions(gk).map(p => p -> out((gk, p))).toMap)
     }
   }
 
@@ -154,7 +232,7 @@ object Quantiles {
     * from positions. Driver envelope: see [[groupedOrderStats]].
     */
   def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], targetSlices: Int = 16384,
+      qs: Seq[Double], binadeBits: Int = 10,
       sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
       Seq[(String, Long, Seq[Option[Double]])] = {
     val stats = groupedOrderStats(df, groupCol, valueCol,
@@ -164,7 +242,7 @@ object Quantiles {
           val pos = q * (nVals - 1)
           Seq(pos.floor.toLong, pos.ceil.toLong)
         },
-      targetSlices, sliceCap, histCap)
+      binadeBits, sliceCap, histCap)
     stats.map { case (gk, nTotal, nVals, at) =>
       val vals = qs.map { q =>
         if (nVals == 0) None

@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.tfidfTopKFunction)
     e.injectFunction(GraftExtensions.dsirBucketsFunction)
     e.injectFunction(GraftExtensions.dsirScoreFunction)
+    e.injectFunction(GraftExtensions.sortableBitsFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
@@ -385,6 +386,14 @@ object GraftExtensions {
       DsirScore(children(0), children(1))
     })
 
+  private val sortableBitsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sortable_bits"),
+    new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 1, "graft_sortable_bits(v)")
+      SortableBits(children.head)
+    })
+
   /** `graft_tfidf_topk(tc, model, k)` — k is a literal. */
   private val tfidfTopKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_tfidf_topk"),
@@ -419,7 +428,8 @@ object GraftExtensions {
         removeSpansFunction, termCountsFunction, bigramCountsFunction,
         bm25TopKFunction, perplexityFunction, prefixC1Function,
         perplexityModelFunction, cosinePairsFunction, assignNearestFunction,
-        tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction)
+        tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction,
+        sortableBitsFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

@@ -537,7 +537,8 @@ object AnalyticsQueries {
     // the bin of a row is a pure function of its value — rank() ties
     // collapse, so bin boundaries are three per-group ORDER
     // STATISTICS, selected exactly by Quantiles.groupedOrderStats
-    // (the percentiles machinery: three light two-column passes).
+    // (the percentiles machinery: two light two-column passes — the
+    // former (min,max) range pass fell to IEEE-754 bit slicing, r18).
     // Bin assignment is then a map-side comparison against the
     // broadcast thresholds and the only exchange left carries
     // (group, bin)-grain partial aggregates — 20 rows. Measured 30×

@@ -95,8 +95,10 @@ object SetOpQueries {
     // `percentile` aggregate, whose buffer holds every value of a
     // group in one task and whose final merge runs one task per group
     // (2.15 s at 30× for 5 groups on 32 threads; the selection runs
-    // three parallel two-column passes and collects only the slices
-    // holding the order statistics). Interpolation replicates the
+    // two two-column passes — bit-sliced histogram, then only the
+    // slices holding the order statistics are collected; the former
+    // global (min,max) pass fell to IEEE-754 order-isomorphic
+    // slicing in r18). Interpolation replicates the
     // aggregate bit-for-bit; the aggregate form stays below as the
     // equality twin.
     val res = graft.ext.Quantiles.groupedExact(Tables.orders(spark, dir),

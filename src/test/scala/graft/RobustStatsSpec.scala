@@ -43,8 +43,8 @@ class RobustStatsSpec extends SparkSpec {
     // driver-built key spells "null" — so a NULL group threw
     // NoSuchElementException and a literal "null" group could collect
     // the null group's slices. The struct semi-join must resolve all
-    // three exactly; targetSlices=2 forces wide multi-value slices so
-    // every group actually COLLECTS (no min==max shortcut).
+    // three exactly; binadeBits=0 forces binade-wide multi-value
+    // slices so groups actually COLLECT (no min==max shortcut).
     import spark.implicits._
     val rows = for {
       (g, base) <- Seq("a|7" -> 0.0, "a" -> 100.0, "null" -> 200.0,
@@ -53,7 +53,7 @@ class RobustStatsSpec extends SparkSpec {
     } yield (g, base + i * (if (g == null) 1.3 else 1.1))
     val df = rows.toDF("g", "v")
     val got = graft.ext.Quantiles.groupedExact(df, "g", "v",
-        Seq(0.25, 0.5, 0.9), targetSlices = 2)
+        Seq(0.25, 0.5, 0.9), binadeBits = 0)
       .map { case (g, n, vs) => (g, (n, vs.map(_.get))) }.toMap
     val want = df.groupBy("g")
       .agg(expr("percentile(v, array(0.25D, 0.5D, 0.9D))").as("p"),
@@ -144,6 +144,60 @@ class RobustStatsSpec extends SparkSpec {
     val got = graft.ext.Quantiles.groupedExact(df, "g", "v", Seq(0.5))
       .map { case (g, _, vs) => (g, vs.head.get) }.toMap
     assert(got.size == 50 && got("g7") == 7.0 && got("g50") == 50.0)
+  }
+
+  test("graft_sortable_bits is order-isomorphic to Double.compare on the edge doubles") {
+    import spark.implicits._
+    // the slicing's whole correctness argument: f monotone ⇔ any
+    // top-bits truncation is monotone ⇔ cumulative slice counts
+    // locate exact order statistics. Pin f against the comparator on
+    // the worst doubles: ±0, ±Inf, NaN, ±min-normal, ±subnormal,
+    // adjacent ulps, and mixed magnitudes
+    val edge = Seq(0.0, -0.0, 1.0, -1.0, Double.MaxValue,
+      Double.MinValue, Double.MinPositiveValue, -Double.MinPositiveValue,
+      java.lang.Double.MIN_NORMAL, -java.lang.Double.MIN_NORMAL,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN,
+      Math.nextUp(1.0), Math.nextDown(1.0), -Math.nextUp(1.0),
+      1e-300, -1e-300, 1e300, -1e300, 3.141592653589793)
+    val f = edge.toDF("v")
+      .select(col("v"), expr("graft_sortable_bits(v)").as("f"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    for ((a, fa) <- f; (b, fb) <- f) {
+      val cmp = java.lang.Double.compare(a, b)
+      assert(Integer.signum(cmp) == java.lang.Long.compare(fa, fb).sign,
+        s"order broken: compare($a, $b)=$cmp but f=$fa vs $fb")
+    }
+    // null in, null out
+    val n = Seq(Some(1.0), None).toDF("v")
+      .select(expr("graft_sortable_bits(v)")).collect()
+    assert(!n(0).isNullAt(0) && n(1).isNullAt(0))
+  }
+
+  test("oversized slices refine instead of failing: exact quantiles under a tiny sliceCap") {
+    // the r17 code failed loud when a needed slice exceeded sliceCap;
+    // bit-sliced selection REFINES it (same slicing, 13 fewer shift
+    // bits, semi-joined to the oversized pairs) down to shift 0 where
+    // every slice is one exact double. binadeBits=0 + near-equal
+    // values force everything into ONE binade slice, sliceCap=5
+    // forces multiple refinement levels on 200 distinct values; the
+    // result must still match the percentile aggregate bit-for-bit,
+    // negatives and ties included
+    import spark.implicits._
+    val vals = (1 to 200).map(i => 1000.0 + i * 1e-9) ++
+      (1 to 200).map(i => -1000.0 - i * 1e-9) ++
+      Seq.fill(50)(1000.0 + 37e-9) // a fat tie inside the hot slice
+    val df = vals.zipWithIndex
+      .map { case (x, i) => (s"g${i % 2}", x) }.toDF("g", "v")
+    val got = graft.ext.Quantiles.groupedExact(df, "g", "v",
+        Seq(0.1, 0.5, 0.9), binadeBits = 0, sliceCap = 5)
+      .map { case (g, n, vs) => (g, (n, vs.map(_.get))) }.toMap
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.1D, 0.5D, 0.9D))").as("p"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(2), r.getSeq[Double](1).toSeq))).toMap
+    assert(got == want, s"$got vs $want")
   }
 
   test("equi-depth binning: NULL, 'null'-string and |-bearing group keys bin exactly") {

@@ -485,10 +485,15 @@ object Dedup {
     * source ids to distinct surrogates and fails loud on any
     * collision. A corpus that trips the check needs a dense-id lookup
     * (the `assign_dense_ids` zipWithIndex pattern) instead of a hash.
+    * A NULL id gets a NULL surrogate (never `xxhash64`'s seed value,
+    * which would hand every null row ONE shared fake identity and
+    * skew the collision check) — downstream long-keyed kernels filter
+    * null ids exactly as they do on the direct integral path.
     */
   def withSurrogateIds(df: DataFrame, idCol: String,
       out: String): DataFrame = {
-    val keyed = df.withColumn(out, xxhash64(col(idCol)))
+    val keyed = df.withColumn(out,
+      when(col(idCol).isNotNull, xxhash64(col(idCol))))
     val c = keyed.agg(count_distinct(col(idCol)).as("di"),
       count_distinct(col(out)).as("ds")).collect().head
     require(c.getLong(0) == c.getLong(1),
@@ -510,10 +515,24 @@ object Dedup {
     */
   def embeddingNearDupsSurrogate(df: DataFrame, idCol: String,
       vecCol: String, blockCol: String, minCosine: Double): DataFrame = {
-    val keyed = withSurrogateIds(df, idCol, "_sid")
+    val sid = when(col(idCol).isNotNull, xxhash64(col(idCol)))
+    // ONE id-grain distinct pass serves both the collision check and
+    // the pair join-back, localCheckpoint'ed because two downstream
+    // routes re-run an un-materialized subtree per route — without it
+    // this helper pays three corpus scans (check, kernel, lookup)
+    // instead of two (lookup-build + kernel)
+    val look = df.select(sid.as("_sid"), col(idCol))
+      .filter(col(idCol).isNotNull).distinct().localCheckpoint()
+    val c = look.agg(count_distinct(col(idCol)).as("di"),
+      count_distinct(col("_sid")).as("ds")).collect().head
+    require(c.getLong(0) == c.getLong(1),
+      s"xxhash64 surrogate collision: ${c.getLong(0)} distinct " +
+        s"'$idCol' values map to ${c.getLong(1)} distinct surrogates " +
+        "— two source ids share a 64-bit hash; use a dense-id lookup " +
+        "(assign_dense_ids) instead of a hash surrogate")
+    val keyed = df.withColumn("_sid", sid)
     val pairs = embeddingNearDups(keyed, "_sid", vecCol, blockCol,
       minCosine)
-    val look = keyed.select(col("_sid"), col(idCol)).distinct()
     val la = look.select(col("_sid").as("_ka"), col(idCol).as("_ia"))
     val lb = look.select(col("_sid").as("_kb"), col(idCol).as("_ib"))
     pairs.join(la, col("id_a") === col("_ka"))

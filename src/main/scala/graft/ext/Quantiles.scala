@@ -123,6 +123,14 @@ object Quantiles {
 
     def locate(slices: Seq[Slice], p: Long): Slice =
       slices.find(s => p < s.cum + s.c).get
+    // the degenerate-slice shortcut must treat an all-NaN slice as
+    // single-valued (NaN != NaN under ==, but all NaNs canonicalize
+    // to ONE sortable-bits value, so a shift-0 NaN slice would
+    // otherwise stay "oversized" forever); Double.compare is the
+    // slicing's own total order, and a slice can never mix -0.0 with
+    // +0.0 (their f values land in different slices at every shift)
+    def singleValued(s: Slice): Boolean =
+      java.lang.Double.compare(s.mn, s.mx) == 0
 
     // request = the orig-position order statistic lives `within` the
     // (gk, h)-slice at the CURRENT shift; resolve by collect if the
@@ -139,7 +147,7 @@ object Quantiles {
           s"order-statistic position $p out of range [0, $nVals) " +
             s"for group '$gk'")
         val s = locate(slices, p)
-        if (s.mn == s.mx) out((gk, p)) = s.mn
+        if (singleValued(s)) out((gk, p)) = s.mn
         else {
           pending ::= Req(gk, s.h, p - s.cum, p)
           sliceC((gk, s.h)) = s.c
@@ -207,7 +215,7 @@ object Quantiles {
         oversized.foreach { r =>
           val kids = byParent((r.gk, r.h))
           val s = locate(kids, r.within)
-          if (s.mn == s.mx) out((r.gk, r.orig)) = s.mn
+          if (singleValued(s)) out((r.gk, r.orig)) = s.mn
           else {
             next ::= Req(r.gk, s.h, r.within - s.cum, r.orig)
             nextC((r.gk, s.h)) = s.c

@@ -214,7 +214,28 @@ object Persisted {
         // now, failing loud rather than marking.
         if (f.exists(token)) {
           testBetweenTokenCheckAndMark()
-          f.create(done, true).close()
+          // The marker carries this build's token name as CONTENT and
+          // is created EXCLUSIVELY (no overwrite): a pre-existing
+          // `_DONE` means another build marked base after a reclaim
+          // took it from us — overwriting (and later retracting) would
+          // destroy the legitimate owner's marker while that owner has
+          // already returned success. Exclusive-create + ownership
+          // content make both the create and the retraction below
+          // touch only a marker this build wrote.
+          try {
+            val out = f.create(done, false)
+            out.write(token.getName.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+          } catch {
+            case e: java.io.IOException if f.exists(done) =>
+              throw new java.io.IOException(
+                s"persisted base $base was reclaimed and re-published " +
+                "by a concurrent build between this build's token check " +
+                "and its _DONE write — the concurrent marker is left " +
+                "intact and this attach fails loud rather than serving " +
+                "data this build did not produce", e)
+          }
           // Post-write verification: the token check above narrows but
           // does not close the window — a reclaimer can delete base
           // between exists(token) and create(done), and the create then
@@ -222,17 +243,35 @@ object Persisted {
           // token AFTER the marker write converts that residual window
           // into a detected failure: if the token vanished, this
           // build's data is gone, so retract the marker (the husk goes
-          // back to unpublished and the janitor reaps it) and fail
-          // loud instead of letting readers attach an empty base.
+          // back to unpublished and the janitor reaps it) — but ONLY
+          // if its content still names this build's token; a successor
+          // may have reclaimed the husk and validly re-published, and
+          // its marker must survive our failure.
           if (!f.exists(token)) {
-            try f.delete(done, false)
-            catch { case _: java.io.IOException => }
+            val ownMarker = try {
+              val in = f.open(done)
+              val buf = new Array[Byte](256)
+              val n = in.read(buf)
+              in.close()
+              n > 0 && new String(buf, 0, n,
+                java.nio.charset.StandardCharsets.UTF_8) == token.getName
+            } catch { case _: java.io.IOException => false }
+            if (ownMarker) {
+              try f.delete(done, false)
+              catch { case _: java.io.IOException => }
+            }
             throw new java.io.IOException(
               s"persisted base $base was reclaimed while this build " +
-              "wrote its _DONE marker — the marker has been retracted " +
-              "and the husk left unpublished; the build's data was " +
-              "deleted by a concurrent TTL reclaim, so this attach " +
-              "fails loud rather than serving an empty artifact")
+              "wrote its _DONE marker — " +
+              (if (ownMarker)
+                "the marker has been retracted and the husk left " +
+                "unpublished; "
+              else
+                "the marker was NOT retracted (a concurrent publish " +
+                "superseded it and owns it now); ") +
+              "this build's data was deleted by a concurrent TTL " +
+              "reclaim, so this attach fails loud rather than serving " +
+              "an artifact this build did not verify")
           }
         } else if (!awaitDone(f, done, publishWaitMs(spark))) {
           throw new java.io.IOException(

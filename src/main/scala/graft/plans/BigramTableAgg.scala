@@ -62,11 +62,12 @@ case class BigramTableAgg(
       var i = 0
       while (i < n) {
         val e = arr.getStruct(i, 3)
-        // copy: the UTF8String points into a reused unsafe buffer
+        // copy: the UTF8String points into a reused unsafe buffer.
+        // getOrDefault, never get-then-null-check: the map's value
+        // type is a primitive scala.Long, so `get` unboxes an absent
+        // key's null to 0L and a null check would be dead code
         val bg = e.getUTF8String(1).copy()
-        val c = e.getLong(2)
-        val prev = buf.get(bg)
-        buf.put(bg, if (prev == null) c else prev + c)
+        buf.put(bg, buf.getOrDefault(bg, 0L) + e.getLong(2))
         i += 1
       }
     }
@@ -79,8 +80,7 @@ case class BigramTableAgg(
     val it = b.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val prev = a.get(e.getKey)
-      a.put(e.getKey, if (prev == null) e.getValue else prev + e.getValue)
+      a.put(e.getKey, a.getOrDefault(e.getKey, 0L) + e.getValue)
     }
     a
   }

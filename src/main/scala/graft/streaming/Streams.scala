@@ -583,7 +583,19 @@ object Streams {
         .repartition(col("_b"))
         .write.mode("overwrite").partitionBy("_b").parquet(tmp)
       (0 until batches).foreach { b =>
-        val parts = new java.io.File(s"$tmp/_b=$b").listFiles()
+        // listFiles() is null (not empty) for a missing dir — an EMPTY
+        // batch (a pmod residue with no doc_ids) gets no partition dir
+        // from partitionBy, where the old per-batch writer emitted a
+        // zero-row parquet; recover that batch with one tiny write of
+        // the (empty) filtered frame instead of NPE-ing
+        val bdir = new java.io.File(s"$tmp/_b=$b")
+        if (!bdir.exists()) {
+          graft.Tables.documents(spark, dir)
+            .filter(pmod(col("doc_id"), lit(batches)) === b)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(bdir.getPath)
+        }
+        val parts = bdir.listFiles()
           .filter(_.getName.startsWith("part-"))
         require(parts.length == 1,
           s"shard staging wrote ${parts.length} files for batch $b")

@@ -274,6 +274,50 @@ class PersistedSpec extends SparkSpec {
     }
   }
 
+  test("a successor's valid _DONE survives a loser's mid-mark failure") {
+    // the retraction path must only ever touch a marker THIS build
+    // wrote: if a reclaimer takes base mid-publish and a successor
+    // re-publishes (data + its own token + its own marker) before our
+    // marker write runs, the EXCLUSIVE create must fail loud and the
+    // successor's marker must survive — overwrite-then-retract would
+    // destroy a legitimate artifact whose builder already returned
+    val artRoot = Files.createTempDirectory("graft-proot11").toString
+    spark.conf.set("spark.graft.persisted.root", s"file:$artRoot")
+    spark.conf.set("spark.graft.persisted.publishWaitMs", "200")
+    val base = Paths.get(s"$artRoot/spec-super-s1")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(c => rm(c))
+      Files.deleteIfExists(p)
+    }
+    Persisted.testBetweenTokenCheckAndMark = () => {
+      rm(base) // the reclaim takes our base...
+      Files.createDirectories(base) // ...and a successor re-publishes
+      Files.write(base.resolve("data.bin"), Array.fill[Byte](8)(9))
+      Files.write(base.resolve("_BUILD-other"), Array.emptyByteArray)
+      Files.write(base.resolve("_DONE"),
+        "_BUILD-other".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try {
+      val e = intercept[java.io.IOException] {
+        Persisted.ensure(spark, "spec-super", "s1") { staging =>
+          write(s"$staging/data.bin", 8)
+        }
+      }
+      assert(e.getMessage.contains("concurrent"), e.getMessage)
+      assert(Files.exists(base.resolve("_DONE")),
+        "the successor's marker must survive the loser's failure")
+      assert(new String(Files.readAllBytes(base.resolve("_DONE")),
+        java.nio.charset.StandardCharsets.UTF_8) == "_BUILD-other",
+        "the successor's marker content must be untouched")
+      assert(Files.exists(base.resolve("data.bin")),
+        "the successor's data must be untouched")
+    } finally {
+      Persisted.testBetweenTokenCheckAndMark = () => ()
+      spark.conf.unset("spark.graft.persisted.root")
+      spark.conf.unset("spark.graft.persisted.publishWaitMs")
+    }
+  }
+
   test("stress: builders racing a TTL reclaim converge to one valid artifact") {
     // N builders over a TTL-expired crashed base, with the janitor and
     // the reclaim path live (staleMs shorter than a build, so racers

@@ -173,6 +173,26 @@ class RobustStatsSpec extends SparkSpec {
     assert(!n(0).isNullAt(0) && n(1).isNullAt(0))
   }
 
+  test("NaN values resolve as single-valued slices, never an unterminated refinement") {
+    // NaN != NaN under ==, but all NaNs share one sortable-bits value:
+    // the degenerate-slice shortcut must use the slicing's own total
+    // order (Double.compare) or an all-NaN slice bigger than sliceCap
+    // would refine to shift 0 and die on the "unreachable" require.
+    // sliceCap=2 with 5 NaNs forces exactly that path
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0) ++ Seq.fill(5)(Double.NaN))
+      .map(("g", _)).toDF("g", "v")
+    val got = graft.ext.Quantiles.groupedExact(df, "g", "v",
+      Seq(0.2, 0.9), binadeBits = 0, sliceCap = 2)
+    val Seq((_, n, vs)) = got
+    // NaN sorts last (the comparator's order): pos 0.2*(10-1)=1.8 →
+    // interpolates reals 2.0/3.0 (same IEEE formula as the impl);
+    // pos 0.9*9=8.1 lands in the NaN run
+    val pos = 0.2 * 9
+    val expect = (2 - pos) * 2.0 + (pos - 1) * 3.0
+    assert(n == 10L && vs(0).get == expect && vs(1).get.isNaN, s"$got")
+  }
+
   test("oversized slices refine instead of failing: exact quantiles under a tiny sliceCap") {
     // the r17 code failed loud when a needed slice exceeded sliceCap;
     // bit-sliced selection REFINES it (same slicing, 13 fewer shift

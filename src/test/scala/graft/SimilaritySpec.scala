@@ -89,6 +89,18 @@ class SimilaritySpec extends SparkSpec {
     val dup = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("id", "x")
     val ok = Dedup.withSurrogateIds(dup, "id", "_sid")
     assert(ok.select("_sid").distinct().count() == 2)
+    // a NULL id gets a NULL surrogate — never xxhash64's seed, which
+    // would give every null row one shared fake identity AND trip the
+    // collision check backwards (count_distinct skips null ids but
+    // would count their shared non-null surrogate)
+    val withNull = Seq(Some("a"), Some("b"), None)
+      .zipWithIndex.map { case (id, i) => (id.orNull, i.toLong) }
+      .toDF("id", "x")
+    val kn = Dedup.withSurrogateIds(withNull, "id", "_sid")
+    assert(kn.filter(col("id").isNull).select("_sid").collect()
+      .forall(_.isNullAt(0)), "null id must map to null surrogate")
+    assert(kn.filter(col("id").isNotNull)
+      .select("_sid").distinct().count() == 2)
   }
 
   test("sign-LSH near-dups: salted kernel equals the bucket self-join") {

@@ -530,7 +530,13 @@ object Dedup {
         s"'$idCol' values map to ${c.getLong(1)} distinct surrogates " +
         "— two source ids share a 64-bit hash; use a dense-id lookup " +
         "(assign_dense_ids) instead of a hash surrogate")
-    val keyed = df.withColumn("_sid", sid)
+    // null-id rows are EXCLUDED here, not left for the kernel: the
+    // kernel reads a null long id as 0, so null-id rows would pair
+    // under one shared fake identity (and alias a real id whose
+    // xxhash64 happens to be 0) — the inner join-back would then
+    // silently drop or mislabel those pairs. Filtering matches the
+    // direct integral path's null-id contract.
+    val keyed = df.filter(col(idCol).isNotNull).withColumn("_sid", sid)
     val pairs = embeddingNearDups(keyed, "_sid", vecCol, blockCol,
       minCosine)
     val la = look.select(col("_sid").as("_ka"), col(idCol).as("_ia"))
@@ -575,9 +581,14 @@ object Dedup {
     // join semantics, made explicit: a null block key never matched
     // (null ≠ null) and a null vector produced a null cosine the
     // threshold filter dropped — neither may reach the kernel (a
-    // null-key GROUP would otherwise pair its members)
+    // null-key GROUP would otherwise pair its members). A null ID is
+    // excluded too: the kernel's getLong reads a null slot as 0, so
+    // null-id rows would pair under one shared fake identity 0 and
+    // alias any real id 0 — the join twin's `id_a < id_b` drops null
+    // ids the same way (null comparisons are never true).
     val tagged = e
-      .filter(col(blockCol).isNotNull && col(vecCol).isNotNull)
+      .filter(col(blockCol).isNotNull && col(vecCol).isNotNull &&
+        col(idCol).isNotNull)
       .withColumn("_sa", pmod(hash(col(idCol)), lit(s)))
       .join(tasks, col("_sa") === col("_i") || col("_sa") === col("_j"))
     val grouped = tagged.groupBy(col(blockCol), col("_i"), col("_j"))

@@ -67,16 +67,32 @@ object Quantiles {
     * unbounded `collect()` OOM — a grouping too high-cardinality for
     * a driver-sized result must lower `binadeBits` or is outside
     * this helper's intended regime regardless. `sliceCap` bounds
-    * pass 2: no single COLLECTED slice may exceed it — bigger needed
-    * slices refine instead (see the object doc).
+    * pass 2 PER SLICE: no single COLLECTED slice may exceed it —
+    * bigger needed slices refine instead (see the object doc). And
+    * `aggCap` bounds pass 2 IN AGGREGATE: a resolution pass gathers
+    * the union of all needed small slices, and |groups| × |positions|
+    * slices × up-to-sliceCap rows each can exceed the driver even
+    * though every individual slice is legal — so the gather is
+    * chunked into WAVES of at most `aggCap` total rows (slice counts
+    * are exact from the histogram, so the packing is arithmetic, not
+    * a probe). Each wave is one bounded job; pathological request
+    * sets cost extra bounded jobs, never a driver OOM.
     */
   def groupedOrderStats(df: DataFrame, groupCol: String,
       valueCol: String, positionsFor: (Long, Long) => Seq[Long],
       binadeBits: Int = 10,
-      sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
+      sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21,
+      aggCap: Long = 32L * 1000 * 1000):
       Seq[(String, Long, Long, Map[Long, Double])] = {
     require(binadeBits >= 0 && binadeBits <= 52,
       s"binadeBits must be in [0, 52], got $binadeBits")
+    require(sliceCap >= 1 && sliceCap <= Int.MaxValue,
+      s"sliceCap must be in [1, Int.MaxValue], got $sliceCap — slice " +
+        "values index a collected array, so a wider cap would " +
+        "silently truncate")
+    require(aggCap >= sliceCap,
+      s"aggCap ($aggCap) must be >= sliceCap ($sliceCap): a wave must " +
+        "hold at least one maximal slice")
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("double")
@@ -162,23 +178,46 @@ object Quantiles {
       val (collectable, oversized) =
         cur.partition(r => sliceC((r.gk, r.h)) <= sliceCap)
       if (collectable.nonEmpty) {
-        // membership by broadcast semi-join on the (group, slice)
-        // PAIR, never a string encoding: a concat_ws key lets a group
-        // value containing the separator alias another (group, slice),
-        // and concat_ws SKIPS a null group while the driver-side key
-        // spells "null" — either way the wrong slice population
-        // reaches the interpolation. `<=>` matches the null group.
-        val w = broadcast(
-          collectable.map(r => (r.gk, r.h)).distinct.toDF("_wg", "_wh"))
-        val got = df.select(g.as("g"), sliceAt(shift).as("h"), v.as("v"))
-          .filter(col("v").isNotNull)
-          .join(w, col("g") <=> col("_wg") && col("h") === col("_wh"),
-            "leftsemi")
-          .collect()
-          .groupBy(r => (r.getString(0), r.getLong(1)))
-          .map { case (k, rows) => (k, rows.map(_.getDouble(2)).sorted) }
-        collectable.foreach { r =>
-          out((r.gk, r.orig)) = got((r.gk, r.h))(r.within.toInt)
+        // aggregate driver cap: pack the distinct needed slices into
+        // waves of at most aggCap total rows (counts are exact from
+        // the histogram) and gather one wave per job — the union of
+        // many legal slices can exceed the driver even though each
+        // slice is under sliceCap. Greedy first-fit in slice order;
+        // every slice fits a wave because sliceCap <= aggCap.
+        val distinctSlices = collectable.map(r => (r.gk, r.h)).distinct
+        val reqsBySlice = collectable.groupBy(r => (r.gk, r.h))
+        var waves = List.empty[List[(String, Long)]]
+        var wave = List.empty[(String, Long)]
+        var waveRows = 0L
+        distinctSlices.foreach { k =>
+          val c = sliceC(k)
+          if (wave.nonEmpty && waveRows + c > aggCap) {
+            waves ::= wave; wave = Nil; waveRows = 0L
+          }
+          wave ::= k; waveRows += c
+        }
+        if (wave.nonEmpty) waves ::= wave
+        waves.foreach { wv =>
+          // membership by broadcast semi-join on the (group, slice)
+          // PAIR, never a string encoding: a concat_ws key lets a
+          // group value containing the separator alias another
+          // (group, slice), and concat_ws SKIPS a null group while
+          // the driver-side key spells "null" — either way the wrong
+          // slice population reaches the interpolation. `<=>` matches
+          // the null group.
+          val w = broadcast(wv.toDF("_wg", "_wh"))
+          val got = df.select(g.as("g"), sliceAt(shift).as("h"), v.as("v"))
+            .filter(col("v").isNotNull)
+            .join(w, col("g") <=> col("_wg") && col("h") === col("_wh"),
+              "leftsemi")
+            .collect()
+            .groupBy(r => (r.getString(0), r.getLong(1)))
+            .map { case (k, rows) => (k, rows.map(_.getDouble(2)).sorted) }
+          wv.foreach { k =>
+            reqsBySlice(k).foreach { r =>
+              out((r.gk, r.orig)) = got(k)(r.within.toInt)
+            }
+          }
         }
       }
       if (oversized.isEmpty) {
@@ -241,7 +280,8 @@ object Quantiles {
     */
   def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], binadeBits: Int = 10,
-      sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21):
+      sliceCap: Long = 8L * 1000 * 1000, histCap: Int = 1 << 21,
+      aggCap: Long = 32L * 1000 * 1000):
       Seq[(String, Long, Seq[Option[Double]])] = {
     val stats = groupedOrderStats(df, groupCol, valueCol,
       (_, nVals) =>
@@ -250,7 +290,7 @@ object Quantiles {
           val pos = q * (nVals - 1)
           Seq(pos.floor.toLong, pos.ceil.toLong)
         },
-      binadeBits, sliceCap, histCap)
+      binadeBits, sliceCap, histCap, aggCap)
     stats.map { case (gk, nTotal, nVals, at) =>
       val vals = qs.map { q =>
         if (nVals == 0) None

@@ -248,13 +248,30 @@ object Persisted {
           // may have reclaimed the husk and validly re-published, and
           // its marker must survive our failure.
           if (!f.exists(token)) {
+            // Read the marker FULLY before comparing: a single read()
+            // may return short (it is allowed to return any positive
+            // count), and a token name longer than an arbitrary buffer
+            // would compare unequal — either way ownMarker would be
+            // false for a marker this build DID write, skipping the
+            // retraction and leaving a _DONE-only husk attachable (the
+            // exact hazard this branch closes). Read expected+1 bytes
+            // to EOF: exact length AND exact bytes, or not ours.
             val ownMarker = try {
+              val expected = token.getName.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
               val in = f.open(done)
-              val buf = new Array[Byte](256)
-              val n = in.read(buf)
-              in.close()
-              n > 0 && new String(buf, 0, n,
-                java.nio.charset.StandardCharsets.UTF_8) == token.getName
+              try {
+                val buf = new Array[Byte](expected.length + 1)
+                var n = 0
+                var r = 0
+                while (n < buf.length &&
+                    { r = in.read(buf, n, buf.length - n); r >= 0 }) {
+                  n += r
+                }
+                n == expected.length &&
+                  java.util.Arrays.equals(
+                    java.util.Arrays.copyOf(buf, n), expected)
+              } finally in.close()
             } catch { case _: java.io.IOException => false }
             if (ownMarker) {
               try f.delete(done, false)

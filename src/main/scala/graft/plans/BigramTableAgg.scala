@@ -23,10 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes instead of a vocab-grain row stream plus a one-task
   * re-gather+sort; the buffer is vocab-bounded BY CONSTRUCTION (the
   * model must broadcast back anyway, so vocab-sized state per task is
-  * already this operator family's admission ticket).
+  * already this operator family's admission ticket) — and ENFORCED:
+  * `vocabCap` (set via `spark.graft.bigram.vocabCap` at call-plan
+  * time, default 2²⁴ distinct bigrams ≈ 1-2 GB of per-task map) fails
+  * loud with the knob's name in `update`/`merge` instead of letting a
+  * caller who feeds an unbounded-vocab corpus grow the map until the
+  * task OOMs undiagnosed.
   */
 case class BigramTableAgg(
     child: Expression,
+    vocabCap: Long = BigramTableAgg.DefaultVocabCap,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Long]] {
@@ -53,6 +59,14 @@ case class BigramTableAgg(
   override def createAggregationBuffer(): java.util.HashMap[UTF8String, Long] =
     new java.util.HashMap[UTF8String, Long]()
 
+  private def checkCap(buf: java.util.HashMap[UTF8String, Long]): Unit =
+    require(buf.size <= vocabCap,
+      s"graft_bigram_table buffer exceeds vocabCap ($vocabCap distinct " +
+        "bigrams): this corpus's bigram vocabulary is not bounded " +
+        "enough for a per-task model buffer — raise " +
+        "spark.graft.bigram.vocabCap if the driver/executors can hold " +
+        "it, or prune the vocabulary upstream")
+
   override def update(buf: java.util.HashMap[UTF8String, Long],
       input: InternalRow): java.util.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
@@ -61,15 +75,25 @@ case class BigramTableAgg(
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val e = arr.getStruct(i, 3)
-        // copy: the UTF8String points into a reused unsafe buffer.
-        // getOrDefault, never get-then-null-check: the map's value
-        // type is a primitive scala.Long, so `get` unboxes an absent
-        // key's null to 0L and a null check would be dead code
-        val bg = e.getUTF8String(1).copy()
-        buf.put(bg, buf.getOrDefault(bg, 0L) + e.getLong(2))
+        // graft_bigram_table is registered as a general SQL function,
+        // so a user-supplied array may carry null struct elements
+        // (graft_bigram_counts itself never emits them) — skip, don't
+        // NPE in an executor
+        if (!arr.isNullAt(i)) {
+          val e = arr.getStruct(i, 3)
+          // copy: the UTF8String points into a reused unsafe buffer.
+          // getOrDefault, never get-then-null-check: the map's value
+          // type is a primitive scala.Long, so `get` unboxes an absent
+          // key's null to 0L and a null check would be dead code
+          val bg0 = e.getUTF8String(1)
+          if (bg0 != null && !e.isNullAt(2)) {
+            val bg = bg0.copy()
+            buf.put(bg, buf.getOrDefault(bg, 0L) + e.getLong(2))
+          }
+        }
         i += 1
       }
+      checkCap(buf)
     }
     buf
   }
@@ -82,6 +106,7 @@ case class BigramTableAgg(
       val e = it.next()
       a.put(e.getKey, a.getOrDefault(e.getKey, 0L) + e.getValue)
     }
+    checkCap(a)
     a
   }
 
@@ -145,4 +170,16 @@ case class BigramTableAgg(
     copy(child = newChildren.head)
 
   override def prettyName: String = "graft_bigram_table"
+}
+
+object BigramTableAgg {
+  /** 2²⁴ distinct bigrams — far above any bounded-vocab model (BPE
+    * vocabs are ≤10⁶; their bigram tables a few ×10⁶) yet small
+    * enough that a buffer at the cap still fits a task. The knob
+    * exists so a past-cap corpus fails with a NAME, not a task OOM.
+    */
+  val DefaultVocabCap: Long = 1L << 24
+
+  /** Conf knob read at call-plan time (driver side). */
+  val VocabCapKey = "spark.graft.bigram.vocabCap"
 }

@@ -273,7 +273,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BigramTableAgg].getName, "graft_bigram_table"),
     (children: Seq[Expression]) => {
       requireArity(children, 1, "graft_bigram_table(bc)")
-      BigramTableAgg(children.head)
+      // the builder runs at analysis time on the driver, so the knob
+      // rides the expression to executors as a constructor value
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(BigramTableAgg.VocabCapKey,
+          BigramTableAgg.DefaultVocabCap.toString).toLong
+      BigramTableAgg(children.head, vocabCap = cap)
     })
 
   /** `graft_shingle_explode(tokens, n)` — generator; n is a literal. */

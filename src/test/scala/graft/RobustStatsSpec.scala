@@ -146,6 +146,42 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.size == 50 && got("g7") == 7.0 && got("g50") == 50.0)
   }
 
+  test("grouped quantiles: pass-2 gathers are wave-chunked under aggCap, never one union collect") {
+    // r18 capped each COLLECTED slice at sliceCap but gathered the
+    // UNION of all needed slices in one collect — |groups| ×
+    // |positions| slices × up-to-sliceCap rows each could exceed the
+    // driver even though every slice was legal. r19 packs the needed
+    // slices into waves of at most aggCap rows (counts are exact from
+    // the histogram). aggCap = sliceCap = 10 on 20 groups × 9
+    // multi-value binade slices forces ~20 single-slice waves; the
+    // answers must still match the percentile aggregate bit-for-bit
+    import spark.implicits._
+    val rows = for { gi <- 1 to 20; i <- 1 to 9 }
+      yield (s"g$gi", 100.0 + gi * 3.7 + i * 1.1)
+    val df = rows.toDF("g", "v")
+    val got = graft.ext.Quantiles.groupedExact(df, "g", "v",
+        Seq(0.25, 0.75), binadeBits = 0, sliceCap = 10, aggCap = 10)
+      .map { case (g, _, vs) => (g, vs.map(_.get)) }.toMap
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.25D, 0.75D))").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toSeq)).toMap
+    assert(got == want, s"$got vs $want")
+    // the envelope params are contracts: slice values index a
+    // collected array (sliceCap must fit an Int), and a wave must be
+    // able to hold one maximal slice (aggCap >= sliceCap)
+    val tooWide = intercept[IllegalArgumentException] {
+      graft.ext.Quantiles.groupedExact(df, "g", "v", Seq(0.5),
+        sliceCap = Int.MaxValue.toLong + 1)
+    }
+    assert(tooWide.getMessage.contains("sliceCap"), tooWide.getMessage)
+    val inverted = intercept[IllegalArgumentException] {
+      graft.ext.Quantiles.groupedExact(df, "g", "v", Seq(0.5),
+        sliceCap = 100, aggCap = 50)
+    }
+    assert(inverted.getMessage.contains("aggCap"), inverted.getMessage)
+  }
+
   test("graft_sortable_bits is order-isomorphic to Double.compare on the edge doubles") {
     import spark.implicits._
     // the slicing's whole correctness argument: f monotone ⇔ any

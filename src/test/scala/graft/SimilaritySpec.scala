@@ -103,6 +103,32 @@ class SimilaritySpec extends SparkSpec {
       .select("_sid").distinct().count() == 2)
   }
 
+  test("null-id rows never reach the pair kernel on either id path") {
+    import spark.implicits._
+    // the kernel's getLong reads a null id slot as 0, so null-id rows
+    // would pair under ONE shared fake identity 0 (and alias a real id
+    // 0 / an id whose xxhash64 is 0). Two identical-vector null-id
+    // rows are the trap: unfiltered they emit a (0, 0) pair
+    val rows = Seq((Option(1L), Seq(1.0f, 0.0f)),
+      (Option(2L), Seq(1.0f, 0.0f)),
+      (Option.empty[Long], Seq(1.0f, 0.0f)),
+      (Option.empty[Long], Seq(1.0f, 0.0f)))
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val direct = Dedup.embeddingNearDups(rows, "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct == Seq((1L, 2L)), s"direct path: $direct")
+    val sRows = rows.withColumn("sid",
+      when(col("vec_id").isNotNull, concat(lit("doc-"), col("vec_id"))))
+    val surr = Dedup.embeddingNearDupsSurrogate(sRows, "sid", "embedding",
+        blockCol = "label", minCosine = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(surr == Seq(("doc-1", "doc-2")), s"surrogate path: $surr")
+  }
+
   test("sign-LSH near-dups: salted kernel equals the bucket self-join") {
     val nd = SignLsh.nearDupPairs(emb, "vec_id", "embedding",
       bits = 4, minCosine = 0.25)

@@ -69,6 +69,44 @@ class TextScoringSpec extends SparkSpec {
     assert(nat.exceptAll(comp).isEmpty && comp.exceptAll(nat).isEmpty)
   }
 
+  test("graft_bigram_table: null elements skipped, vocab cap fails loud with the knob's name") {
+    // graft_bigram_table is registered as a general SQL function, so a
+    // user-supplied array may carry null struct elements / null fields
+    // (graft_bigram_counts never emits them) — skip, never NPE in an
+    // executor task
+    val withNulls = spark.sql(
+      "select graft_bigram_table(bc) t from (select array(" +
+        "named_struct('w1','a','bg','a b','c',2L), " +
+        "cast(null as struct<w1:string,bg:string,c:bigint>), " +
+        "named_struct('w1','x','bg',cast(null as string),'c',5L), " +
+        "named_struct('w1','b','bg','b c','c',1L)) bc)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(withNulls.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a b", 2L), ("b c", 1L)))
+    // the vocab-bounded buffer is an ENFORCED contract: past
+    // spark.graft.bigram.vocabCap the task fails with the knob's name,
+    // not an undiagnosed OOM
+    spark.conf.set(graft.plans.BigramTableAgg.VocabCapKey, "1")
+    try {
+      val e = intercept[Throwable] {
+        spark.sql(
+          "select graft_bigram_table(bc) from (select array(" +
+            "named_struct('w1','a','bg','a b','c',1L), " +
+            "named_struct('w1','b','bg','b c','c',1L)) bc)").collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("vocabCap"), msgs)
+    } finally spark.conf.unset(graft.plans.BigramTableAgg.VocabCapKey)
+    // default cap restored: the same frame answers
+    val ok = spark.sql(
+      "select graft_bigram_table(bc) t from (select array(" +
+        "named_struct('w1','a','bg','a b','c',1L), " +
+        "named_struct('w1','b','bg','b c','c',1L)) bc)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(ok.length == 2)
+  }
+
   test("text_bm25 native equals the composed window form on the corpus") {
     val docs = Tables.documents(spark, sf)
     val nat = graft.ext.TfIdf.bm25TopTerms(docs, "doc_id", "text", k = 3)

@@ -194,16 +194,28 @@ object Sampling {
     * rows — dedup first (`dedup_exact` is the operator for that).
     */
   def shuffleShards(df: DataFrame, idCol: String, docsPerShard: Int,
-      seed: String, partitions: Int = 0): DataFrame = {
+      seed: String, partitions: Int = 0): DataFrame =
+    shuffleShardsCounted(df, idCol, docsPerShard, seed, partitions)._1
+
+  /** [[shuffleShards]] plus the total row count, which the rank's own
+    * counts pass already computed on the driver — callers that need
+    * |df| alongside the coordinates (the shard-append sink derives its
+    * sealed-shard count from it) read it here for free instead of
+    * paying a separate count() job per call/batch.
+    */
+  private[graft] def shuffleShardsCounted(df: DataFrame, idCol: String,
+      docsPerShard: Int, seed: String, partitions: Int = 0):
+      (DataFrame, Long) = {
     require(docsPerShard >= 1, "need a positive shard size")
     val key = conv(substring(md5(
         concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    globalRank(df.select(col(idCol)).withColumn("_k", key),
-        Seq(col("_k"), col(idCol)), partitions)
-      .select(col(idCol), col("_k").as("shuffle_key"),
-        floor(col("_pos") / docsPerShard).cast("long").as("shard"),
-        pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard"))
+    val (ranked, n) = globalRankCounted(
+      df.select(col(idCol)).withColumn("_k", key),
+      Seq(col("_k"), col(idCol)), partitions)
+    (ranked.select(col(idCol), col("_k").as("shuffle_key"),
+      floor(col("_pos") / docsPerShard).cast("long").as("shard"),
+      pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard")), n)
   }
 
   /** The two-level distributed global rank both shard builders share
@@ -216,7 +228,15 @@ object Sampling {
     * global rank) alongside the input columns.
     */
   private def globalRank(df: DataFrame, order: Seq[Column],
-      partitions: Int): DataFrame = {
+      partitions: Int): DataFrame =
+    globalRankCounted(df, order, partitions)._1
+
+  /** [[globalRank]] returning the total row count too — the counts
+    * pass collects it to the driver anyway (Σ per-partition counts);
+    * exposing it saves callers a separate count() job over the input.
+    */
+  private def globalRankCounted(df: DataFrame, order: Seq[Column],
+      partitions: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -233,11 +253,11 @@ object Sampling {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(order: _*)
-    ranged
+    (ranged
       .withColumn("_pos",
         row_number().over(w).cast("long") +
           element_at(typedlit(offsets), col("_pid")) - 1L)
-      .drop("_pid")
+      .drop("_pid"), counts.map(_._2).sum)
   }
 
   /** Mixture-weighted deterministic corpus order → training shards:

@@ -542,16 +542,17 @@ object Streams {
         .filter(col("b") < id)
         .agg(coalesce(sum(col("shards")), lit(0L)))
         .head().getLong(0)
-    val coords = graft.ext.Sampling.shuffleShards(
-      b.select("doc_id"), "doc_id", docsPerShard, seed)
     // shards sealed = ceil(n / docsPerShard) by construction (positions
-    // are dense 0..n-1, shard = pos / docsPerShard) — one cheap count
-    // of the batch, NOT an aggregate over coords, which would run the
-    // whole two-pass global rank a second time before the join below
-    // recomputes it (per-batch fixed cost is the streaming family's
-    // dominant floor; see the COVERAGE adjudication)
-    val nSealed =
-      (b.count() + docsPerShard - 1) / docsPerShard
+    // are dense 0..n-1, shard = pos / docsPerShard); n comes FREE from
+    // the rank's own counts pass (Σ per-partition counts, already on
+    // the driver) — no separate count() job per batch, and no
+    // aggregate over coords, which would run the whole two-pass global
+    // rank a second time before the join below recomputes it
+    // (per-batch fixed cost is the streaming family's dominant floor;
+    // see the COVERAGE adjudication)
+    val (coords, nRows) = graft.ext.Sampling.shuffleShardsCounted(
+      b.select("doc_id"), "doc_id", docsPerShard, seed)
+    val nSealed = (nRows + docsPerShard - 1) / docsPerShard
     b.join(coords.drop("shuffle_key"), "doc_id")
       .withColumn("shard", col("shard") + lit(offset))
       .withColumn("arrival_batch", lit(id))

@@ -158,13 +158,28 @@ object PpJoin {
   def pairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       minJaccard: Double): DataFrame = {
     val sets = canonicalSets(df, idCol, textCol, shingleN)
-    val xa = sets.select(col("_id").as("id_a"), col("_stoks").as("_ta"),
-      col("_sz").as("_verify_sza"))
-    val xb = sets.select(col("_id").as("id_b"), col("_stoks").as("_tb"),
-      col("_sz").as("_verify_szb"))
+    // verify ships each set LEXICOGRAPHICALLY sorted (one array_sort
+    // per doc, before the candidate join fans it out) so the overlap
+    // is a native zero-allocation merge (graft_sorted_overlap) rather
+    // than a per-pair hash-set build — the r19 phase split measured
+    // array_intersect at ~95% of the verify stage, which is ~80% of
+    // the whole query. The merge early-exits once the pair provably
+    // can't reach the threshold: the exit bound uses t − 5e-5 (the
+    // final compare quantizes jaccard to 4 decimals HALF_UP, so
+    // J >= t − 5e-5 is exactly "rounded J >= t") minus the same 1e-9
+    // FP slack the candidate filter documents — it can only be WEAK,
+    // never drop a qualifying pair; any kept pair's count is exact.
+    val xa = sets.select(col("_id").as("id_a"),
+      array_sort(col("_stoks")).as("_ta"), col("_sz").as("_verify_sza"))
+    val xb = sets.select(col("_id").as("id_b"),
+      array_sort(col("_stoks")).as("_tb"), col("_sz").as("_verify_szb"))
+    val tq = minJaccard - 5e-5
+    val req = ceil(lit(tq / (1.0 + tq)) *
+      (col("_verify_sza") + col("_verify_szb")) - lit(1e-9))
     candidates(sets, minJaccard)
       .join(xa, "id_a").join(xb, "id_b")
-      .withColumn("_inter", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("_inter",
+        call_function("graft_sorted_overlap", col("_ta"), col("_tb"), req))
       .withColumn("jaccard", round(col("_inter").cast("double") /
         (col("_verify_sza") + col("_verify_szb") - col("_inter"))
           .cast("double"), 4))

@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dsirBucketsFunction)
     e.injectFunction(GraftExtensions.dsirScoreFunction)
     e.injectFunction(GraftExtensions.sortableBitsFunction)
+    e.injectFunction(GraftExtensions.sortedOverlapFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
@@ -399,6 +400,14 @@ object GraftExtensions {
       SortableBits(children.head)
     })
 
+  private val sortedOverlapFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_overlap"),
+    new ExpressionInfo(classOf[SortedOverlap].getName, "graft_sorted_overlap"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 3, "graft_sorted_overlap(a, b, req)")
+      SortedOverlap(children(0), children(1), children(2))
+    })
+
   /** `graft_tfidf_topk(tc, model, k)` — k is a literal. */
   private val tfidfTopKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_tfidf_topk"),
@@ -434,7 +443,7 @@ object GraftExtensions {
         bm25TopKFunction, perplexityFunction, prefixC1Function,
         perplexityModelFunction, cosinePairsFunction, assignNearestFunction,
         tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction,
-        sortableBitsFunction)
+        sortableBitsFunction, sortedOverlapFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

@@ -37,6 +37,43 @@ class PpJoinSpec extends SparkSpec {
     assert(got.nonEmpty, "testdata should contain near-duplicate docs")
   }
 
+  test("graft_sorted_overlap: exact merge count, safe early exit, null poisoning") {
+    import spark.implicits._
+    // random distinct sorted string arrays (empty included); ground
+    // truth per row = size(array_intersect) on the same columns
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 60).map(n => f"w$n%02d")
+    val rows = (1 to 300).map { _ =>
+      (rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted,
+        rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("want", size(array_intersect(col("a"), col("b"))))
+    // req = 0 disables the exit → always the exact count
+    val exact = df.withColumn("got",
+      call_function("graft_sorted_overlap", col("a"), col("b"), lit(0L)))
+    assert(exact.filter(col("got") =!= col("want")).isEmpty)
+    // req = true count: the bound (an upper bound on the final count)
+    // can never dip below it → still the exact count, never −1
+    val atReq = df.withColumn("got", call_function("graft_sorted_overlap",
+      col("a"), col("b"), col("want").cast("long")))
+    assert(atReq.filter(col("got") =!= col("want")).isEmpty)
+    // req = true count + 1: −1 (provably below req) or the exact count
+    // — never a wrong non-sentinel value
+    val overReq = df.withColumn("got", call_function("graft_sorted_overlap",
+      col("a"), col("b"), (col("want") + 1).cast("long")))
+    assert(overReq
+      .filter(col("got") =!= lit(-1) && col("got") =!= col("want"))
+      .isEmpty)
+    // null array and null element both poison to NULL (the set compare
+    // is undefined), mirroring array_intersect's null-array semantics
+    val nulls = spark.sql(
+      """SELECT graft_sorted_overlap(array('a', 'b'), CAST(NULL AS ARRAY<STRING>), 0L) AS x,
+        |       graft_sorted_overlap(array('a', CAST(NULL AS STRING)), array('a', 'b'), 0L) AS y""".stripMargin)
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("prefix filter prunes the candidate space hard") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

@@ -426,6 +426,67 @@ object Dedup {
     */
   def fuzzyPairsBlocked(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, prefixLen: Int, maxDist: Int): DataFrame = {
+    // r19 shape: the SAME salted decomposition + grouped native pair
+    // kernel as [[embeddingNearDupsUnit]] (the r16 cosine rewrite),
+    // for the same two reasons — the blocked self-join caps
+    // parallelism at |blocks| and bills ~2 µs/pair of join-row
+    // machinery, several times the banded DP's own cost on short
+    // prefixes. graft_edit_pairs unpacks each group's prefixes once
+    // and runs the n²/2 thresholded distances in a tight loop,
+    // calling Spark's own UTF8String.levenshteinDistance(other, k) —
+    // bit-parity with the joined twin below, which stays as the
+    // spec's equality reference and the oracle's derivation.
+    val idType = df.schema(idCol).dataType
+    require(idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"fuzzy near-dup ids ride the pair kernel as longs; '$idCol' " +
+      s"must be an integral column, got $idType — map string/UUID ids " +
+      "to a surrogate long first (a silent cast would null them out)")
+    val spark = df.sparkSession
+    val s = spark.conf.getOption("spark.graft.pairs.salts")
+      .map(_.toInt).getOrElse(8)
+    import spark.implicits._
+    val tasks = broadcast(
+      (for { i <- 0 until s; j <- i until s } yield (i, j))
+        .toDF("_i", "_j"))
+    // null semantics of the joined twin, made explicit before the
+    // kernel: a null block never matched (null ≠ null), a null prefix
+    // (null text) produced a null distance the filter dropped, and a
+    // null id never satisfied id_a < id_b — none may reach the kernel
+    // (a null-key group would pair its members; the kernel reads a
+    // null long slot as 0, aliasing a real id 0)
+    val p = df.select(col(blockCol), col(idCol),
+        substring(col(textCol), 1, prefixLen).as("_p"))
+      .filter(col(blockCol).isNotNull && col("_p").isNotNull &&
+        col(idCol).isNotNull)
+      .withColumn("_sa", pmod(hash(col(idCol)), lit(s)))
+      .join(tasks, col("_sa") === col("_i") || col("_sa") === col("_j"))
+    val grouped = p.groupBy(col(blockCol), col("_i"), col("_j"))
+      .agg(
+        collect_list(when(col("_sa") === col("_i"),
+          struct(col(idCol).cast("long").as("id"), col("_p").as("p"))))
+          .as("_a"),
+        collect_list(when(col("_sa") === col("_j") && col("_i") =!= col("_j"),
+          struct(col(idCol).cast("long").as("id"), col("_p").as("p"))))
+          .as("_b"))
+    grouped.select(
+        explode(call_function("graft_edit_pairs", col("_a"), col("_b"),
+          col("_i") === col("_j"), lit(maxDist))).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"),
+        col("e.edit_dist").as("edit_dist"))
+  }
+
+  /** The blocked self-join form of [[fuzzyPairsBlocked]] — the
+    * derivation the DuckDB oracle replays, kept as the equality twin
+    * for the salted-kernel rewrite's spec and scale A/B.
+    */
+  private[graft] def fuzzyPairsJoined(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, prefixLen: Int,
+      maxDist: Int): DataFrame = {
     val p = df.select(col(blockCol), col(idCol),
       substring(col(textCol), 1, prefixLen).as("_p"))
     val a = p.select(col(blockCol), col(idCol).as("id_a"), col("_p").as("_pa"))

@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dsirScoreFunction)
     e.injectFunction(GraftExtensions.sortableBitsFunction)
     e.injectFunction(GraftExtensions.sortedOverlapFunction)
+    e.injectFunction(GraftExtensions.editPairsFunction)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => PrefixPairsStrategy)
     // the optimizer rule must ride the production path too: without it
@@ -408,6 +409,20 @@ object GraftExtensions {
       SortedOverlap(children(0), children(1), children(2))
     })
 
+  /** `graft_edit_pairs(a, b, same, maxDist)` — maxDist is a literal
+    * (it parameterizes the banded DP, plan-time fixed like
+    * graft_cosine_pairs' threshold).
+    */
+  private val editPairsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_edit_pairs"),
+    new ExpressionInfo(classOf[EditPairs].getName, "graft_edit_pairs"),
+    (children: Seq[Expression]) => {
+      requireArity(children, 4, "graft_edit_pairs(a, b, same, maxDist)")
+      val k = intLit(children(3), "graft_edit_pairs", "maxDist")
+      require(k >= 0, s"graft_edit_pairs: maxDist must be >= 0, got $k")
+      EditPairs(children(0), children(1), children(2), k)
+    })
+
   /** `graft_tfidf_topk(tc, model, k)` — k is a literal. */
   private val tfidfTopKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_tfidf_topk"),
@@ -443,7 +458,7 @@ object GraftExtensions {
         bm25TopKFunction, perplexityFunction, prefixC1Function,
         perplexityModelFunction, cosinePairsFunction, assignNearestFunction,
         tfidfTopKFunction, dsirBucketsFunction, dsirScoreFunction,
-        sortableBitsFunction, sortedOverlapFunction)
+        sortableBitsFunction, sortedOverlapFunction, editPairsFunction)
       .foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           ident.funcName, builder, "built-in")

@@ -30,6 +30,60 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pairs.salts")
   }
 
+  test("fuzzy near-dups: salted grouped edit kernel equals the blocked self-join") {
+    // the r19 rewrite (salt decomposition + graft_edit_pairs, the
+    // CosinePairs family applied to thresholded levenshtein) must emit
+    // EXACTLY the blocked self-join's pairs — same ids, same
+    // distances (the kernel calls Spark's own
+    // UTF8String.levenshteinDistance) — and stay exact under a
+    // different salt count
+    val docs = Tables.documents(spark, sf)
+    val nd = Dedup.fuzzyPairsBlocked(docs, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 12)
+    val tw = Dedup.fuzzyPairsJoined(docs, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 12)
+    assert(nd.exceptAll(tw).isEmpty && tw.exceptAll(nd).isEmpty)
+    spark.conf.set("spark.graft.pairs.salts", "3")
+    try {
+      val nd3 = Dedup.fuzzyPairsBlocked(docs, "doc_id", "text",
+        blockCol = "source", prefixLen = 40, maxDist = 12)
+      assert(nd3.exceptAll(tw).isEmpty && tw.exceptAll(nd3).isEmpty,
+        "the pair set must be salt-count invariant")
+    } finally spark.conf.unset("spark.graft.pairs.salts")
+  }
+
+  test("fuzzy near-dups: null text/block/id rows and string ids behave like the twin") {
+    import spark.implicits._
+    // null text → null prefix (null distance in the twin), null block
+    // never joins, null id never satisfies id_a < id_b — the kernel
+    // path must drop all three the same way, and emit the planted
+    // near-pair exactly once with the exact distance
+    val planted = Seq(
+      (java.lang.Long.valueOf(1L), "the quick brown fox jumps", "s1"),
+      (java.lang.Long.valueOf(2L), "the quick brown fox jumped", "s1"),
+      (java.lang.Long.valueOf(3L), "a completely different text here", "s1"),
+      (java.lang.Long.valueOf(4L), "the quick brown fox jumps", "s2"),
+      (java.lang.Long.valueOf(5L), null.asInstanceOf[String], "s1"),
+      (java.lang.Long.valueOf(6L), "the quick brown fox", null),
+      (null.asInstanceOf[java.lang.Long], "the quick brown fox jumps", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.fuzzyPairsBlocked(planted, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 12)
+    val tw = Dedup.fuzzyPairsJoined(planted, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 12)
+    assert(got.exceptAll(tw).isEmpty && tw.exceptAll(got).isEmpty)
+    assert(got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L, 2L)))
+    // ids ride the kernel as longs — string ids must fail loud, never
+    // cast-to-null into garbage pairs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyPairsBlocked(
+        planted.withColumn("doc_id", concat(lit("d-"), col("doc_id"))),
+        "doc_id", "text", blockCol = "source", prefixLen = 40, maxDist = 12)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("embedding near-dups: a poisoned (NaN) embedding is dropped, not fatal") {
     import spark.implicits._
     // one NaN component used to reach the kernel's BigDecimal rounding

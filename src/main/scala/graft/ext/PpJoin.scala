@@ -173,10 +173,30 @@ object PpJoin {
     // J >= t − 5e-5 is exactly "rounded J >= t") minus the same 1e-9
     // FP slack the candidate filter documents — it can only be WEAK,
     // never drop a qualifying pair; any kept pair's count is exact.
+    // sort_array, NOT array_sort: the latter desugars to an ArraySort
+    // with a lambda comparator evaluated per comparison (~10 s per
+    // broadcast side at a 10× corpus, swamping the kernel win);
+    // SortArray compares with the native type ordering. Same binary
+    // string order; the null-element placement difference is moot
+    // (shingle sets have no null elements).
+    //
+    // shuffle_hash, not the planner's default: `sets` is a
+    // localCheckpoint with no honest stats, so Spark BROADCASTS this
+    // side at any corpus size — 450 MB per side at a 30× corpus
+    // (driver collect + every-worker ship; on a real cluster, an OOM
+    // waiting for a bigger corpus). The measured trade (r19
+    // ProfilePpJoinShj): a wash at sf0.1 (1.07 vs 1.12 s), and at 30×
+    // the shuffle is STABLE (14.5/15.1 s) where the broadcast is
+    // bimodal (10.6 s in a clean JVM, 76.8 s under the driver GC
+    // churn the 2×450 MB relations themselves cause). The exchange
+    // ships |pairs|·array once — bounded by the candidate discipline
+    // — instead of |workers|·|docs|·array.
     val xa = sets.select(col("_id").as("id_a"),
-      array_sort(col("_stoks")).as("_ta"), col("_sz").as("_verify_sza"))
+        sort_array(col("_stoks")).as("_ta"), col("_sz").as("_verify_sza"))
+      .hint("shuffle_hash")
     val xb = sets.select(col("_id").as("id_b"),
-      array_sort(col("_stoks")).as("_tb"), col("_sz").as("_verify_szb"))
+        sort_array(col("_stoks")).as("_tb"), col("_sz").as("_verify_szb"))
+      .hint("shuffle_hash")
     val tq = minJaccard - 5e-5
     val req = ceil(lit(tq / (1.0 + tq)) *
       (col("_verify_sza") + col("_verify_szb")) - lit(1e-9))

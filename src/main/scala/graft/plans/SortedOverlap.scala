@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * value `>= req` is the EXACT count. `req <= 0` disables the exit
   * (the full exact count always returns). Inputs must be sorted
   * ascending by Spark's binary string order with distinct elements —
-  * [[graft.ext.PpJoin]] builds them with `array_sort` — and the
+  * [[graft.ext.PpJoin]] builds them with `sort_array` (the native
+  * SortArray ordering, NOT the lambda-comparator `array_sort`) — and the
   * result is undefined otherwise (garbage-in; never a crash). NULL
   * arrays and NULL elements yield NULL, mirroring `array_intersect`'s
   * null-poisoning of a set compare this operator replaces.

@@ -41,9 +41,9 @@ object ProfilePpJoinPhases {
     // join back by id, native sorted-merge overlap with early exit
     def verify(): DataFrame = {
       val xa = sets.select(col("_id").as("id_a"),
-        array_sort(col("_stoks")).as("_ta"), col("_sz").as("_verify_sza"))
+        sort_array(col("_stoks")).as("_ta"), col("_sz").as("_verify_sza"))
       val xb = sets.select(col("_id").as("id_b"),
-        array_sort(col("_stoks")).as("_tb"), col("_sz").as("_verify_szb"))
+        sort_array(col("_stoks")).as("_tb"), col("_sz").as("_verify_szb"))
       val tq = 0.5 - 5e-5
       val req = ceil(lit(tq / (1.0 + tq)) *
         (col("_verify_sza") + col("_verify_szb")) - lit(1e-9))

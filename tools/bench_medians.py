@@ -91,8 +91,36 @@ JOB_FLOOR_EXPLICIT = {
     # same hover class, crossed on the r15 slow-phase run (1.32 s, twin
     # 0.10 s — two tiny sorted-distribution aggregates)
     "drift_ks",
+    # r19: job-floor rows that outran even the canary-scaled threshold
+    # on a x1.36 host phase (suite 220 -> 301 s, DuckDB 328 -> 431 s —
+    # both engines together; none of this code changed in r19, and all
+    # five sat at 0.91-1.18 s under the plain 1.3 s threshold in the
+    # r18-committed medians). Multi-job rows compound per-job drift
+    # beyond the single-job canary (x1.27 that run): window family =
+    # shuffle+sort+window over 60 k rows (twins 0.09-0.42 s),
+    # assign_dense_ids = two-pass zipWithIndex, corpus_pipeline curve
+    # 3.2x -> 1.5x by 10x (COVERAGE r10), dedup_embedding_lsh =
+    # persisted-index probe machinery (twin 64 ms).
+    "window_running", "window_rolling_7d", "window_first_occurrence",
+    "assign_dense_ids", "corpus_pipeline", "dedup_embedding_lsh",
 }
+# Host-relative job-floor threshold (r19): the floor is a property of
+# the HOST (job launch + codegen + exchange setup), so the cutoff
+# scales with the same canary the artifact already carries — median
+# canary seconds over the pinned 0.25 s, clamped to [1, 3] (past 3x
+# the runs are stamped degraded and should not be read at all).
 JOB_FLOOR_MAX_SPARK_SEC = 1.3
+
+
+def host_factor(canary: dict) -> float:
+    try:
+        samples = [x for run in canary["per_run"] for x in run
+                   if isinstance(x, (int, float))]
+        pin = canary.get("pin_sec") or 0.25
+        f = statistics.median(samples) / pin
+        return min(max(f, 1.0), 3.0)
+    except (KeyError, TypeError, ZeroDivisionError, statistics.StatisticsError):
+        return 1.0
 CLASS_EVIDENCE = {
     "streaming-machinery":
         "COVERAGE.md 'Streaming micro-batch fixed cost (verdict #3)': "
@@ -117,14 +145,15 @@ CLASS_EVIDENCE = {
 }
 
 
-def classify(name: str, spark_sec: float) -> str:
+def classify(name: str, spark_sec: float, factor: float = 1.0) -> str:
     if name in WRITE_LIFECYCLE:
         return "write-lifecycle"
     if name.startswith("streaming_"):
         return "streaming-machinery"
     if name in DATA_DOMINATED:
         return "data-dominated"
-    if name in JOB_FLOOR_EXPLICIT or spark_sec <= JOB_FLOOR_MAX_SPARK_SEC:
+    if (name in JOB_FLOOR_EXPLICIT
+            or spark_sec <= JOB_FLOOR_MAX_SPARK_SEC * factor):
         return "job-floor"
     return "unadjudicated"
 
@@ -183,9 +212,10 @@ def reclassify() -> int:
     out = os.path.join(REPO, "bench_medians.json")
     with open(out) as f:
         artifact = json.load(f)
+    factor = host_factor(artifact.get("canary", {}))
     for n, q in artifact["queries"].items():
         if not q["failed"]:
-            q["class"] = classify(n, q["spark_sec"])
+            q["class"] = classify(n, q["spark_sec"], factor)
     artifact["class_evidence"] = CLASS_EVIDENCE
     artifact["unadjudicated"] = sorted(
         n for n, q in artifact["queries"].items()
@@ -209,6 +239,10 @@ def main() -> int:
     names = sorted(benches[0]["queries"])
     failed = sorted({q for b in benches for q in b.get("failed", [])})
     no_oracle = sorted(set(names) - set(oracles))
+    factor = host_factor({
+        "pin_sec": benches[0].get("canary_pin"),
+        "per_run": [b.get("canary_sec") for b in benches],
+    })
     queries = {}
     for n in names:
         # a failed query's timing is the time-to-crash, not the work —
@@ -229,7 +263,8 @@ def main() -> int:
             # it to the cost-class adjudication (fast crash would read
             # as "job-floor", a slow unlisted crash as a bogus
             # unadjudicated warning)
-            "class": "failed" if n in failed else classify(n, abs(spark_med)),
+            "class": "failed" if n in failed
+                     else classify(n, abs(spark_med), factor),
             "failed": n in failed,
         }
     ok = {n: q for n, q in queries.items()

@@ -40,7 +40,7 @@ object KMeans {
       .groupBy(col("cluster"), col("_pos"))
       .agg(round(avg(col("_x")), 4).as("_m"))
       .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
       .select(col("cluster"),
         transform(col("_pm"), s => s.getField("_m")).as("_centroid"))
 

@@ -58,7 +58,12 @@ object PpJoin {
     val dfreq = post.groupBy("_tok").agg(count(lit(1)).as("_df"))
     post.join(dfreq, "_tok")
       .groupBy(col("_id"))
-      .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
+      // sort_array, not array_sort: identical field-by-field struct
+      // order, but SortArray compares with the native interpreted
+      // ordering while array_sort evaluates a lambda comparator per
+      // comparison (the r19 verify-side finding, same hazard here on
+      // the per-doc canonical sort)
+      .agg(sort_array(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
       .select(col("_id"),
         transform(col("_st"), s => s.getField("_tok")).as("_stoks"))
       .withColumn("_sz", size(col("_stoks")))

@@ -56,7 +56,12 @@ object Pq {
       .groupBy(col("sub"), col("_cell").as("cw"), col("_pos"))
       .agg(round(avg(col("_x")), 4).as("_mv"))
       .groupBy(col("sub"), col("cw"))
-      .agg(array_sort(collect_list(struct(col("_pos"), col("_mv")))).as("_pm"))
+      // sort_array, not array_sort, here and at every (key, value)
+      // struct re-collect in this family: the sort key is a unique
+      // non-null ordinal per list, so the native SortArray ordering is
+      // exactly array_sort's — minus the per-comparison lambda
+      // evaluation (the r19 PPJoin finding: ~3 ns vs ~200 ns/compare)
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_mv")))).as("_pm"))
       .select(col("sub"), col("cw"),
         transform(col("_pm"), s => s.getField("_mv")).as("_cw"))
       // dense positional code per subspace: the LUT below is ordered by
@@ -109,7 +114,7 @@ object Pq {
       .agg(min(col("_pk")).as("_pk"))
       .withColumn("code", (col("_pk") % 65536L).cast("int"))
       .groupBy(col("c_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("_sc"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("_sc"))
       .select(col("c_id"),
         transform(col("_sc"), s => s.getField("code")).as("_codes"))
   }
@@ -200,10 +205,10 @@ object Pq {
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("_dp", Vectors.dot(col("_sv"), col("_cw")))
       .groupBy(col("q_id"), col("sub"))
-      .agg(array_sort(collect_list(struct(col("cw"), col("_dp")))).as("_cd"))
+      .agg(sort_array(collect_list(struct(col("cw"), col("_dp")))).as("_cd"))
       .withColumn("_l", transform(col("_cd"), s => s.getField("_dp")))
       .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("_l")))).as("_sl"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("_l")))).as("_sl"))
       .select(col("q_id"),
         transform(col("_sl"), s => s.getField("_l")).as("_lut"))
     // ADC: m lookups + adds per (query, corpus row), fixed subspace

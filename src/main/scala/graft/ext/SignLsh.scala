@@ -160,7 +160,7 @@ object SignLsh {
           .otherwise(lit("0")))
       .groupBy(col(idCol), col("_t"))
       .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("_p"), col("_bit")))),
+        sort_array(collect_list(struct(col("_p"), col("_bit")))),
         s => s.getField("_bit"))).as("_bucket"))
     val va = e.select(col(idCol).as("id_a"), col("_u").as("_ua"))
     val vb = e.select(col(idCol).as("id_b"), col("_u").as("_ub"))
@@ -180,7 +180,7 @@ object SignLsh {
       val codes = sig
         .withColumn("_code", conv(col("_bucket"), 2, 10).cast("int"))
         .groupBy(col(idCol))
-        .agg(transform(array_sort(collect_list(struct(col("_t"), col("_code")))),
+        .agg(transform(sort_array(collect_list(struct(col("_t"), col("_code")))),
           s => s.getField("_code")).as("_codes"))
         .localCheckpoint()
       val posts = codes.select(col(idCol),

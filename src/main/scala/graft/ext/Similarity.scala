@@ -87,7 +87,7 @@ object Similarity {
       .groupBy(col("_cell"), col("_pos"))
       .agg(round(avg(col("_x")), 4).as("_m"))
       .groupBy(col("_cell"))
-      .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
       .select(col("_cell"),
         transform(col("_pm"), s => s.getField("_m")).as("_centroid"))
 

@@ -100,7 +100,11 @@ object Sampling {
     val tot = cnt.agg(
       sum(col("_n")).as("_tot"),
       aggregate(
-        array_sort(collect_list(struct(col(groupCol).as("_g"),
+        // sort_array, not array_sort: struct() elements are never
+        // null, so the two orders coincide — and the native SortArray
+        // skips ArraySort's per-comparison lambda. The array is
+        // groups-sized (tiny); this is order-determinism, not perf.
+        sort_array(collect_list(struct(col(groupCol).as("_g"),
           pow(col("_n"), lit(alpha)).as("_p")))),
         lit(0.0), (acc, x) => acc + x.getField("_p")).as("_Z"))
     val w = cnt.crossJoin(broadcast(tot))

@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array<struct<id_a, id_b, edit_dist>>` — all pairs whose banded
   * Levenshtein distance is at most `maxDist`. `same = true` pairs
   * within `a` only (each unordered pair once); otherwise the full
-  * `a × b` cross. Pair ids are emitted (least, greatest), matching
-  * the `id_a < id_b` contract of the joined form.
+  * `a × b` cross. Pair ids are emitted (least, greatest), and pairs
+  * whose two ids are EQUAL are skipped — matching the joined form's
+  * strict `id_a < id_b` filter even when duplicate ids appear in one
+  * block (reachable only via the public `fuzzyPairsBlocked` API on
+  * dirty data; all engine callers feed unique ids).
   *
   * Same family as [[CosinePairs]] (the r16 embedding rewrite, salted
   * upstream by [[graft.ext.Dedup.fuzzyPairsBlocked]]): strings are
@@ -96,6 +99,9 @@ object EditPairs {
     val (aIds, aPs) = unpack(aArr)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     def emit(ida: Long, idb: Long, pa: UTF8String, pb: UTF8String): Unit = {
+      // the joined twin filters id_a < id_b strictly: equal ids
+      // (duplicate ids in one block) must not self-pair
+      if (ida == idb) return
       val d = pa.levenshteinDistance(pb, maxDist)
       if (d >= 0) {
         out += new GenericInternalRow(Array[Any](

@@ -29,8 +29,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * [[graft.ext.PpJoin]] builds them with `sort_array` (the native
   * SortArray ordering, NOT the lambda-comparator `array_sort`) — and the
   * result is undefined otherwise (garbage-in; never a crash). NULL
-  * arrays and NULL elements yield NULL, mirroring `array_intersect`'s
-  * null-poisoning of a set compare this operator replaces.
+  * arrays yield NULL; a NULL ELEMENT reached by the merge yields NULL
+  * deterministically (the null check runs before the early-exit bound,
+  * so `req` cannot turn a null-poisoned compare into a −1). A null
+  * element past the point where one side exhausts is never inspected —
+  * acceptable because the producing `sort_array` pipeline never emits
+  * null elements. Note this null-poisoning deliberately DIFFERS from
+  * `array_intersect`, which treats NULL as a matchable element and
+  * returns a non-null count; here a null element signals a violated
+  * input contract, and poisoning is the loud response.
   */
 case class SortedOverlap(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
@@ -58,8 +65,8 @@ case class SortedOverlap(first: Expression, second: Expression,
     var j = 0
     var cnt = 0
     while (i < na && j < nb) {
-      if (cnt + math.min(na - i, nb - j) < req) return -1
       if (a.isNullAt(i) || b.isNullAt(j)) return null
+      if (cnt + math.min(na - i, nb - j) < req) return -1
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
@@ -82,9 +89,9 @@ case class SortedOverlap(first: Expression, second: Expression,
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  int $rem = ($na - $i < $nb - $j) ? $na - $i : $nb - $j;
          |  if ($cnt + $rem < $req) { $cnt = -1; break; }
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }

@@ -258,7 +258,10 @@ object AnalyticsQueries {
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+        // sort_array, not array_sort: same order (collect_set never
+        // emits nulls, so nulls-first vs nulls-last is moot) without
+        // ArraySort's per-comparison lambda (the r19 sweep's lesson)
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
         min(col("event_id")).as("first_id"),
         max(col("event_id")).as("last_id"),
         count(lit(1)).as("n"))

@@ -587,13 +587,17 @@ object Streams {
         // listFiles() is null (not empty) for a missing dir — an EMPTY
         // batch (a pmod residue with no doc_ids) gets no partition dir
         // from partitionBy, where the old per-batch writer emitted a
-        // zero-row parquet; recover that batch with one tiny write of
-        // the (empty) filtered frame instead of NPE-ing
+        // zero-row parquet; recover that batch by writing a zero-row
+        // frame WITH the staged schema (the pmod proved the residue
+        // empty — re-scanning the corpus per empty batch, as the first
+        // version of this path did, buys nothing and hides a full scan
+        // inside a recovery loop)
         val bdir = new java.io.File(s"$tmp/_b=$b")
         if (!bdir.exists()) {
-          graft.Tables.documents(spark, dir)
-            .filter(pmod(col("doc_id"), lit(batches)) === b)
-            .coalesce(1).write.mode("overwrite")
+          spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.Tables.documents(spark, dir).schema)
+            .repartition(1).write.mode("overwrite")
             .parquet(bdir.getPath)
         }
         val parts = bdir.listFiles()

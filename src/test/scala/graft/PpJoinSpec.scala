@@ -65,13 +65,17 @@ class PpJoinSpec extends SparkSpec {
     assert(overReq
       .filter(col("got") =!= lit(-1) && col("got") =!= col("want"))
       .isEmpty)
-    // null array and null element both poison to NULL (the set compare
-    // is undefined), mirroring array_intersect's null-array semantics
+    // null array and null element both poison to NULL (a null element
+    // is a violated input contract; poisoning is the loud response) —
+    // and the element check runs BEFORE the early-exit bound, so a
+    // high req cannot turn the poison into a −1 (result must be
+    // deterministic in the inputs, independent of req)
     val nulls = spark.sql(
       """SELECT graft_sorted_overlap(array('a', 'b'), CAST(NULL AS ARRAY<STRING>), 0L) AS x,
-        |       graft_sorted_overlap(array('a', CAST(NULL AS STRING)), array('a', 'b'), 0L) AS y""".stripMargin)
+        |       graft_sorted_overlap(array('a', CAST(NULL AS STRING)), array('a', 'b'), 0L) AS y,
+        |       graft_sorted_overlap(array(CAST(NULL AS STRING), 'b'), array('a', 'b'), 10L) AS z""".stripMargin)
       .head()
-    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
   test("prefix filter prunes the candidate space hard") {

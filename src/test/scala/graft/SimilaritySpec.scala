@@ -84,6 +84,29 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("fuzzy near-dups: duplicate ids in one block never self-pair") {
+    import spark.implicits._
+    // dirty data reachable only via the public API: id 1 appears twice
+    // in the same block. The joined twin's strict id_a < id_b filter
+    // drops the (1, 1) self-pair; the kernel's (least, greatest)
+    // emission must skip equal-id pairs the same way — and keep the
+    // duplicate's legitimate cross-pairs at the twin's multiplicity
+    val dirty = Seq(
+      (1L, "the quick brown fox jumps", "s1"),
+      (1L, "the quick brown fox jumped", "s1"),
+      (2L, "the quick brown fox jump", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.fuzzyPairsBlocked(dirty, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 12)
+    val tw = Dedup.fuzzyPairsJoined(dirty, "doc_id", "text",
+      blockCol = "source", prefixLen = 40, maxDist = 12)
+    assert(got.exceptAll(tw).isEmpty && tw.exceptAll(got).isEmpty)
+    assert(got.filter(col("id_a") === col("id_b")).isEmpty,
+      "equal-id self-pairs must never be emitted")
+    // both copies of id 1 pair with id 2 — multiplicity 2, like the twin
+    assert(got.count() === 2L)
+  }
+
   test("embedding near-dups: a poisoned (NaN) embedding is dropped, not fatal") {
     import spark.implicits._
     // one NaN component used to reach the kernel's BigDecimal rounding

@@ -112,15 +112,27 @@ JOB_FLOOR_EXPLICIT = {
 JOB_FLOOR_MAX_SPARK_SEC = 1.3
 
 
-def host_factor(canary: dict) -> float:
+def host_factor(canary: dict) -> tuple:
+    """(factor, note): the canary-relative host multiplier plus a
+    machine-readable note when the value is NOT a clean measurement —
+    a malformed/missing canary silently reverting to the strict 1.0
+    threshold used to shape classification with no trace in the
+    artifact (ADVICE r19), and a clamp at 3.0 means the runs belong in
+    the degraded bucket, not in a scaled threshold."""
     try:
         samples = [x for run in canary["per_run"] for x in run
                    if isinstance(x, (int, float))]
         pin = canary.get("pin_sec") or 0.25
         f = statistics.median(samples) / pin
-        return min(max(f, 1.0), 3.0)
+        if f > 3.0:
+            print(f"WARNING: canary host factor {f:.2f} clamped at 3.0 — "
+                  "runs are degraded-host territory; read with care")
+            return 3.0, f"clamped from {round(f, 2)}"
+        return max(f, 1.0), None
     except (KeyError, TypeError, ZeroDivisionError, statistics.StatisticsError):
-        return 1.0
+        print("WARNING: canary payload malformed or missing — host factor "
+              "falls back to 1.0 (strict job-floor threshold)")
+        return 1.0, "fallback: malformed or missing canary payload"
 CLASS_EVIDENCE = {
     "streaming-machinery":
         "COVERAGE.md 'Streaming micro-batch fixed cost (verdict #3)': "
@@ -212,10 +224,12 @@ def reclassify() -> int:
     out = os.path.join(REPO, "bench_medians.json")
     with open(out) as f:
         artifact = json.load(f)
-    factor = host_factor(artifact.get("canary", {}))
+    factor, factor_note = host_factor(artifact.get("canary", {}))
     for n, q in artifact["queries"].items():
         if not q["failed"]:
             q["class"] = classify(n, q["spark_sec"], factor)
+    artifact["host_factor"] = round(factor, 3)
+    artifact["host_factor_note"] = factor_note
     artifact["class_evidence"] = CLASS_EVIDENCE
     artifact["unadjudicated"] = sorted(
         n for n, q in artifact["queries"].items()
@@ -239,7 +253,7 @@ def main() -> int:
     names = sorted(benches[0]["queries"])
     failed = sorted({q for b in benches for q in b.get("failed", [])})
     no_oracle = sorted(set(names) - set(oracles))
-    factor = host_factor({
+    factor, factor_note = host_factor({
         "pin_sec": benches[0].get("canary_pin"),
         "per_run": [b.get("canary_sec") for b in benches],
     })
@@ -280,6 +294,8 @@ def main() -> int:
             "pin_sec": benches[0].get("canary_pin"),
             "per_run": [b.get("canary_sec") for b in benches],
         },
+        "host_factor": round(factor, 3),
+        "host_factor_note": factor_note,
         "failed": failed,
         "no_oracle": no_oracle,
         "class_evidence": CLASS_EVIDENCE,

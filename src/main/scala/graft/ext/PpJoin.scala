@@ -30,45 +30,85 @@ import graft.functions.Text
   * overlap per prefix match — the full PPJoin discipline.
   *
   * Stages (shuffle audit):
-  *  1. document frequency — one (token) groupBy of the postings,
-  *     partial-agg map-side;
-  *  2. canonical sort — postings re-keyed by doc, one (id) groupBy
-  *     re-collecting each set sorted by (df, token);
-  *  3. prefix candidates — self-join on prefix token only, skinny
-  *     (token, id, size) rows;
-  *  4. exact verify — candidate pairs join the sets back BY ID
-  *     (candidate-bounded), each set lexicographically sorted once
-  *     per DOC, overlap counted by the native zero-allocation merge
-  *     kernel ([[graft.plans.SortedOverlap]]) with a rounding-safe
-  *     early exit — the r19 cut: the former per-pair
-  *     `array_intersect` hash-set build was ~95% of this stage.
+  *  1. lex sets — the corpus is shingled ONCE, map-side, into
+  *     checkpointed lexicographically-sorted distinct sets (the shape
+  *     the verify kernel consumes);
+  *  2. document frequency — one (token-HASH) groupBy of the postings
+  *     derived from the lex sets, partial-agg map-side;
+  *  3. canonical sort — postings re-keyed by doc, one (id) groupBy
+  *     re-collecting each set sorted by (df, hash): 8-byte keys ride
+  *     the dfreq groupBy, the df join and the per-doc canonical sort
+  *     instead of shingle strings (the r20 sets-build cut — the build
+  *     was the dominant phase at scale after the r19 verify fix);
+  *  4. prefix candidates — self-join on prefix hash only, skinny
+  *     (hash, id, size) rows;
+  *  5. exact verify — candidate pairs join the LEX sets back BY ID
+  *     (candidate-bounded), overlap counted by the native
+  *     zero-allocation merge kernel ([[graft.plans.SortedOverlap]])
+  *     with a rounding-safe early exit — the r19 cut: the former
+  *     per-pair `array_intersect` hash-set build was ~95% of this
+  *     stage.
+  *
+  * Hash safety: the canonical order only has to be one GLOBAL total
+  * order shared by all documents for the prefix pigeonhole to hold —
+  * (df', hash) is one, even under 64-bit collisions (a collision can
+  * merge two tokens' df counts, shifting the order, or duplicate a
+  * posting, adding a candidate the `distinct()` folds) — and the
+  * verify stage compares the REAL shingle strings, so the final pair
+  * set is bit-identical to the string-keyed build (cross-checked by
+  * the r20 A/B harness and the unchanged brute-force spec).
   */
 object PpJoin {
 
-  /** Per-doc canonically-sorted distinct shingle sets:
-    * (_id, _stoks, _sz). Materialized once (localCheckpoint, GC
-    * released — not `.cache()`): three consumers (prefix explode + two
-    * verify joins) would otherwise re-run the shingle pipeline.
+  /** Per-doc lex-sorted distinct shingle sets: (_id, _lex, _sz) —
+    * the ONE shingle pass over the corpus, materialized
+    * (localCheckpoint, GC released — not `.cache()`) because three
+    * consumers read it: the posting derivation and both verify sides.
+    * `sort_array`'s binary-string ascending order is exactly the
+    * order [[graft.plans.SortedOverlap]] requires.
     */
-  private[graft] def canonicalSets(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
-    val post = df.select(col(idCol).as("_id"),
-        explode(array_distinct(
-          Text.shingles(Text.tokens(col(textCol)), shingleN))).as("_tok"))
-    val dfreq = post.groupBy("_tok").agg(count(lit(1)).as("_df"))
-    post.join(dfreq, "_tok")
+  private[graft] def lexSets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        sort_array(array_distinct(
+          Text.shingles(Text.tokens(col(textCol)), shingleN))).as("_lex"))
+      .withColumn("_sz", size(col("_lex")))
+      .localCheckpoint()
+
+  /** Per-doc canonically-sorted shingle-HASH sets: (_id, _stoks, _sz)
+    * with `_stoks: array<bigint>` in ascending-(df, hash) order.
+    * Token order (explode of the lex array) is irrelevant to the df
+    * counts; the canonical struct sort compares (long, long) — no
+    * string compares anywhere in the build, and the checkpoint stores
+    * 8-byte hashes instead of shingle strings. Measured (r20 A/B,
+    * alternating reps): sets build 3.93 → 2.53 s and full query
+    * 10.24 → 8.44 s at a 10× corpus; also faster at sf0.1 once the
+    * lex pass is shared (2.97 → 2.40 s full).
+    */
+  private[graft] def canonicalFromLex(lex: DataFrame): DataFrame = {
+    val post = lex.select(col("_id"), explode(col("_lex")).as("_tok"))
+      .select(col("_id"), xxhash64(col("_tok")).as("_h"))
+    val dfreq = post.groupBy("_h").agg(count(lit(1)).as("_df"))
+    post.join(dfreq, "_h")
       .groupBy(col("_id"))
       // sort_array, not array_sort: identical field-by-field struct
       // order, but SortArray compares with the native interpreted
       // ordering while array_sort evaluates a lambda comparator per
       // comparison (the r19 verify-side finding, same hazard here on
       // the per-doc canonical sort)
-      .agg(sort_array(collect_list(struct(col("_df"), col("_tok")))).as("_st"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_h")))).as("_st"))
       .select(col("_id"),
-        transform(col("_st"), s => s.getField("_tok")).as("_stoks"))
+        transform(col("_st"), s => s.getField("_h")).as("_stoks"))
       .withColumn("_sz", size(col("_stoks")))
       .localCheckpoint()
   }
+
+  /** [[canonicalFromLex]] over a raw document frame — the audit/spec
+    * entry point ([[candidates]]' input shape).
+    */
+  private[graft] def canonicalSets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    canonicalFromLex(lexSets(df, idCol, textCol, shingleN))
 
   /** The prefix posting relation (token, id, size, 0-based position)
     * both candidate forms consume; prefix length
@@ -166,26 +206,24 @@ object PpJoin {
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
       minJaccard: Double): DataFrame = {
-    val sets = canonicalSets(df, idCol, textCol, shingleN)
-    // verify ships each set LEXICOGRAPHICALLY sorted (one array_sort
-    // per doc, before the candidate join fans it out) so the overlap
+    val lex = lexSets(df, idCol, textCol, shingleN)
+    val sets = canonicalFromLex(lex)
+    // verify ships each set LEXICOGRAPHICALLY sorted so the overlap
     // is a native zero-allocation merge (graft_sorted_overlap) rather
     // than a per-pair hash-set build — the r19 phase split measured
     // array_intersect at ~95% of the verify stage, which is ~80% of
-    // the whole query. The merge early-exits once the pair provably
-    // can't reach the threshold: the exit bound uses t − 5e-5 (the
-    // final compare quantizes jaccard to 4 decimals HALF_UP, so
-    // J >= t − 5e-5 is exactly "rounded J >= t") minus the same 1e-9
-    // FP slack the candidate filter documents — it can only be WEAK,
-    // never drop a qualifying pair; any kept pair's count is exact.
-    // sort_array, NOT array_sort: the latter desugars to an ArraySort
-    // with a lambda comparator evaluated per comparison (~10 s per
-    // broadcast side at a 10× corpus, swamping the kernel win);
-    // SortArray compares with the native type ordering. Same binary
-    // string order; the null-element placement difference is moot
-    // (shingle sets have no null elements).
+    // the whole query. The sides read the CHECKPOINTED lex sets
+    // directly (r20): the former shape re-sorted the canonical arrays
+    // once per side; the sort now happens exactly once, in the one
+    // shingle pass lexSets materializes. The merge early-exits once
+    // the pair provably can't reach the threshold: the exit bound
+    // uses t − 5e-5 (the final compare quantizes jaccard to 4
+    // decimals HALF_UP, so J >= t − 5e-5 is exactly "rounded
+    // J >= t") minus the same 1e-9 FP slack the candidate filter
+    // documents — it can only be WEAK, never drop a qualifying pair;
+    // any kept pair's count is exact.
     //
-    // shuffle_hash, not the planner's default: `sets` is a
+    // shuffle_hash, not the planner's default: `lex` is a
     // localCheckpoint with no honest stats, so Spark BROADCASTS this
     // side at any corpus size — 450 MB per side at a 30× corpus
     // (driver collect + every-worker ship; on a real cluster, an OOM
@@ -196,11 +234,11 @@ object PpJoin {
     // churn the 2×450 MB relations themselves cause). The exchange
     // ships |pairs|·array once — bounded by the candidate discipline
     // — instead of |workers|·|docs|·array.
-    val xa = sets.select(col("_id").as("id_a"),
-        sort_array(col("_stoks")).as("_ta"), col("_sz").as("_verify_sza"))
+    val xa = lex.select(col("_id").as("id_a"),
+        col("_lex").as("_ta"), col("_sz").as("_verify_sza"))
       .hint("shuffle_hash")
-    val xb = sets.select(col("_id").as("id_b"),
-        sort_array(col("_stoks")).as("_tb"), col("_sz").as("_verify_szb"))
+    val xb = lex.select(col("_id").as("id_b"),
+        col("_lex").as("_tb"), col("_sz").as("_verify_szb"))
       .hint("shuffle_hash")
     val tq = minJaccard - 5e-5
     val req = ceil(lit(tq / (1.0 + tq)) *

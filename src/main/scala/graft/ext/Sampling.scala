@@ -100,11 +100,16 @@ object Sampling {
     val tot = cnt.agg(
       sum(col("_n")).as("_tot"),
       aggregate(
-        // sort_array, not array_sort: struct() elements are never
-        // null, so the two orders coincide — and the native SortArray
-        // skips ArraySort's per-comparison lambda. The array is
-        // groups-sized (tiny); this is order-determinism, not perf.
-        sort_array(collect_list(struct(col(groupCol).as("_g"),
+        // deliberately array_sort, NOT sort_array (the r19 sweep's
+        // one exclusion, kept in r20): the struct ELEMENTS are never
+        // null, but the _g FIELD is caller-controlled and the two
+        // sorts place null fields differently — swapping could move
+        // the null group in the fold order and shift the float sum
+        // _Z for callers with null group keys. The array is
+        // groups-sized (tiny, one per corpus), so the lambda
+        // comparator costs nothing here; this sort exists for
+        // order-determinism, not perf.
+        array_sort(collect_list(struct(col(groupCol).as("_g"),
           pow(col("_n"), lit(alpha)).as("_p")))),
         lit(0.0), (acc, x) => acc + x.getField("_p")).as("_Z"))
     val w = cnt.crossJoin(broadcast(tot))

@@ -571,8 +571,20 @@ object Streams {
   def shardAppendStream(spark: SparkSession, dir: String,
       batches: Int = 3, docsPerShard: Int = 100,
       seed: String = "e0"): DataFrame = {
+    // cross-PROCESS staging reuse (the join_bucketed / medallion-base
+    // discipline, r14): the staged arrival files are a pure function
+    // of the corpus bytes and the batch rule (doc_id % batches), so
+    // they persist under a corpus-signature key — only the first
+    // process after a corpus change pays the scan + partitioned write;
+    // every later process re-attaches. The streamed work itself (the
+    // checkpointed micro-batches, the shard writes, the read-back) is
+    // NOT persisted — every call still runs the real stream.
     val staged = memoStage(stagedModDirs, (dir, batches)) {
-      val out = scratch("graft-shard-src")
+      graft.operators.Persisted.ensure(spark, "graft-shard-src",
+        graft.operators.Persisted.signature(spark,
+          Seq("mod-arrival", batches.toString),
+          Seq(s"$dir/documents.parquet"))) { staging =>
+      val out = java.nio.file.Paths.get(staging.stripPrefix("file:"))
       // ONE scan+write job stages every batch (was one full documents
       // scan + coalesce(1) per batch): each _b value lives entirely in
       // one shuffle partition after repartition(col), so partitionBy
@@ -606,11 +618,14 @@ object Streams {
           s"shard staging wrote ${parts.length} files for batch $b")
         val dst = out.resolve(f"b$b%03d.parquet")
         Files.copy(parts.head.toPath, dst)
+        // fixed mtimes: maxFilesPerTrigger orders batches by mtime,
+        // and the persisted artifact must replay identically in every
+        // attaching process
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(
             1700000000000L + b * 60000L))
       }
-      out.toString
+      }
     }
     val root = scratch("graft-shard-append").toString
     val data = s"$root/data"

@@ -219,9 +219,9 @@ object Sampling {
     val key = conv(substring(md5(
         concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    val (ranked, n) = globalRankCounted(
+    val (ranked, n) = globalRankUniformCounted(
       df.select(col(idCol)).withColumn("_k", key),
-      Seq(col("_k"), col(idCol)), partitions)
+      "_k", col(idCol), partitions)
     (ranked.select(col(idCol), col("_k").as("shuffle_key"),
       floor(col("_pos") / docsPerShard).cast("long").as("shard"),
       pmod(col("_pos"), lit(docsPerShard.toLong)).as("pos_in_shard")), n)
@@ -239,6 +239,54 @@ object Sampling {
   private def globalRank(df: DataFrame, order: Seq[Column],
       partitions: Int): DataFrame =
     globalRankCounted(df, order, partitions)._1
+
+  /** The analytic-bucket variant of [[globalRankCounted]] for keys
+    * UNIFORM in [0, 2^60) — the md5-derived 60-bit shuffle keys every
+    * sampler in this object produces. Range boundaries of a uniform
+    * key are known in closed form, so the bucket id is computed
+    * map-side (`_k / width`) and the RangePartitioner SAMPLING PASS —
+    * a whole extra job over the input that `repartitionByRange` runs
+    * before the real shuffle — disappears. That job was pure per-call
+    * fixed cost for the streaming shard sink, which pays this rank
+    * once per micro-batch (VERDICT r19 #2's remaining floor).
+    *
+    * 4·width buckets hash-distribute into the `n` shuffle partitions
+    * (more buckets than partitions smooths the hash-assignment
+    * lumpiness); the window partitions by BUCKET and the driver
+    * offsets accumulate in bucket order, so the emitted `_pos` is the
+    * identical global (key, id) rank the range form produced —
+    * bucket-ascending IS key-range-ascending. The localCheckpoint
+    * keeps the counts pass and the rank pass on one materialization
+    * (deterministic buckets would make a recompute CORRECT, unlike
+    * nondeterministic sampled ranges, but it would still be a second
+    * full compute).
+    */
+  private def globalRankUniformCounted(df: DataFrame, keyCol: String,
+      idCol: Column, partitions: Int): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val buckets = 4L * n
+    val width = (1152921504606846976L + buckets - 1) / buckets // ceil(2^60/B)
+    val bucketed = df
+      .withColumn("_bk", (col(keyCol) / width).cast("int"))
+      .repartition(n, col("_bk"))
+      .localCheckpoint()
+    val counts = bucketed.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (bk, c) => val o = (bk, acc); acc += c; o }.toMap
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bk")).orderBy(col(keyCol), idCol)
+    (bucketed
+      .withColumn("_pos",
+        row_number().over(w).cast("long") +
+          element_at(typedlit(offsets), col("_bk")) - 1L)
+      .drop("_bk"), counts.map(_._2).sum)
+  }
 
   /** [[globalRank]] returning the total row count too — the counts
     * pass collects it to the driver anyway (Σ per-partition counts);

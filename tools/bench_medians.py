@@ -103,6 +103,14 @@ JOB_FLOOR_EXPLICIT = {
     # persisted-index probe machinery (twin 64 ms).
     "window_running", "window_rolling_7d", "window_first_occurrence",
     "assign_dense_ids", "corpus_pipeline", "dedup_embedding_lsh",
+    # r20: same hover class, crossed the scaled cutoff on runs whose
+    # write/streaming rows carried an I/O envelope the CPU canary
+    # cannot see (r19 values 0.91-1.55 s under the then-cutoff; twins
+    # 26-102 ms — union audits, per-column profiles, tiny aggregates,
+    # all multi-job over ms-scale data; the envelope lifted the whole
+    # fs-latency-sensitive class ~20-40% while CPU rows were flat)
+    "dq_stg_crossday_audit", "embedding_quality", "outlier_mad",
+    "lm_kn_counts", "profile_keys", "set_ops",
 }
 # Host-relative job-floor threshold (r19): the floor is a property of
 # the HOST (job launch + codegen + exchange setup), so the cutoff

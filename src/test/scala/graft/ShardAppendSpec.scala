@@ -32,6 +32,39 @@ class ShardAppendSpec extends SparkSpec {
     assert(after1.map(_.getLong(2)).distinct.sorted === (0L to 4L))
   }
 
+  test("shard append: an EMPTY batch seals nothing and later ids continue unbroken") {
+    // the empty-batch recovery path (a pmod residue with no doc_ids)
+    // drives the whole rank pipeline — including the r20
+    // analytic-bucket global rank and its driver offsets map — over a
+    // zero-row frame; it must commit a 0-shard manifest, write no
+    // data, and leave the NEXT batch's shard offset where the previous
+    // non-empty batch put it
+    val root = Files.createTempDirectory("graft-sa-e").toString
+    val (data, counts) = (s"$root/data", s"$root/counts")
+    val b0 = (1L to 60L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val empty = b0.filter(lit(false))
+    val b2 = (101L to 140L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    Streams.applyShardBatch(b0, 0L, data, counts, 50, "t0")
+    Streams.applyShardBatch(empty, 1L, data, counts, 50, "t0")
+    Streams.applyShardBatch(b2, 2L, data, counts, 50, "t0")
+    val rows = layout(data)
+    // batch 0 sealed shards 0-1; the empty batch sealed none; batch 2
+    // continues at shard 2 — no gap, no overlap
+    assert(rows.map(_.getLong(2)).distinct.sorted === Seq(0L, 1L, 2L))
+    assert(rows.filter(_.getLong(1) == 1L).isEmpty,
+      "an empty batch must contribute no rows")
+    assert(rows.filter(_.getLong(1) == 2L).map(_.getLong(2)).distinct
+      === Seq(2L))
+    // the manifest records the empty batch explicitly with 0 shards
+    // (b is a partition directory value — cast for a stable read-back
+    // type, same as the production offset read's `col("b") < id`)
+    val manifest = spark.read.parquet(counts)
+      .select(col("b").cast("long"), col("shards").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(manifest === Map(0L -> 2L, 1L -> 0L, 2L -> 1L))
+  }
+
   test("shard append: a replayed batch overwrites exactly itself") {
     val root = Files.createTempDirectory("graft-sa-r").toString
     val (data, counts) = (s"$root/data", s"$root/counts")

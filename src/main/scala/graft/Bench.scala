@@ -11,6 +11,42 @@ object Bench {
     */
   val CanaryPinSec = 0.25 // clean runs measure 0.15-0.20 s of 2^21 hashes/thread
 
+  /** Fixed fs-latency probe pin (r21, VERDICT r20 #2): the CPU canary
+    * was blind to the envelope that moved the streaming/write classes
+    * 16-137% in r20 (checkpoint WAL commits, tiny-file sink writes —
+    * fsync-bound disk work, not compute). This probe times 200
+    * create+write(256 B)+fsync cycles plus one directory listing under
+    * java.io.tmpdir — the filesystem that actually carries the shuffle
+    * local dirs, merge-sink parquet targets and the persisted-index
+    * root (streaming checkpoints prefer /dev/shm; the DISK tmpdir is
+    * the blind spot). Clean runs measure 0.09-0.10 s.
+    */
+  val FsPinSec = 0.10
+
+  def fsCanary(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fs-canary")
+    val t0 = System.nanoTime()
+    val buf = java.nio.ByteBuffer.allocate(256)
+    (0 until 200).foreach { i =>
+      val p = dir.resolve(s"f$i")
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      buf.rewind(); ch.write(buf)
+      ch.force(true) // fsync — the WAL/state-commit shape being probed
+      ch.close()
+    }
+    val listed = java.nio.file.Files.list(dir)
+    val n = listed.count(); listed.close()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    require(n == 200, s"fs canary listed $n of 200 files")
+    // cleanup OUTSIDE the timed region
+    val all = java.nio.file.Files.list(dir)
+    all.forEach(p => java.nio.file.Files.delete(p)); all.close()
+    java.nio.file.Files.delete(dir)
+    elapsed
+  }
+
   /** Published persisted-index dirs (`graft-<label>-<sig>` with a
     * complete `_DONE` marker) currently on the artifact root. Snapshot
     * before/after each query so the artifact itself says whether a
@@ -79,7 +115,9 @@ object Bench {
       q.awaitTermination()
     }
     canary(spark, cpus.toInt) // untimed: first call pays probe-plan codegen
+    fsCanary() // untimed: first call pays dir-entry/page-cache warmup
     val canaryStart = canary(spark, cpus.toInt)
+    val fsStart = fsCanary()
     val results = selected.map { case (name, fn) =>
       val idxPre = publishedIndexes(spark)
       val t0 = System.nanoTime()
@@ -120,19 +158,35 @@ object Bench {
     // published (it paid a cold build inside its timing). A judge can
     // read "similarity_recall 6 s, built 1" as cold-with-build in
     // place, without cross-referencing committed medians.
+    //
+    // r21 (VERDICT r20 #4): only NON-DEFAULT rows are emitted — rows
+    // where a build happened or `pre` differs from the run-wide mode —
+    // plus the mode itself as `persisted_pre_mode`; the 169-entry
+    // all-default map had crowded the per-query seconds out of the
+    // driver artifact's visible tail.
+    val preMode = results.map(_._4)
+      .groupBy(identity).maxBy { case (_, v) => v.size }._1
     val persisted = results
-      .map { case (k, _, _, pre, built) =>
+      .collect { case (k, _, _, pre, built)
+          if built > 0 || pre != preMode =>
         s"\"" + k + s"\":{\"pre\":$pre,\"built\":$built}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
     // degradation can start mid-sweep: probe both ends of the run
     val canaryEnd = canary(spark, cpus.toInt)
+    val fsEnd = fsCanary()
     val degraded = math.max(canaryStart, canaryEnd) > 3 * CanaryPinSec
     // the canary-to-pin multiplier, stamped so the single-run artifact
     // carries its own host-weather adjudication (row seconds divide by
-    // this before being compared across rounds)
+    // this before being compared across rounds). fs_factor is the
+    // disk-latency twin (r21): streaming/write rows track IT, not the
+    // CPU factor — r20's regression rows moved 16-137% under a clean
+    // CPU canary.
     val hostFactor = math.max(canaryStart, canaryEnd) / CanaryPinSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":[$canaryStart,$canaryEnd],"canary_pin":$CanaryPinSec,"host_factor":$hostFactor,"degraded":$degraded,"persisted_index_state":$persisted,"sf":"$sfDir"}""")
+    val fsFactor = math.max(fsStart, fsEnd) / FsPinSec
+    // queries LAST (r21): the per-query seconds are the artifact's
+    // payload and must survive tail-truncated captures
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":[$canaryStart,$canaryEnd],"canary_pin":$CanaryPinSec,"host_factor":$hostFactor,"fs_canary_sec":[$fsStart,$fsEnd],"fs_pin":$FsPinSec,"fs_factor":$fsFactor,"degraded":$degraded,"persisted_pre_mode":$preMode,"persisted_index_state":$persisted,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

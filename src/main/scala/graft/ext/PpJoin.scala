@@ -13,8 +13,9 @@ import graft.functions.Text
   * EVERY token of every document, so two documents sharing any one
   * common token become a candidate pair. The prefix filter exploits
   * the threshold: order every document's token set by one global
-  * canonical order (ascending document frequency — rarest first, token
-  * text as tie-break) and index only the first
+  * canonical order (ascending document frequency — rarest first,
+  * 64-bit token hash as tie-break; see [[canonicalFromLex]]) and index
+  * only the first
   * `|x| - ceil(t*|x|) + 1` tokens. If `J(x, y) >= t`, the two prefixes
   * MUST share a token (pigeonhole on the canonical order), so pruned
   * candidates are provably safe — no false negatives. Rare-first
@@ -51,12 +52,22 @@ import graft.functions.Text
   *
   * Hash safety: the canonical order only has to be one GLOBAL total
   * order shared by all documents for the prefix pigeonhole to hold —
-  * (df', hash) is one, even under 64-bit collisions (a collision can
-  * merge two tokens' df counts, shifting the order, or duplicate a
-  * posting, adding a candidate the `distinct()` folds) — and the
-  * verify stage compares the REAL shingle strings, so the final pair
-  * set is bit-identical to the string-keyed build (cross-checked by
-  * the r20 A/B harness and the unchanged brute-force spec).
+  * (df', hash) is one, even under 64-bit collisions (a CROSS-document
+  * collision can merge two tokens' df counts, which only shifts the
+  * shared order, or add a candidate the `distinct()` folds) — and the
+  * verify stage compares the REAL shingle strings and sizes from the
+  * lex sets. An INTRA-document collision is the one case that could
+  * bite: it would duplicate a hash in `_stoks` and inflate the
+  * hash-side `_sz`, TIGHTENING the length/positional bounds enough to
+  * drop a borderline true pair — so [[canonicalFromLex]] dedupes the
+  * canonical array (`array_distinct` on the sorted structs) and `_sz`
+  * is the hash-SET cardinality by construction. With that dedup the
+  * output is identical to the string-keyed build unless a collision
+  * makes a document's hash-set strictly smaller than its shingle set
+  * (probability ~2^-64 per token pair), where the filters only get
+  * WEAKER — extra candidates the string-exact verify kills; no false
+  * negatives in either case (cross-checked by the r20 A/B harness and
+  * the brute-force spec).
   */
 object PpJoin {
 
@@ -96,7 +107,15 @@ object PpJoin {
       // ordering while array_sort evaluates a lambda comparator per
       // comparison (the r19 verify-side finding, same hazard here on
       // the per-doc canonical sort)
-      .agg(sort_array(collect_list(struct(col("_df"), col("_h")))).as("_st"))
+      // array_distinct AFTER the sort: an intra-document 64-bit hash
+      // collision would otherwise duplicate an entry and inflate _sz,
+      // TIGHTENING the length/positional filters past the point where
+      // a borderline true pair survives (see the object doc's hash-
+      // safety paragraph). Duplicates are identical (same _h ⇒ same
+      // _df) and adjacent post-sort; array_distinct keeps first
+      // occurrences, so the array stays canonically sorted.
+      .agg(array_distinct(
+        sort_array(collect_list(struct(col("_df"), col("_h"))))).as("_st"))
       .select(col("_id"),
         transform(col("_st"), s => s.getField("_h")).as("_stoks"))
       .withColumn("_sz", size(col("_stoks")))

@@ -268,8 +268,20 @@ object Sampling {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val buckets = 4L * n
     val width = (1152921504606846976L + buckets - 1) / buckets // ceil(2^60/B)
+    // TRUE integer division (`div`), not `/`: Spark's `/` is double
+    // division, which rounds a 60-bit key through a 53-bit mantissa —
+    // the composed double-then-cast mapping happened to stay monotone,
+    // but the invariant was accidental (ADVICE r20). `div` is exact
+    // floor division on longs, so bucket-ascending IS key-ascending by
+    // arithmetic, not by luck. A NULL key (null id upstream) maps to
+    // bucket -1, mirroring the range form's NULLS FIRST placement —
+    // the window's ascending order also puts nulls first, so null-key
+    // rows take the lowest global ranks instead of NPE-ing the counts
+    // pass.
     val bucketed = df
-      .withColumn("_bk", (col(keyCol) / width).cast("int"))
+      .withColumn("_bk",
+        when(col(keyCol).isNull, lit(-1))
+          .otherwise(expr(s"$keyCol div ${width}L").cast("int")))
       .repartition(n, col("_bk"))
       .localCheckpoint()
     val counts = bucketed.groupBy(col("_bk"))

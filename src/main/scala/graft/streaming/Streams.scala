@@ -584,6 +584,17 @@ object Streams {
         graft.operators.Persisted.signature(spark,
           Seq("mod-arrival", batches.toString),
           Seq(s"$dir/documents.parquet"))) { staging =>
+      // This build block manipulates the staging dir with java.nio
+      // (mtime stamping below — arrival order for maxFilesPerTrigger),
+      // which only works on a LOCAL artifact root. Persisted.ensure's
+      // contract allows hdfs/s3a roots; fail loud here instead of
+      // letting Paths.get throw a bare provider error mid-staging.
+      val scheme = new org.apache.hadoop.fs.Path(staging).toUri.getScheme
+      require(scheme == null || scheme == "file",
+        s"shardAppendStream stages its landing zone with local NIO file " +
+          s"ops (mtime-ordered arrivals) but spark.graft.persisted.root " +
+          s"resolves to scheme '$scheme' ($staging); use a file: root " +
+          "for this operator or stage the landing zone elsewhere")
       val out = java.nio.file.Paths.get(staging.stripPrefix("file:"))
       // ONE scan+write job stages every batch (was one full documents
       // scan + coalesce(1) per batch): each _b value lives entirely in

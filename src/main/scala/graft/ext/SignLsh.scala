@@ -146,15 +146,22 @@ object SignLsh {
     // of whole-stage codegen — measured 4.5× slower than this
     // data-driven form at 12 × 6 (`graft.tools.ProfileSlshM`). The
     // groupBy collapses map-side (each vector's plane rows are
-    // partition-local under the cross join, so partial collect_list
+    // partition-local under the cross join, so partial aggregation
     // finishes before the exchange) — the shuffle moves exactly the
     // (id, table, bucket) postings the bucket join needs anyway.
+    // `_w` = 2^(bits-1-p): the plane's bit weight in the bucket CODE,
+    // carried on the broadcast row so the first-collision path can sum
+    // codes directly (below) instead of building bit-strings.
     val planes = (for {
       t <- 0 until tables
       (p, i) <- hyperplanes(bits, d, 42L + t).zipWithIndex
-    } yield (t, i, p)).toDF("_t", "_p", "_plane")
-    val sig = e.select(col(idCol), col("_u"))
+    } yield (t, i, 1L << (bits - 1 - i), p)).toDF("_t", "_p", "_w", "_plane")
+    def planeRows = e.select(col(idCol), col("_u"))
       .crossJoin(broadcast(planes))
+    // bit-string buckets — the equality-twin/spec form (and any
+    // bits > 31 caller): per (id, table), collect the bits in plane
+    // order and concatenate
+    def sig = planeRows
       .withColumn("_bit",
         when(round(Vectors.dot(col("_u"), col("_plane")), 9) >= 0, lit("1"))
           .otherwise(lit("0")))
@@ -174,11 +181,27 @@ object SignLsh {
       require(bits <= 31, s"first-collision dedup packs bucket bit-strings " +
         s"into ints and is exact only for bits <= 31 (got $bits); " +
         "call with firstCollision = false for wider buckets")
+      // Bucket CODES summed directly from the plane rows (r21): the
+      // bit at (0-based) plane position p contributes 2^(bits-1-p), so
+      // sum(_w · [dot >= 0]) IS conv(bit-string, 2, 10) — the former
+      // string build (collect_list(struct) + sort_array + concat_ws,
+      // then a per-row base-2 string parse) fed three non-codegen-
+      // friendly steps into the hottest aggregation in the operator
+      // and shipped bit-strings through the (id, t) exchange where an
+      // 8-byte sum rides it now (the PPJoin hash-key discipline,
+      // VERDICT r20 #6). Measured (ProfileSlshCodes, alternating reps,
+      // exceptAll-equality cross-checked both ways before timing):
+      // codes stage 0.58 → 0.43 s at sf0.1, 1.11 → 0.63 s at a 30×
+      // corpus; the downstream stages are untouched.
+      //
       // checkpointed: the codes frame feeds the pre-flight estimate
       // AND both self-join sides (different projections of one frame —
       // exchange reuse alone would re-sign the corpus once per side)
-      val codes = sig
-        .withColumn("_code", conv(col("_bucket"), 2, 10).cast("int"))
+      val codes = planeRows
+        .groupBy(col(idCol), col("_t"))
+        .agg(sum(when(
+          round(Vectors.dot(col("_u"), col("_plane")), 9) >= 0, col("_w"))
+          .otherwise(lit(0L))).cast("int").as("_code"))
         .groupBy(col(idCol))
         .agg(transform(sort_array(collect_list(struct(col("_t"), col("_code")))),
           s => s.getField("_code")).as("_codes"))
@@ -258,8 +281,9 @@ object SignLsh {
           .select(col("id_a"), col("id_b"), col("cosine"))
       }
     } else {
-      val a = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
-      val b = sig.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
+      val s = sig // one plan instance so the self-join reuses the exchange
+      val a = s.select(col("_t"), col("_bucket"), col(idCol).as("id_a"))
+      val b = s.select(col("_t"), col("_bucket"), col(idCol).as("id_b"))
       a.join(b, Seq("_t", "_bucket"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()

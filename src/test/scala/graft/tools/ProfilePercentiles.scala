@@ -45,6 +45,33 @@ object ProfilePercentiles {
     graft.Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_totalprice"))
 
+  /** The selection core's pass-1 histogram, verbatim (slice = top
+    * 12+10 bits of the order-isomorphic long) — used to A/B the
+    * executeTake scale-up in isolation: `take(histCap+1)` under the
+    * default 1-partition first round vs the forced single round the
+    * r21 fetchHist uses.
+    */
+  private def hist(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("o_totalprice").cast("double")
+    graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").cast("string").as("g"),
+        coalesce(shiftright(call_function("graft_sortable_bits", v), 42),
+          lit(Long.MinValue)).as("h"))
+      .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
+  }
+
+  private def timedTake(spark: SparkSession, dir: String,
+      initialParts: String): Double = {
+    val key = "spark.sql.limit.initialNumPartitions"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, initialParts)
+    try Harness.time(hist(spark, dir).take((1 << 21) + 1))
+    finally saved match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("GRAFT_AB_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("GRAFT_AB_RUNS", "5").toInt
@@ -68,6 +95,8 @@ object ProfilePercentiles {
     val tAgg1 = new scala.collection.mutable.ArrayBuffer[Double]
     val tScan1 = new scala.collection.mutable.ArrayBuffer[Double]
     val tScan2 = new scala.collection.mutable.ArrayBuffer[Double]
+    val tTake1 = new scala.collection.mutable.ArrayBuffer[Double]
+    val tTakeAll = new scala.collection.mutable.ArrayBuffer[Double]
     (1 to runs).foreach { _ =>
       tProd += noop(prod())
       tAgg3 += noop(agg3(spark, sfDir))
@@ -77,10 +106,12 @@ object ProfilePercentiles {
         scan(spark, sfDir).write.format("noop").mode("overwrite").save()
         scan(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      tTake1 += timedTake(spark, sfDir, "1")
+      tTakeAll += timedTake(spark, sfDir, Int.MaxValue.toString)
     }
     val c1 = graft.Bench.canary(spark, 32)
 
-    println(f"""{"sf":"$sfDir","canary":[$c0%.3f,$c1%.3f],"prod_med":${med(tProd.toSeq)}%.2f,"agg3_med":${med(tAgg3.toSeq)}%.2f,"agg1_med":${med(tAgg1.toSeq)}%.2f,"scan1_med":${med(tScan1.toSeq)}%.2f,"scan2_med":${med(tScan2.toSeq)}%.2f,"prod":[${tProd.map(x => f"$x%.2f").mkString(",")}],"agg3":[${tAgg3.map(x => f"$x%.2f").mkString(",")}],"agg1":[${tAgg1.map(x => f"$x%.2f").mkString(",")}],"scan1":[${tScan1.map(x => f"$x%.2f").mkString(",")}],"scan2":[${tScan2.map(x => f"$x%.2f").mkString(",")}]}""")
+    println(f"""{"sf":"$sfDir","canary":[$c0%.3f,$c1%.3f],"prod_med":${med(tProd.toSeq)}%.2f,"agg3_med":${med(tAgg3.toSeq)}%.2f,"agg1_med":${med(tAgg1.toSeq)}%.2f,"scan1_med":${med(tScan1.toSeq)}%.2f,"scan2_med":${med(tScan2.toSeq)}%.2f,"take1_med":${med(tTake1.toSeq)}%.2f,"takeall_med":${med(tTakeAll.toSeq)}%.2f,"prod":[${tProd.map(x => f"$x%.2f").mkString(",")}],"agg3":[${tAgg3.map(x => f"$x%.2f").mkString(",")}],"agg1":[${tAgg1.map(x => f"$x%.2f").mkString(",")}],"scan1":[${tScan1.map(x => f"$x%.2f").mkString(",")}],"scan2":[${tScan2.map(x => f"$x%.2f").mkString(",")}],"take1":[${tTake1.map(x => f"$x%.2f").mkString(",")}],"takeall":[${tTakeAll.map(x => f"$x%.2f").mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -159,16 +159,17 @@ object Bench {
     // read "similarity_recall 6 s, built 1" as cold-with-build in
     // place, without cross-referencing committed medians.
     //
-    // r21 (VERDICT r20 #4): only NON-DEFAULT rows are emitted — rows
-    // where a build happened or `pre` differs from the run-wide mode —
-    // plus the mode itself as `persisted_pre_mode`; the 169-entry
-    // all-default map had crowded the per-query seconds out of the
-    // driver artifact's visible tail.
-    val preMode = results.map(_._4)
-      .groupBy(identity).maxBy { case (_, v) => v.size }._1
+    // r21 (VERDICT r20 #4): only rows that BUILT an index are emitted,
+    // plus the run's starting `pre` count. That is the complete series:
+    // `pre` only ever changes by a build (pre[i+1] = pre[i] + built[i]),
+    // so `pre_start` + the built rows reconstruct every row's warm
+    // state. (The first r21 cut compared `pre` to the run-wide mode,
+    // but `pre` drifts up with each mid-run build, so on a cold machine
+    // nearly every row differed from the mode and the 150-entry map
+    // still crowded the per-query seconds out of the visible tail.)
+    val preStart = results.headOption.map(_._4).getOrElse(0)
     val persisted = results
-      .collect { case (k, _, _, pre, built)
-          if built > 0 || pre != preMode =>
+      .collect { case (k, _, _, pre, built) if built > 0 =>
         s"\"" + k + s"\":{\"pre\":$pre,\"built\":$built}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
@@ -186,7 +187,7 @@ object Bench {
     val fsFactor = math.max(fsStart, fsEnd) / FsPinSec
     // queries LAST (r21): the per-query seconds are the artifact's
     // payload and must survive tail-truncated captures
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":[$canaryStart,$canaryEnd],"canary_pin":$CanaryPinSec,"host_factor":$hostFactor,"fs_canary_sec":[$fsStart,$fsEnd],"fs_pin":$FsPinSec,"fs_factor":$fsFactor,"degraded":$degraded,"persisted_pre_mode":$preMode,"persisted_index_state":$persisted,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary_sec":[$canaryStart,$canaryEnd],"canary_pin":$CanaryPinSec,"host_factor":$hostFactor,"fs_canary_sec":[$fsStart,$fsEnd],"fs_pin":$FsPinSec,"fs_factor":$fsFactor,"degraded":$degraded,"persisted_pre_start":$preStart,"persisted_index_state":$persisted,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -532,16 +532,16 @@ object Streams {
     require(clash.isEmpty,
       s"applyShardBatch reserves column name(s) ${clash.mkString(", ")} " +
         "for the shard layout — rename them in the input")
-    // Hadoop FS existence check, not java.io.File: the manifest lives
-    // wherever the shard layout lives (HDFS/S3 on a cluster)
-    val countsPath = new org.apache.hadoop.fs.Path(counts)
-    val fs = countsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val offset =
-      if (!fs.exists(countsPath)) 0L
-      else s.read.parquet(counts)
-        .filter(col("b") < id)
-        .agg(coalesce(sum(col("shards")), lit(0L)))
-        .head().getLong(0)
+    // Driver-side manifest read (r21): the shard-count manifest is one
+    // tiny record per micro-batch — metadata, not data — so it is read
+    // and written through the Hadoop FS directly, the way Spark's own
+    // streaming commit/offset logs are. The previous parquet form cost
+    // TWO Spark jobs per micro-batch (a scan+agg for the offset here,
+    // a 1-row partitioned write below) out of the ~5 the sink runs —
+    // pure per-batch fixed cost at any scale, since the manifest is
+    // bounded by |batches|, never by data volume.
+    val offset = readShardManifest(s, counts)
+      .collect { case (b, n) if b < id => n }.sum
     // shards sealed = ceil(n / docsPerShard) by construction (positions
     // are dense 0..n-1, shard = pos / docsPerShard); n comes FREE from
     // the rank's own counts pass (Σ per-partition counts, already on
@@ -561,29 +561,67 @@ object Streams {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(data)
-    import s.implicits._
-    Seq((id, nSealed)).toDF("b", "shards")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("b").parquet(counts)
+    writeShardManifest(s, counts, id, nSealed)
   }
 
-  def shardAppendStream(spark: SparkSession, dir: String,
-      batches: Int = 3, docsPerShard: Int = 100,
-      seed: String = "e0"): DataFrame = {
-    // cross-PROCESS staging reuse (the join_bucketed / medallion-base
-    // discipline, r14): the staged arrival files are a pure function
-    // of the corpus bytes and the batch rule (doc_id % batches), so
-    // they persist under a corpus-signature key — only the first
-    // process after a corpus change pays the scan + partitioned write;
-    // every later process re-attaches. The streamed work itself (the
-    // checkpointed micro-batches, the shard writes, the read-back) is
-    // NOT persisted — every call still runs the real stream.
-    val staged = memoStage(stagedModDirs, (dir, batches)) {
-      graft.operators.Persisted.ensure(spark, "graft-shard-src",
-        graft.operators.Persisted.signature(spark,
-          Seq("mod-arrival", batches.toString),
-          Seq(s"$dir/documents.parquet"))) { staging =>
+  /** The shard-count manifest: `b-<id>.json` files under `counts`, one
+    * per applied micro-batch, each `{"b":<id>,"shards":<sealed>}` —
+    * written by the DRIVER through the Hadoop FS (works on HDFS/S3
+    * like the parquet form did, without a Spark job per batch). A
+    * replayed batch overwrites exactly its own file, preserving the
+    * sink's replay-collapse guarantee: a crash between the data write
+    * and the checkpoint commit replays batch `id`, which re-reads only
+    * manifests `b < id` (all fully committed — batches are sequential
+    * within a stream) and rewrites `b-<id>.json` in place.
+    */
+  private[graft] def readShardManifest(spark: SparkSession,
+      counts: String): Map[Long, Long] = {
+    val dir = new org.apache.hadoop.fs.Path(counts)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isFile || !n.matches("""b-\d+\.json""")) Iterator.empty
+      else {
+        val in = fs.open(st.getPath)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val m = """\{"b":(\d+),"shards":(\d+)\}""".r
+        body.trim match {
+          case m(b, sh) => Iterator((b.toLong, sh.toLong))
+          case other => throw new IllegalStateException(
+            s"corrupt shard manifest ${st.getPath}: '$other'")
+        }
+      }
+    }.toMap
+  }
+
+  private[graft] def writeShardManifest(spark: SparkSession,
+      counts: String, id: Long, shards: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(counts, s"b-$id.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"b":$id,"shards":$shards}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Build (or re-attach to) the persisted mod-arrival landing zone for
+    * (`dir`, `batches`): `batches` mtime-ordered single-file parquet
+    * arrivals, file b holding exactly the docs with doc_id % batches
+    * == b (a zero-row file for an empty residue). The artifact is a
+    * pure function of the corpus bytes and the batch rule, so it is
+    * published under a corpus-signature key and every attaching
+    * process replays the identical arrival sequence
+    * (ShardStagingPropertySpec pins this invariant).
+    */
+  private[graft] def stageShardArrivals(spark: SparkSession, dir: String,
+      batches: Int): String =
+    graft.operators.Persisted.ensure(spark, "graft-shard-src",
+      graft.operators.Persisted.signature(spark,
+        Seq("mod-arrival", batches.toString),
+        Seq(s"$dir/documents.parquet"))) { staging =>
       // This build block manipulates the staging dir with java.nio
       // (mtime stamping below — arrival order for maxFilesPerTrigger),
       // which only works on a LOCAL artifact root. Persisted.ensure's
@@ -636,7 +674,21 @@ object Streams {
           java.nio.file.attribute.FileTime.fromMillis(
             1700000000000L + b * 60000L))
       }
-      }
+    }
+
+  def shardAppendStream(spark: SparkSession, dir: String,
+      batches: Int = 3, docsPerShard: Int = 100,
+      seed: String = "e0"): DataFrame = {
+    // cross-PROCESS staging reuse (the join_bucketed / medallion-base
+    // discipline, r14): the staged arrival files are a pure function
+    // of the corpus bytes and the batch rule (doc_id % batches), so
+    // they persist under a corpus-signature key — only the first
+    // process after a corpus change pays the scan + partitioned write;
+    // every later process re-attaches. The streamed work itself (the
+    // checkpointed micro-batches, the shard writes, the read-back) is
+    // NOT persisted — every call still runs the real stream.
+    val staged = memoStage(stagedModDirs, (dir, batches)) {
+      stageShardArrivals(spark, dir, batches)
     }
     val root = scratch("graft-shard-append").toString
     val data = s"$root/data"

@@ -56,12 +56,8 @@ class ShardAppendSpec extends SparkSpec {
     assert(rows.filter(_.getLong(1) == 2L).map(_.getLong(2)).distinct
       === Seq(2L))
     // the manifest records the empty batch explicitly with 0 shards
-    // (b is a partition directory value — cast for a stable read-back
-    // type, same as the production offset read's `col("b") < id`)
-    val manifest = spark.read.parquet(counts)
-      .select(col("b").cast("long"), col("shards").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toMap
+    // (read through the same driver-side reader the offset path uses)
+    val manifest = Streams.readShardManifest(spark, counts)
     assert(manifest === Map(0L -> 2L, 1L -> 0L, 2L -> 1L))
   }
 

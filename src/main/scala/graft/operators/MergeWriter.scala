@@ -211,13 +211,22 @@ object MergeWriter {
       }
     if (fresh) {
       // a fresh EMPTY write would leave a schema-less dir (partitionBy
-      // with zero rows emits no data files, unlike the unpartitioned
-      // empty write) — every later read/merge would then fail on an
-      // unreadable "existing" table. Deliberate no-write instead: the
-      // target appears when data does, and callers treat the missing
-      // dir as the empty table.
-      if (merged.isEmpty) return
+      // with zero rows emits only _SUCCESS, no data files, unlike the
+      // unpartitioned empty write) — every later read/merge would then
+      // fail on an unreadable "existing" table. The emptiness check is
+      // AFTER the write (was a pre-write `merged.isEmpty`, which
+      // re-computed the entire merge subtree — full scan + shuffle +
+      // aggregation — once for the probe and once for the write, a
+      // whole duplicated job on every fresh partitioned bulk load):
+      // partitionBy writes a `partCol=` dir per value, so zero
+      // partition dirs ⇔ zero rows, and the schema-less husk is
+      // deleted, leaving the same missing-dir state the no-write gave.
       merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+      val dst = new Path(dir)
+      val f = fs(spark, dst)
+      val wroteData = f.listStatus(dst)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      if (!wroteData) { f.delete(dst, true); return }
     } else {
       val tmp = new Path(dir + ".merge.tmp-" +
         java.util.UUID.randomUUID().toString.take(8))

@@ -102,18 +102,47 @@ object Medallion {
     // keyed merges are idempotent). A missing sidecar (first build, or
     // crash before the first write) scopes to the full stg table —
     // self-healing by construction.
-    // A sidecar that exists but holds no usable watermark (empty or
-    // null-valued — a partial/corrupt write) degrades to the same
+    // A sidecar that exists but holds no usable watermark (torn or
+    // unparseable — a partial/corrupt write) degrades to the same
     // self-healing full rebuild as a missing sidecar, never an NPE.
-    def layerWm(wmDir: String): Option[Long] =
-      if (!MergeWriter.exists(spark, wmDir)) None
+    // The sidecar is ONE value of layer metadata, so it is read and
+    // written by the DRIVER through the Hadoop FS (temp + atomic
+    // rename), the way Spark's own streaming commit logs are — the
+    // earlier 1-row-parquet form paid a whole Spark job per sidecar
+    // write and another per read, pure per-run fixed cost (the same
+    // shape r21 removed from the shard-append manifest).
+    def layerWm(wmDir: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(wmDir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
+      // a DIRECTORY at the sidecar path is the pre-r21 1-row-parquet
+      // form (a root built by an older engine version): degrade to the
+      // self-healing full rebuild, which rewrites the sidecar as a file
+      else if (f.getFileStatus(p).isDirectory) None
       else {
-        val r = spark.read.parquet(wmDir).agg(max(col("wm"))).head()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
+        val in = f.open(p)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body.trim match {
+          case s if s.matches("""\{"wm":-?\d+\}""") =>
+            Some(s.stripPrefix("""{"wm":""").stripSuffix("}").toLong)
+          case _ => None // torn/corrupt → self-healing full rebuild
+        }
       }
+    }
     def writeLayerWm(wmDir: String, v: Long): Unit = {
-      import spark.implicits._
-      MergeWriter.replace(spark, wmDir, Seq(v).toDF("wm").coalesce(1))
+      val p = new org.apache.hadoop.fs.Path(wmDir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"""{"wm":$v}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.delete(p, true) // recursive: may be a pre-r21 parquet-dir sidecar
+      if (!f.rename(tmp, p))
+        throw new java.io.IOException(s"watermark sidecar swap failed: $p")
     }
     // the watermark compare is phrased on the raw ts column (against a
     // foldable timestamp_micros literal), NOT as unix_micros(ts) > v:
@@ -144,15 +173,31 @@ object Medallion {
     val intWmDir = s"$root/int_latest_wm"
     val intWm = if (!MergeWriter.exists(spark, intDir)) None
       else layerWm(intWmDir)
-    val intPending = pendingFor(intWm)
-    val intStat = intPending
-      .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
-    if (intWm.isEmpty || intStat.getLong(1) > 0) {
-      val intSrc = if (intWm.isEmpty) stgOut else intPending
+    if (intWm.isEmpty) {
+      // FIRST build: the merge runs unconditionally, and the pending
+      // stat is only needed for the sidecar — so its max(ts) rides the
+      // merge write itself as an `observe` metric (rows flow through
+      // the observation node on the way into LatestPerKey) instead of
+      // paying a dedicated full stg scan before the merge. Incremental
+      // runs keep the pre-merge head(): it GATES the merge (empty
+      // pending = no write at all) and its watermark predicate is
+      // row-group-pruned, so it costs ∝ batch, not ∝ corpus.
+      val obs = org.apache.spark.sql.Observation()
+      val src = stgOut.observe(obs, max(unix_micros(col("ts"))).as("m"))
       MergeWriter.upsert(spark, intDir,
-        LatestPerKey(intSrc, Seq("user_id"), Seq("ts", "event_id")),
+        LatestPerKey(src, Seq("user_id"), Seq("ts", "event_id")),
         keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
-      if (!intStat.isNullAt(0)) writeLayerWm(intWmDir, intStat.getLong(0))
+      obs.get.get("m").collect { case v: Long => writeLayerWm(intWmDir, v) }
+    } else {
+      val intPending = pendingFor(intWm)
+      val intStat = intPending
+        .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
+      if (intStat.getLong(1) > 0) {
+        MergeWriter.upsert(spark, intDir,
+          LatestPerKey(intPending, Seq("user_id"), Seq("ts", "event_id")),
+          keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+        if (!intStat.isNullAt(0)) writeLayerWm(intWmDir, intStat.getLong(0))
+      }
     }
 
     // dwh: daily mart merged on the surrogate key, PARTITIONED by day —
@@ -168,27 +213,13 @@ object Medallion {
     val dwhWmDir = s"$root/${cfg.schema}_daily_wm"
     val dwhWm = if (!MergeWriter.exists(spark, dwhDir)) None
       else layerWm(dwhWmDir)
-    val dwhPending = pendingFor(dwhWm)
-    val dwhStat = dwhPending
-      .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
-    if (dwhWm.isEmpty || dwhStat.getLong(1) > 0) {
-      val dailySrc = dwhWm match {
-        case None => stgOut
-        case Some(_) =>
-          // driver-side day values: bounded by the CALENDAR (one value
-          // per day carrying unincorporated rows — with in-order
-          // arrival, the days of this batch), never by data volume.
-          // The cap turns a mis-keyed source (e.g. a per-row value
-          // leaking into the day column) into a loud failure instead
-          // of a driver OOM. `day` is stg's PARTITION column, so the
-          // distinct is metadata-cheap and the isin filter prunes at
-          // the directory-listing layer — untouched days never enter
-          // the plan.
-          val touchedDays = MergeWriter.boundedPartitionValues(
-              dwhPending.select(col("day")), "day")
-          stgOut.filter(col("day").isInCollection(touchedDays))
-      }
-      val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
+    if (dwhWm.isEmpty) {
+      // FIRST build: same observe-instead-of-scan shape as the int
+      // layer — the rollup consumes stgOut anyway, so the sidecar's
+      // max(ts) rides its write action for free.
+      val obs = org.apache.spark.sql.Observation()
+      val src = stgOut.observe(obs, max(unix_micros(col("ts"))).as("m"))
+      val daily = DailyRollup(src, key = "user_id", tsCol = "ts",
         metrics = Seq(
           round(avg(col("value")), 4).as("avg_value"),
           max(col("value")).as("max_value"),
@@ -197,7 +228,35 @@ object Medallion {
       MergeWriter.upsertPartitioned(spark, dwhDir, daily,
         keys = Seq("user_id_date"), versionCols = Seq("n_events"),
         partCol = "day")
-      if (!dwhStat.isNullAt(0)) writeLayerWm(dwhWmDir, dwhStat.getLong(0))
+      obs.get.get("m").collect { case v: Long => writeLayerWm(dwhWmDir, v) }
+    } else {
+      val dwhPending = pendingFor(dwhWm)
+      val dwhStat = dwhPending
+        .agg(max(unix_micros(col("ts"))).as("m"), count(lit(1)).as("n")).head()
+      if (dwhStat.getLong(1) > 0) {
+        // driver-side day values: bounded by the CALENDAR (one value
+        // per day carrying unincorporated rows — with in-order
+        // arrival, the days of this batch), never by data volume.
+        // The cap turns a mis-keyed source (e.g. a per-row value
+        // leaking into the day column) into a loud failure instead
+        // of a driver OOM. `day` is stg's PARTITION column, so the
+        // distinct is metadata-cheap and the isin filter prunes at
+        // the directory-listing layer — untouched days never enter
+        // the plan.
+        val touchedDays = MergeWriter.boundedPartitionValues(
+            dwhPending.select(col("day")), "day")
+        val dailySrc = stgOut.filter(col("day").isInCollection(touchedDays))
+        val daily = DailyRollup(dailySrc, key = "user_id", tsCol = "ts",
+          metrics = Seq(
+            round(avg(col("value")), 4).as("avg_value"),
+            max(col("value")).as("max_value"),
+            min(col("value")).as("min_value"),
+            count(lit(1)).as("n_events")))
+        MergeWriter.upsertPartitioned(spark, dwhDir, daily,
+          keys = Seq("user_id_date"), versionCols = Seq("n_events"),
+          partCol = "day")
+        if (!dwhStat.isNullAt(0)) writeLayerWm(dwhWmDir, dwhStat.getLong(0))
+      }
     }
     // schema-bearing empty when the empty-source first build wrote
     // nothing (mirrors the stgOut guard)

@@ -82,7 +82,12 @@ object OpsQueries {
   private def ensureMedallionBase(spark: SparkSession, dir: String,
       cut: String): String =
     graft.operators.Persisted.ensure(spark, "graft-medallion-base",
-      graft.operators.Persisted.signature(spark, Seq(cut),
+      // "wm-file-v2": the r21 sidecar-format change (layer watermarks
+      // as driver-written JSON files, not 1-row parquet dirs) re-keys
+      // the persisted base so a pre-change base is never attached —
+      // layerWm would see its directory-form sidecars as missing and
+      // silently full-rebuild every incremental run.
+      graft.operators.Persisted.signature(spark, Seq(cut, "wm-file-v2"),
         Seq(s"$dir/events.parquet"))) { staging =>
       Tables.events(spark, dir).filter(to_date(col("ts")) < lit(cut))
         .write.mode("append").parquet(s"$staging/corpus/events.parquet")

@@ -1265,24 +1265,39 @@ object AnalyticsQueries {
   def abWelch(spark: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val x = round(col("value") * 100).cast(dec)
-    val g = Tables.events(spark, dir)
+    // ONE conditional-aggregation scan (r21): the per-group-then-
+    // cross-join form embedded the whole scan+aggregate subtree once
+    // under each of the two group filters — the events table was
+    // scanned and aggregated TWICE for a 1-row result (plan-verified:
+    // 2 parquet scans + a BroadcastNestedLoopJoin). Both groups now
+    // fold in one pass via when()-guarded aggregates over the SAME
+    // exact decimal sums, so every derived double is bit-identical;
+    // the n1>0 AND n2>0 guard reproduces the cross-join-of-groups
+    // semantics (either group empty ⇒ empty result).
+    val isT = col("event_type") === "click"
+    val isC = col("event_type") === "view"
+    val tc = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type"), x.as("_x"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).cast(dec).as("_n"), sum(col("_x")).as("_s"),
-        sum(col("_x") * col("_x")).as("_ss"))
-      .select(col("event_type"), col("_n").cast("double").as("n"),
-        col("_s").cast("double").as("s"), col("_ss").cast("double").as("ss"))
-    val t = g.filter(col("event_type") === "click")
-      .select(col("n").as("n1"), col("s").as("s1"), col("ss").as("ss1"))
-    val c = g.filter(col("event_type") === "view")
-      .select(col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
+      .agg(
+        count(when(isT, 1)).cast(dec).as("_n1"),
+        sum(when(isT, col("_x"))).as("_s1"),
+        sum(when(isT, col("_x") * col("_x"))).as("_ss1"),
+        count(when(isC, 1)).cast(dec).as("_n2"),
+        sum(when(isC, col("_x"))).as("_s2"),
+        sum(when(isC, col("_x") * col("_x"))).as("_ss2"))
+      .filter(col("_n1") > 0 && col("_n2") > 0)
+      .select(
+        col("_n1").cast("double").as("n1"), col("_s1").cast("double").as("s1"),
+        col("_ss1").cast("double").as("ss1"),
+        col("_n2").cast("double").as("n2"), col("_s2").cast("double").as("s2"),
+        col("_ss2").cast("double").as("ss2"))
     // sample variance over cents: (ss - s^2/n) / (n-1); se^2 = v/n
     val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
     val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
     val se1 = v1 / col("n1")
     val se2 = v2 / col("n2")
-    t.crossJoin(c).select(
+    tc.select(
         col("n1").cast("long").as("n_treat"),
         col("n2").cast("long").as("n_ctrl"),
         round(col("s1") / col("n1") / 100.0, 4).as("mean_treat"),

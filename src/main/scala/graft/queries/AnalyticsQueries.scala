@@ -1247,6 +1247,13 @@ object AnalyticsQueries {
       .distinct()
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
+      // materialized ONCE (r21): cells feeds both the week-0 sizes and
+      // the final join, and the static plan embedded the full
+      // scan→first-touch-join→distinct subtree under each (4 corpus
+      // scans total; AQE stage reuse does not collapse them — same
+      // finding as text_collocations). The cohort grid is
+      // weeks²-bounded — the cheap side to pin.
+      .localCheckpoint()
     val sizes = cells.filter(col("week_offset") === 0)
       .select(col("cohort_week"), col("n_active").as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_week")

@@ -461,7 +461,16 @@ object TextQueries {
         slice(t, lit(1), size(t) - 1).as("w1"),
         slice(t, lit(2), size(t) - 1).as("w2"))).as("_bg"))
       .select(col("_bg.w1"), col("_bg.w2"))
+    // materialized ONCE (r21): c12 feeds four consumers (the scored
+    // stream, both marginal tables, the total) and the static plan
+    // embeds the scan→tokenize→explode→count subtree under each —
+    // AQE stage reuse does NOT collapse them at runtime (A/B:
+    // ProfileCollocReuse, 0.89 → 0.67 s median, pairwise-consistent).
+    // c12 is bigram-TYPE-grained — vocab-bounded, far smaller than the
+    // corpus — so the checkpoint is the cheap side, and the corpus is
+    // tokenized once instead of four times (the 100 TB lever).
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val cL = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val cR = c12.groupBy("w2").agg(sum("c12").as("c2"))
     val n = c12.agg(sum("c12").as("n"))
@@ -864,12 +873,21 @@ object TextQueries {
         slice(t, lit(1), size(t) - 1).as("w1"),
         slice(t, lit(2), size(t) - 1).as("w2"))).as("_bg"))
       .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-    val cont = bg.groupBy(col("w2").as("word"))
-      .agg(countDistinct(col("w1")).as("cont_count"))
+    // ONE bigram-TYPE table serves both KN statistics (r21): the
+    // continuation count per word is `distinct w1 per w2` = the ROW
+    // count per w2 of the distinct-bigram table, and the normalizer is
+    // that table's total row count. Building `types` once (vocab²-
+    // bounded, the cheap side to checkpoint) replaces a token-grained
+    // countDistinct shuffle PLUS a second full tokenize+explode pass
+    // for the normalizer — AQE stage reuse does not collapse the
+    // duplicated subtrees (measured on the sibling shape,
+    // ProfileCollocReuse). Exact integer counts either way.
+    val types = bg.distinct().localCheckpoint()
+    val cont = types.groupBy(col("w2").as("word"))
+      .agg(count(lit(1)).as("cont_count"))
     val uni = toks.select(explode(t).as("word"))
       .groupBy("word").agg(count(lit(1)).as("uni_count"))
-    val totalBigrams = bg.select(col("w1"), col("w2")).distinct()
-      .agg(count(lit(1)).as("_nb"))
+    val totalBigrams = types.agg(count(lit(1)).as("_nb"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cont_count").desc, col("word"))
     cont.join(uni, "word")

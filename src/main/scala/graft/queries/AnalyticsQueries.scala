@@ -233,11 +233,20 @@ object AnalyticsQueries {
   def sketchCountMin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val sk = graft.ext.CountMin.sketch(ev, "user_id")
-    val probes = ev.filter(col("user_id").isNotNull)
-      .select(col("user_id")).distinct()
-    graft.ext.CountMin.estimate(sk, probes, "user_id", "cm_estimate")
-      .join(ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n")),
-        Seq("user_id"))
+    // the probe set IS the exact table's key column (r21): the old
+    // shape scanned the corpus a third time for a distinct — the exact
+    // per-user counts (needed for the verification join anyway, and
+    // user-grained like the query's own OUTPUT, so materializing it
+    // stays within the result's size budget) now serve as both sides.
+    // 3 corpus scans + a distinct shuffle → 2 corpus scans; the
+    // estimate↔exact join is between two frames derived from one
+    // checkpointed aggregation.
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint()
+    graft.ext.CountMin.estimate(sk, exact.select(col("user_id")),
+        "user_id", "cm_estimate")
+      .join(exact, Seq("user_id"))
       .orderBy("user_id")
   }
 

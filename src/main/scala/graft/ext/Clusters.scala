@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * analyzer — not the executors — becomes the bottleneck (2^rounds
   * nodes). Checkpointing pins each round's (node, label) pairs and
   * resets lineage to a leaf, keeping per-round planning O(1).
+  *
+  * Cluster deployment: `localCheckpoint` truncates lineage onto
+  * executor-local blocks — an executor loss fails the job instead of
+  * recomputing; swap for reliable `checkpoint()`/replicated persist on
+  * lossy clusters (COVERAGE "Materialization barriers").
   */
 object Clusters {
 

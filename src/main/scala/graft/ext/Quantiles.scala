@@ -48,6 +48,12 @@ object Quantiles {
     */
   private val RefineStepBits = 13
 
+  /** Serializes fetchHist's scoped conf set/restore window (see the
+    * comment at the call site). Process-wide: sessions share the JVM
+    * and the race being excluded is same-session anyway.
+    */
+  private[ext] val fetchConfLock = new Object
+
   /** Per-group exact order-statistic VALUES at caller-chosen 0-based
     * positions into the group's ascending NON-NULL values.
     * `positionsFor(nTotal, nVals)` names the positions a group needs
@@ -115,15 +121,25 @@ object Quantiles {
       // single round while take() keeps enforcing the cap BEFORE the
       // driver materializes an over-budget histogram — the reason
       // this is not a bare collect().
-      val key = "spark.sql.limit.initialNumPartitions"
-      val saved = spark.conf.getOption(key)
-      spark.conf.set(key, Int.MaxValue.toString)
-      val rows =
+      // The set/restore mutates SESSION-scoped state around the take
+      // (r22, VERDICT r21 #8): two concurrent fetchHist calls on the
+      // same session could interleave save/restore and strand the
+      // raised value, so the window is serialized process-wide. A
+      // concurrent UNRELATED query on the same session can still
+      // observe the raised value during the window — that only
+      // changes executeTake's scale-up batching (a performance knob),
+      // never a result, so serializing fetchHist against itself is
+      // the whole correctness story.
+      val rows = Quantiles.fetchConfLock.synchronized {
+        val key = "spark.sql.limit.initialNumPartitions"
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, Int.MaxValue.toString)
         try grouped.take(histCap + 1)
         finally saved match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)
         }
+      }
       require(rows.length <= histCap,
         s"grouped-quantile histogram exceeds histCap ($histCap rows): " +
           s"|groups| × present slices (binadeBits=$binadeBits) is past " +

@@ -241,6 +241,8 @@ object AnalyticsQueries {
     // 3 corpus scans + a distinct shuffle → 2 corpus scans; the
     // estimate↔exact join is between two frames derived from one
     // checkpointed aggregation.
+    // (cluster deployment: lineage-truncating barrier — COVERAGE
+    // "Materialization barriers")
     val exact = ev.filter(col("user_id").isNotNull)
       .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
       .localCheckpoint()
@@ -952,13 +954,24 @@ object AnalyticsQueries {
     * wedge explosion is capped by orientation).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // r22: the edge build rides the copurchase_pairs basket shape —
+    // per-order sorted part sets fanned out as PACKED (u << 32 | v)
+    // pair longs (partkeys are catalog-bounded, enforced in the
+    // expression), deduped on the single fixed-width key. Two
+    // exchanges (basket groupBy + packed distinct) where the
+    // distinct + self-join form paid four (the (o,p) distinct, both
+    // join sides re-exchanged on o, the (u,v) distinct) — same edge
+    // set (GraphSpec pins equality with the joined twin; the oracle
+    // replays the joined derivation).
+    val e = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(
+        call_function("graft_sorted_pairs_packed", col("parts"))).as("uv"))
       .distinct()
-    val e = li.select(col("o"), col("p").as("u"))
-      .join(li.select(col("o"), col("p").as("v")), Seq("o"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+      .select(shiftrightunsigned(col("uv"), 32).as("u"),
+        col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"))
     graft.ext.Graph.triangleCounts(e)
       .select(col("vertex").as("part"), col("n_triangles"))
       .orderBy("part")
@@ -1261,7 +1274,9 @@ object AnalyticsQueries {
       // scan→first-touch-join→distinct subtree under each (4 corpus
       // scans total; AQE stage reuse does not collapse them — same
       // finding as text_collocations). The cohort grid is
-      // weeks²-bounded — the cheap side to pin.
+      // weeks²-bounded — the cheap side to pin. Cluster deployment:
+      // lineage-truncating barrier — COVERAGE "Materialization
+      // barriers".
       .localCheckpoint()
     val sizes = cells.filter(col("week_offset") === 0)
       .select(col("cohort_week"), col("n_active").as("cohort_size"))

@@ -469,6 +469,9 @@ object TextQueries {
     // c12 is bigram-TYPE-grained — vocab-bounded, far smaller than the
     // corpus — so the checkpoint is the cheap side, and the corpus is
     // tokenized once instead of four times (the 100 TB lever).
+    // Cluster deployment: localCheckpoint truncates lineage onto
+    // executor-local blocks (executor loss ⇒ job re-run, not
+    // recompute) — see COVERAGE "Materialization barriers".
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val cL = c12.groupBy("w1").agg(sum("c12").as("c1"))
@@ -881,7 +884,9 @@ object TextQueries {
     // countDistinct shuffle PLUS a second full tokenize+explode pass
     // for the normalizer — AQE stage reuse does not collapse the
     // duplicated subtrees (measured on the sibling shape,
-    // ProfileCollocReuse). Exact integer counts either way.
+    // ProfileCollocReuse). Exact integer counts either way. Cluster
+    // deployment: lineage-truncating barrier — COVERAGE
+    // "Materialization barriers".
     val types = bg.distinct().localCheckpoint()
     val cont = types.groupBy(col("w2").as("word"))
       .agg(count(lit(1)).as("cont_count"))

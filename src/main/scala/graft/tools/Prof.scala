@@ -1,55 +1,95 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-
-import graft._
 
 /** Scratch profiling main (dev tool). */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32)
+    val spark = GraftSessionLike.local(32)
     val dir = "/root/testdata/sf0.1"
     spark.read.parquet(s"$dir/lineitem.parquet").count() // warm
-    def time[A](label: String)(f: => A): A = {
+    def time(label: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      val r = f
-      println(s"PROF $label: ${(System.nanoTime() - t0) / 1e9}")
-      r
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PROF $label: $s%.2f")
+      s
     }
-    def edgesBroadcastLong = broadcast(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey")))
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val e = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(
+        call_function("graft_sorted_pairs_packed", col("parts"))).as("uv"))
       .distinct()
-    def edgesPlainLong = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    def edgesBroadcastStr = broadcast(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey")))
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
-      .distinct()
-    for (i <- 1 to 2) {
-      time(s"bcast-long $i") { edgesBroadcastLong.localCheckpoint() }
-      time(s"plain-long $i") { edgesPlainLong.localCheckpoint() }
-      time(s"bcast-str  $i") { edgesBroadcastStr.localCheckpoint() }
-      time(s"join-only  $i") {
-        broadcast(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")))
-          .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .count()
-      }
-      time(s"distinct-only-from-ckpt $i") {
-        val base = broadcast(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")))
-          .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .localCheckpoint()
-        time(s"  inner distinct $i") { base.distinct().count() }
-      }
+      .select(shiftrightunsigned(col("uv"), 32).as("u"),
+        col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"))
+      .localCheckpoint()
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val ed = e.join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = ed.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    println(s"PROF nEdges=${orient.count()}")
+    val o1 = orient.select(col("s"), col("t").as("b"))
+    val o2 = orient.select(col("s"), col("t").as("c"))
+    val closing = orient.select(
+      shiftleft(least(col("s"), col("t")), 32)
+        .bitwiseOR(greatest(col("s"), col("t"))).as("bc"))
+    def tail(closeSide: DataFrame): DataFrame =
+      o1.join(o2.hint("SHUFFLE_HASH"), Seq("s"))
+        .filter(col("b") < col("c"))
+        .select(col("s").as("a"),
+          shiftleft(col("b"), 32).bitwiseOR(col("c")).as("bc"))
+        .join(closeSide, Seq("bc"))
+        .select(col("a"), shiftrightunsigned(col("bc"), 32).as("b"),
+          col("bc").bitwiseAND(lit(0xFFFFFFFFL)).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+        .groupBy(col("vertex")).agg(count(lit(1)).as("n_triangles"))
+    def noop(f: DataFrame): Unit =
+      f.write.format("noop").mode("overwrite").save()
+    val bhj = tail(broadcast(closing))
+    val shj = tail(closing.hint("SHUFFLE_HASH"))
+    noop(bhj); noop(shj) // warm
+    // report broadcast relation size once
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val q = tail(broadcast(closing))
+    noop(q)
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case b: BroadcastExchangeExec =>
+        println(s"PROF broadcast dataSize=${b.metrics("dataSize").value} " +
+          s"rows=${b.metrics("numOutputRows").value} " +
+          s"buildMs=${b.metrics("buildTime").value}")
+      case _ =>
+    }
+    find(q.queryExecution.executedPlan)
+    (1 to 4).foreach { i =>
+      time(s"close-BHJ $i") { noop(tail(broadcast(closing))) }
+      time(s"close-SHJ $i") { noop(tail(closing.hint("SHUFFLE_HASH"))) }
     }
     spark.stop()
+  }
+}
+
+object GraftSessionLike {
+  def local(n: Int): org.apache.spark.sql.SparkSession = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$n]")
+      .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+    spark
   }
 }

@@ -89,6 +89,26 @@ class GraphSpec extends SparkSpec {
       "edge-sized closing side should broadcast at small scale")
   }
 
+  test("triangles: packed and fallback closing-key regimes agree") {
+    import spark.implicits._
+    // the same graph in 32-bit id range (packed single-long closing
+    // key) and shifted past 2^32 (two-column fallback) must count
+    // identically — pins the r22 regime switch
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 4L), (4L, 5L), (5L, 6L))
+    val shift = 5000000000L
+    val a = Graph.triangleCounts(base.toDF("u", "v"))
+      .orderBy("vertex").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.triangleCounts(
+        base.map { case (u, v) => (u + shift, v + shift) }.toDF("u", "v"))
+      .orderBy("vertex").collect()
+      .map(r => (r.getLong(0) - shift, r.getLong(1))).toSeq
+    assert(a === b)
+    // K4 on 1..4: four triangles, each vertex in three; 5/6 in none
+    assert(a === Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("triangles: invariant under partitioning; hub skew bounded by orientation") {
     import spark.implicits._
     // star hub 0 with 30 leaves + one closing edge (1,2): exactly ONE

@@ -143,6 +143,112 @@ object Streams {
     }
   }
 
+  /** Stage the sentinel-FREE events landing zone for one config —
+    * the body every `eventsStream` config shares (the sentinel config
+    * copies this zone's files and appends its sentinels).
+    */
+  private def stagePlain(spark: SparkSession, dir: String, batches: Int,
+      filesPerBatch: Int, duplicated: Boolean): String = {
+    val out = scratch("graft-stream-src")
+    // The normalized base file is written ONCE per source dir and
+    // shared by every landing-zone config: single-file and
+    // duplicated configs COPY it (no Spark job at all), range-split
+    // configs and the sentinel max-ts read scan the one local file
+    // instead of re-reading + re-normalizing the source table per
+    // config (was one full coalesce(1) write per config — a
+    // measurable slice of the streaming bench family's fixed cost).
+    val base = baseEventsFile(spark, dir)
+    val ev = spark.read.schema(eventsRawSchema).parquet(base.toString)
+    // write `src`, return its part files in name (= partition) order
+    def writeParts(src: DataFrame): Seq[java.nio.file.Path] = {
+      val tmp = scratch("graft-stream-split").toString
+      src.write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .map(_.toPath).toSeq
+    }
+    // (source, staged name, arrival index): files of one arrival
+    // share a modification time, so arrival order == mtime order
+    // regardless of copy speed — the ONE home of the mtime
+    // convention (base 1700000000000L, 60 s per arrival) the
+    // sentinel offsets at 990/991 build on
+    def stage(files: Seq[(java.nio.file.Path, String, Int)]): Unit =
+      files.foreach { case (src, n, arrival) =>
+        val dst = out.resolve(n)
+        Files.copy(src, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + arrival * 60000L))
+      }
+    if (duplicated) {
+      // the whole log staged TWICE on purpose = at-least-once replay
+      stage(Seq((base, "a0.parquet", 0), (base, "a1.parquet", 1)))
+    } else if (batches <= 1) {
+      stage(Seq((base, "events.parquet", 0)))
+    } else {
+      // one ARRIVAL per range batch, each landing as up to
+      // `filesPerBatch` ts-consecutive part files that share one
+      // modification time — parallel part files per batch, never
+      // serialized through one writer. A range split with an empty
+      // partition yields fewer files, never replayed content (each
+      // part is copied exactly once); a short chunk just means a
+      // smaller arrival.
+      val p = writeParts(
+        ev.repartitionByRange(batches * filesPerBatch, col("ts")))
+      stage(p.grouped(filesPerBatch).zipWithIndex.flatMap {
+        case (chunk, a) => chunk.zipWithIndex.map {
+          case (f, j) => (f, f"b$a%03d-f$j%02d.parquet", a)
+        }
+      }.toSeq)
+    }
+    out.toString
+  }
+
+  /** Append the two flush-sentinel micro-batch files to a staged
+    * landing zone: the watermark a batch runs with comes from the
+    * PREVIOUS batch's max event time, so the first sentinel advances
+    * it and the second triggers the batch that actually emits the
+    * flushed windows. Both rows ride ONE Spark write
+    * (`repartitionByRange(2, ts)` puts the earlier sentinel in part 0
+    * — RangePartitioner ranges ascend with partition index), halving
+    * the staging jobs vs one coalesce(1) write per sentinel.
+    */
+  private def addSentinels(spark: SparkSession, dir: String,
+      out: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    val base = baseEventsFile(spark, dir)
+    val ev = spark.read.schema(eventsRawSchema).parquet(base.toString)
+    // max over ZERO rows is null — getLong would throw a bare NPE
+    // mid-staging; an empty events table gets a readable error
+    val maxRow = ev.agg(max(col("ts"))).head()
+    require(!maxRow.isNullAt(0),
+      "cannot stage flush sentinels: events table is empty " +
+        "(no max event time to advance the watermark past)")
+    val maxTs = maxRow.getLong(0)
+    val sentTmp = scratch("graft-stream-sent").resolve("d").toString
+    Seq(10L, 20L).zipWithIndex.map { case (days, i) =>
+      (-1L - i, maxTs + days * 86400L * 1000000L, -1L, "sentinel",
+        0.0, null.asInstanceOf[String])
+    }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartitionByRange(2, col("ts"))
+      .write.parquet(sentTmp)
+    val parts = new java.io.File(sentTmp).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // the two sentinels MUST occupy two files (two triggers:
+    // advance, then flush) — fail loudly if the range split ever
+    // collapses them
+    require(parts.length == 2,
+      s"sentinel staging wrote ${parts.length} part files, need 2")
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val dst = out.resolve(s"zzz-sentinel$i.parquet")
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + (990 + i) * 60000L))
+    }
+  }
+
   /** Streaming read of the events table (micro-batched file source).
     * The file source requires a directory, so the parquet data is
     * staged into a temp dir (in production the landing zone IS a
@@ -189,90 +295,34 @@ object Streams {
         "arrive as separate micro-batches to exercise cross-batch keyed " +
         "dedup state; a multi-file trigger would collapse them into one " +
         "batch and the redelivery shape would silently vanish")
+    // The sentinel config DERIVES from the sentinel-free landing zone
+    // (r22, VERDICT r21 #3): the plain (dir, batches, filesPerBatch)
+    // zone is what every update-mode stream shares, so its range-split
+    // job runs once per process; the sentinel consumer copies those
+    // arrival files verbatim driver-side (names + mtimes preserved, no
+    // Spark job) and appends its two sentinel batches. Was: a fully
+    // redundant second range split for the one sentinel config
+    // (ProfileSessionize: 1.13 s of the streaming_sessionize row).
     val staged = memoStage(stagedDirs,
         (dir, batches, filesPerBatch, flushSentinel, duplicated)) {
-      val out = scratch("graft-stream-src")
-      // The normalized base file is written ONCE per source dir and
-      // shared by every landing-zone config: single-file and
-      // duplicated configs COPY it (no Spark job at all), range-split
-      // configs and the sentinel max-ts read scan the one local file
-      // instead of re-reading + re-normalizing the source table per
-      // config (was one full coalesce(1) write per config — a
-      // measurable slice of the streaming bench family's fixed cost).
-      val base = baseEventsFile(spark, dir)
-      val ev = spark.read.schema(eventsRawSchema).parquet(base.toString)
-      // write `src`, return its part files in name (= partition) order
-      def writeParts(src: DataFrame): Seq[java.nio.file.Path] = {
-        val tmp = scratch("graft-stream-split").toString
-        src.write.mode("overwrite").parquet(tmp)
-        new java.io.File(tmp).listFiles()
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .map(_.toPath).toSeq
-      }
-      // (source, staged name, arrival index): files of one arrival
-      // share a modification time, so arrival order == mtime order
-      // regardless of copy speed — the ONE home of the mtime
-      // convention (base 1700000000000L, 60 s per arrival) the
-      // sentinel offsets at 990/991 build on
-      def stage(files: Seq[(java.nio.file.Path, String, Int)]): Unit =
-        files.foreach { case (src, n, arrival) =>
-          val dst = out.resolve(n)
-          Files.copy(src, dst)
-          Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              1700000000000L + arrival * 60000L))
-        }
-      if (duplicated) {
-        // the whole log staged TWICE on purpose = at-least-once replay
-        stage(Seq((base, "a0.parquet", 0), (base, "a1.parquet", 1)))
-      } else if (batches <= 1) {
-        stage(Seq((base, "events.parquet", 0)))
-      } else {
-        // one ARRIVAL per range batch, each landing as up to
-        // `filesPerBatch` ts-consecutive part files that share one
-        // modification time — parallel part files per batch, never
-        // serialized through one writer. A range split with an empty
-        // partition yields fewer files, never replayed content (each
-        // part is copied exactly once); a short chunk just means a
-        // smaller arrival.
-        val p = writeParts(
-          ev.repartitionByRange(batches * filesPerBatch, col("ts")))
-        stage(p.grouped(filesPerBatch).zipWithIndex.flatMap {
-          case (chunk, a) => chunk.zipWithIndex.map {
-            case (f, j) => (f, f"b$a%03d-f$j%02d.parquet", a)
+      if (!flushSentinel) stagePlain(spark, dir, batches, filesPerBatch,
+        duplicated)
+      else {
+        val plain = java.nio.file.Paths.get(memoStage(stagedDirs,
+          (dir, batches, filesPerBatch, false, duplicated)) {
+          stagePlain(spark, dir, batches, filesPerBatch, duplicated)
+        })
+        val out = scratch("graft-stream-src")
+        new java.io.File(plain.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val dst = out.resolve(f.getName)
+            Files.copy(f.toPath, dst)
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(f.lastModified()))
           }
-        }.toSeq)
+        addSentinels(spark, dir, out)
+        out.toString
       }
-      if (flushSentinel) {
-        import spark.implicits._
-        // max over ZERO rows is null — getLong would throw a bare NPE
-        // mid-staging; an empty events table gets a readable error
-        val maxRow = ev.agg(max(col("ts"))).head()
-        require(!maxRow.isNullAt(0),
-          "cannot stage flush sentinels: events table is empty " +
-            "(no max event time to advance the watermark past)")
-        val maxTs = maxRow.getLong(0)
-        // two sentinel micro-batches: the watermark a batch runs with
-        // comes from the PREVIOUS batch's max event time, so the first
-        // sentinel advances it and the second triggers the batch that
-        // actually emits the flushed windows
-        Seq(10L, 20L).zipWithIndex.foreach { case (days, i) =>
-          val sentTmp = scratch("graft-stream-sent")
-            .resolve("d").toString
-          Seq((-1L - i, maxTs + days * 86400L * 1000000L, -1L, "sentinel",
-              0.0, null.asInstanceOf[String]))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.parquet(sentTmp)
-          val part = new java.io.File(sentTmp).listFiles()
-            .filter(_.getName.startsWith("part-")).head
-          val dst = out.resolve(s"zzz-sentinel$i.parquet")
-          Files.copy(part.toPath, dst)
-          Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              1700000000000L + (990 + i) * 60000L))
-        }
-      }
-      out.toString
     }
     spark.readStream
       .schema(eventsRawSchema)
@@ -346,8 +396,23 @@ object Streams {
       }
     }
     // compaction: the latest emission per key wins (_batch_id breaks
-    // ties between re-emissions that share version values)
-    graft.operators.LatestPerKey(spark.read.parquet(log),
+    // ties between re-emissions that share version values). The
+    // compaction exchange is sized from the changelog's ON-DISK bytes
+    // (r22): the stream ran at micro-batch width, but this frame is
+    // the O(|table|) merge — an explicit repartition on the merge keys
+    // at ~32 MB of compressed log per partition replaces the
+    // conf-width exchange (hashpartitioning on the SAME keys satisfies
+    // the aggregation's distribution, so no second exchange appears).
+    // Scale-adaptive by construction: a 2 MB local log compacts in one
+    // partition, a 100 TB log fans out to thousands — never a constant
+    // tuned to either.
+    val logPath = new org.apache.hadoop.fs.Path(log)
+    val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logBytes =
+      if (lfs.exists(logPath)) lfs.getContentSummary(logPath).getLength else 0L
+    val width = (logBytes / (32L << 20) + 1L).toInt
+    graft.operators.LatestPerKey(
+      spark.read.parquet(log).repartition(width, keys.map(col): _*),
       keys, versionCols :+ "_batch_id").drop("_batch_id")
   }
 

@@ -52,6 +52,39 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pairs.salts")
   }
 
+  test("fuzzy kernel: ASCII banded DP is bit-parity with Spark's levenshtein across random strings") {
+    import spark.implicits._
+    // the r22 ASCII byte-path DP must return exactly Spark's
+    // levenshtein(l, r, k) contract (exact distance when <= k, else
+    // dropped) — randomized strings of varied lengths incl. shared
+    // prefixes/suffixes, duplicates, empty strings, and a non-ASCII
+    // pair that must take the code-point fallback
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef "
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base = (1L to 120L).map { i =>
+      val len = rnd.nextInt(45)
+      val s = randStr(len)
+      // half the ids get a mutated near-copy so distances <= k exist
+      (i, if (i % 2 == 0) s else "prefix" + s + "suffix", "blk")
+    }
+    val extra = Seq(
+      (200L, "", "blk"), (201L, "", "blk"), (202L, "a", "blk"),
+      (203L, "café au lait et encore du texte", "blk"),
+      (204L, "cafe au lait et encore du texte", "blk"),
+      (205L, "café au lait et encore du texte!", "blk"))
+    val docs = (base ++ extra).toDF("doc_id", "text", "source")
+    for (k <- Seq(0, 3, 12, 40)) {
+      val got = Dedup.fuzzyPairsBlocked(docs, "doc_id", "text",
+        blockCol = "source", prefixLen = 40, maxDist = k)
+      val tw = Dedup.fuzzyPairsJoined(docs, "doc_id", "text",
+        blockCol = "source", prefixLen = 40, maxDist = k)
+      assert(got.exceptAll(tw).isEmpty && tw.exceptAll(got).isEmpty,
+        s"ASCII DP diverged from Spark's levenshtein at maxDist=$k")
+    }
+  }
+
   test("fuzzy near-dups: null text/block/id rows and string ids behave like the twin") {
     import spark.implicits._
     // null text → null prefix (null distance in the twin), null block

@@ -1010,7 +1010,58 @@ object AnalyticsQueries {
     * gathers each group; at 100 TB swap in `approx_percentile` — the
     * exact form is what a serial oracle can replay.)
     */
+  /** Exact percentile interpolation on a SORTED array — Spark's own
+    * `percentile` formula (`lower + (higher − lower) · frac`,
+    * ULP-probed in r22: the probe value matches this lerp form
+    * bit-for-bit and differs from the `lo·(1−f) + hi·f` convex form),
+    * so array-side medians are bit-identical to the aggregate's.
+    */
+  private def medianOfSorted(arr: Column): Column = {
+    val pos = (size(arr).cast("double") - lit(1.0)) * lit(0.5)
+    val lo = floor(pos)
+    val vLo = element_at(arr, lo.cast("int") + 1)
+    val vHi = element_at(arr, ceil(pos).cast("int") + 1)
+    // all-null group ⇒ empty gather: yield NULL like the percentile
+    // aggregate (the when-guard also keeps ANSI element_at off the
+    // empty array)
+    when(size(arr) > 0, vLo + (vHi - vLo) * (pos - lo))
+  }
+
   def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan, ONE shuffle (r22, VERDICT r21 #10): the 3-pass form
+    // (median agg, broadcast-back deviation pass, MAD agg + final
+    // pass) gathered each group's values per pass anyway — exact
+    // grouped percentile ships the whole group through the exchange —
+    // so gather ONCE and derive med, MAD and the outlier count from
+    // the sorted array. The HOF lambdas run per GROUP row (|types|
+    // rows), not per event, so CodegenFallback costs nothing here.
+    // At 100 TB the exact gather is the declared non-scalable part
+    // either way (see approx_quantile_hist for the mergeable shape).
+    Tables.events(spark, dir).select(col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("_a"),
+        count(lit(1)).as("n"))
+      .withColumn("_med", medianOfSorted(col("_a")))
+      .withColumn("_mad", medianOfSorted(
+        array_sort(transform(col("_a"), x => abs(x - col("_med"))))))
+      .select(col("event_type"),
+        round(col("_med"), 4).as("med"),
+        round(col("_mad"), 4).as("mad"),
+        col("n"),
+        size(filter(col("_a"),
+          x => abs(x - col("_med")) > lit(3.0) * col("_mad")))
+          .cast("long").as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n"))
+      .orderBy("event_type")
+  }
+
+  /** The 3-pass broadcast-back form of [[outlierMad]] — kept as the
+    * one-pass rewrite's equality twin (the derivation the DuckDB
+    * oracle replays; AnalyticsSpec pins array == aggregate medians).
+    */
+  private[graft] def outlierMadJoined(spark: SparkSession,
+      dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("med"))

@@ -16,6 +16,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(sel.exceptAll(agg).isEmpty && agg.exceptAll(sel).isEmpty)
   }
 
+  test("outlier_mad one-pass array form equals the 3-pass percentile twin") {
+    // the r22 rewrite gathers each group once and derives med/MAD/
+    // outliers from the sorted array; medianOfSorted replicates
+    // Spark's percentile lerp bit-for-bit (ULP-probed), so the full
+    // rows — including the UNROUNDED med/mad feeding n_outliers —
+    // must match the 3-pass twin exactly
+    val a = graft.queries.AnalyticsQueries.defs("outlier_mad")(spark, sf)
+    val b = graft.queries.AnalyticsQueries.outlierMadJoined(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("quantile selection degenerate edges: all-equal, single row, nulls") {
     import spark.implicits._
     // all-equal values can't split into slices — the min==max shortcut

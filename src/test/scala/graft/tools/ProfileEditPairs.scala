@@ -30,6 +30,17 @@ object ProfileEditPairs {
 
     def noop(f: org.apache.spark.sql.DataFrame): Double =
       Harness.time(f.write.format("noop").mode("overwrite").save())
+    // kernel-only mode (GRAFT_AB_KERNEL_ONLY): at 30x the joined twin
+    // costs ~3x the kernel per rep — skip it when the question is
+    // old-kernel vs new-kernel across checkouts
+    if (sys.env.get("GRAFT_AB_KERNEL_ONLY").nonEmpty) {
+      noop(kernel())
+      val t = (1 to reps).map(_ => noop(kernel()))
+      def medK(a: Seq[Double]) = a.sorted.apply((a.length - 1) / 2)
+      println(f"""{"dir":"$dir","kernel_only_med":${medK(t)}%.2f,"kernel":[${t.map(x => f"$x%.2f").mkString(",")}]}""")
+      spark.stop()
+      return
+    }
     noop(kernel()); noop(joined()) // warm
     val tK = collection.mutable.ArrayBuffer.empty[Double]
     val tJ = collection.mutable.ArrayBuffer.empty[Double]

@@ -63,6 +63,12 @@ object GraftSession {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // env override for the persisted-artifact root (the cold-series
+    // harness points each rep at a fresh dir; `run / fork := true`
+    // means a -D on the sbt JVM never reaches the session, so the env
+    // var is the contract — same style as SPARK_GRAFT_SF_DIR/CPUS)
+    sys.env.get("SPARK_GRAFT_PERSISTED_ROOT").foreach(r =>
+      spark.conf.set("spark.graft.persisted.root", r))
     graft.plans.GraftExtensions.registerOn(spark)
     spark
   }

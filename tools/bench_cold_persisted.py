@@ -34,8 +34,10 @@ def run_bench(sf_dir: str, root: str):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "32")
-    env["SBT_OPTS"] = (env.get("SBT_OPTS", "")
-                       + f" -Dspark.graft.persisted.root=file:{root}")
+    # run/fork:=true - a -D on the sbt JVM never reaches the forked
+    # session; GraftSession.prepare maps this env var onto
+    # spark.graft.persisted.root
+    env["SPARK_GRAFT_PERSISTED_ROOT"] = f"file:{root}"
     p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        capture_output=True, text=True, env=env)
     if p.returncode != 0:

@@ -30,7 +30,7 @@ import time
 QUERIES = [
     "graph_triangles", "graph_pagerank", "dedup_fuzzy", "dedup_ppjoin",
     "copurchase_pairs", "bpe_encode", "text_perplexity",
-    "text_collocations",
+    "text_collocations", "lm_kn_counts",
 ]
 CPUS = ["32", "8"]
 
